@@ -1,0 +1,69 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distribution-drift checks — KS statistic on n_tok and PSI on the
+  * per-source mix against a baseline snapshot (BASELINE.json north_star).
+  * The reference seed is `const`/`enum` asserted against a stored
+  * expectation (PJS:_keywords.py:85-87,269-271) lifted to distributions.
+  *
+  * Scale design: both statistics reduce the table to a per-source /
+  * per-bin count FIRST (partial+final hash agg, output cardinality =
+  * #sources or #bins ≪ anything), then do all CDF / ratio arithmetic on
+  * that tiny frame. The baseline snapshot is broadcast. No windowing ever
+  * touches raw rows.
+  */
+object Drift {
+
+  /** Write a baseline snapshot: per-source counts + n_tok histogram. */
+  def writeSnapshot(df: DataFrame, path: String, binWidth: Int = 16): Unit = {
+    Referential.saltedSourceCounts(df).withColumn("kind", lit("source_mix"))
+      .select(col("kind"), col("source").as("key"), col("cnt"))
+      .unionByName(
+        Stats.histogram(df, "n_tok", binWidth).withColumn("kind", lit("n_tok_hist"))
+          .select(col("kind"), col("bin").cast("string").as("key"), col("cnt")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** PSI (population stability index) of the source mix vs baseline:
+    * psi = Σ_k (p_k - q_k) * ln(p_k / q_k), ε-smoothed for keys present
+    * on only one side. Output: one row (psi, n_keys).
+    */
+  def psiSourceMix(current: DataFrame, snapshot: DataFrame, eps: Double = 1e-6): DataFrame = {
+    val cur = Referential.saltedSourceCounts(current).select(col("source").as("key"), col("cnt").as("c_cnt"))
+    val base = snapshot.filter(col("kind") === "source_mix").select(col("key"), col("cnt").as("b_cnt"))
+    val joined = cur.join(broadcast(base), Seq("key"), "full_outer")
+      .select(col("key"), coalesce(col("c_cnt"), lit(0L)).as("c"), coalesce(col("b_cnt"), lit(0L)).as("b"))
+    val tot = joined.agg(sum("c").as("ct"), sum("b").as("bt"))
+    val withFrac = joined.crossJoin(broadcast(tot))
+      .select(col("key"),
+        greatest(col("c") / col("ct"), lit(eps)).as("p"),
+        greatest(col("b") / col("bt"), lit(eps)).as("q"))
+    withFrac.agg(
+      round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"),
+      count(lit(1)).as("n_keys"))
+  }
+
+  /** Two-sample KS statistic over fixed-width bins of `field`:
+    * D = max_bin |CDF_current(bin) - CDF_baseline(bin)|. Binned (width
+    * 16 over n_tok in [0,520]) so the statistic is deterministic and the
+    * shuffle is O(#bins). Output: one row (ks, n_bins).
+    */
+  def ksBinned(current: DataFrame, snapshot: DataFrame, field: String = "n_tok", binWidth: Int = 16): DataFrame = {
+    val cur = Stats.histogram(current, field, binWidth).select(col("bin"), col("cnt").as("c_cnt"))
+    val base = snapshot.filter(col("kind") === "n_tok_hist")
+      .select(col("key").cast("long").as("bin"), col("cnt").as("b_cnt"))
+    val joined = cur.join(broadcast(base), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_cnt"), lit(0L)).as("c"), coalesce(col("b_cnt"), lit(0L)).as("b"))
+    val tot = joined.agg(sum("c").as("ct"), sum("b").as("bt"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // #bins is tiny (~35) — single-partition window on the aggregated frame is fine
+    joined.crossJoin(broadcast(tot))
+      .withColumn("cdf_c", sum(col("c")).over(w) / col("ct"))
+      .withColumn("cdf_b", sum(col("b")).over(w) / col("bt"))
+      .agg(round(max(abs(col("cdf_c") - col("cdf_b"))), 6).as("ks"), count(lit(1)).as("n_bins"))
+  }
+}

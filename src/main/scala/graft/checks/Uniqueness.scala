@@ -1,0 +1,59 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global key-uniqueness check — `uniqueItems` semantics
+  * (PJS:_utils.py:156-181) lifted from one array to a 10^12-row key
+  * column, per BASELINE.json north_star: "checks uniqueness of doc_id
+  * with salted aggregate + HLL pre-filter".
+  *
+  * Scale design:
+  *  1. HLL pre-filter: `approx_count_distinct(key)` vs `count(*)` in one
+  *     partial+final agg (no shuffle of raw rows — HLL++ sketches merge).
+  *     If the estimate is within the sketch's relative error of the row
+  *     count AND an exact confirmation is not requested, the table is
+  *     certified duplicate-free for ~free.
+  *  2. Exact phase (only when needed): two-phase salted aggregation —
+  *     first `groupBy(salt, key)` (salt = hash(key) mod S spreads any
+  *     hot key ranges across S*P reducers), then re-agg by key. For a
+  *     true key column the first phase's map-side combine already
+  *     collapses almost everything; the salt bounds the worst case where
+  *     one key value repeats billions of times (which would otherwise
+  *     pin one reducer).
+  */
+object Uniqueness {
+
+  final case class HllVerdict(rows: Long, approxDistinct: Long, mayHaveDups: Boolean)
+
+  /** Phase 1: sketch-only pre-filter. rsd=0.01 → ~1% relative error. */
+  def hllPrefilter(df: DataFrame, key: String, rsd: Double = 0.01): HllVerdict = {
+    val r = df.agg(
+      count(lit(1)).as("rows"),
+      approx_count_distinct(col(key), rsd).as("ad")).head()
+    val rows = r.getLong(0); val ad = r.getLong(1)
+    // duplicates possible iff estimate is materially below the row count
+    HllVerdict(rows, ad, ad < (rows * (1 - 3 * rsd)).toLong || rows - ad > math.max(1, rows / 1000))
+  }
+
+  /** Phase 2: exact duplicate keys via salted two-phase aggregation.
+    * Returns (key, dup_count) for keys appearing more than once.
+    */
+  def duplicateKeys(df: DataFrame, key: String, salt: Int = 64): DataFrame = {
+    df.select(col(key))
+      .groupBy(pmod(xxhash64(col(key)), lit(salt.toLong)).as("_salt"), col(key))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(key))
+      .agg(sum("_c").as("dup_count"))
+      .filter(col("dup_count") > 1)
+  }
+
+  /** Full violation rows for duplicated keys: join dup keys (small —
+    * broadcast) back to the table. The join side with duplicates is tiny
+    * relative to the table, so Catalyst/AQE picks broadcast; we force it.
+    */
+  def duplicateRows(df: DataFrame, key: String, salt: Int = 64): DataFrame = {
+    val dups = duplicateKeys(df, key, salt)
+    df.join(broadcast(dups), Seq(key), "inner")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.compilex
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.suite.{Constraint, FieldConstraint, Suite}
+import graft.suite.Constraint._
+
+/** Compiles the Constraint ADT into Catalyst Column expression trees.
+  *
+  * Mirror of the reference's compile-once keyword dispatch
+  * (PJS:validators.py:293-297) — but where the reference then interprets
+  * row-at-a-time and descends per array element
+  * (PJS:validators.py:396-446, measured ~75x overhead, BASELINE.md), we
+  * emit ONE projection containing every constraint as a codegen'd
+  * predicate, so the table is scanned exactly once per run regardless of
+  * how many constraints the suite holds (SURVEY.md §4.3.2).
+  *
+  * Each constraint compiles to a (pass: Column, observed: Column) pair;
+  * `observed` is only materialized for failing rows (violation stream ≙
+  * iter_errors, PJS:validators.py:349-394).
+  *
+  * Extension registry: like the reference's `extend(validator,
+  * {keyword: fn})` (PJS:validators.py:516-598), callers may register
+  * custom keyword compilers keyed by constraint class via [[extensions]].
+  */
+object ConstraintCompiler {
+
+  /** A compiled constraint: named predicate + observed-value extractor. */
+  final case class Compiled(id: String, pass: Column, observed: Column)
+
+  type ElementCompiler = PartialFunction[Constraint, Column => Column]
+
+  /** Pluggable per-element compiler extensions (≙ TypeChecker.redefine,
+    * PJS:_types.py:122-154). Checked before the built-in table.
+    */
+  @volatile var extensions: ElementCompiler = PartialFunction.empty
+
+  /** Compile a predicate over a single element value (used inside
+    * `forall`/`exists` lambdas for Items/Contains — the engine analogue
+    * of the reference's `descend` per array element, minus the 75x
+    * interpretive cost).
+    */
+  def elementPred(c: Constraint)(e: Column): Column =
+    if (extensions.isDefinedAt(c)) extensions(c)(e)
+    else
+      c match {
+        case Minimum(b, false) => e >= lit(b).cast("int")
+        case Minimum(b, true)  => e > lit(b).cast("int")
+        case Maximum(b, false) => e <= lit(b).cast("int")
+        case Maximum(b, true)  => e < lit(b).cast("int")
+        case MultipleOf(k)     => pmod(e, lit(k).cast("int")) === lit(0)
+        case Enum(vs)          => e.isin(vs: _*)
+        case Const(v)          => e === lit(v)
+        case TypeIs(_)         => e.isNotNull
+        case AllOf(cs)         => cs.map(elementPred(_)(e)).reduce(_ && _)
+        case AnyOf(cs)         => cs.map(elementPred(_)(e)).reduce(_ || _)
+        case OneOf(cs) =>
+          cs.map(elementPred(_)(e).cast("int")).reduce(_ + _) === lit(1)
+        case Not(x) => !elementPred(x)(e)
+        case IfThenElse(i, t, el) =>
+          val tp = t.map(elementPred(_)(e)).getOrElse(lit(true))
+          val ep = el.map(elementPred(_)(e)).getOrElse(lit(true))
+          when(elementPred(i)(e), tp).otherwise(ep)
+        case other =>
+          throw new IllegalArgumentException(s"not an element-level constraint: $other")
+      }
+
+  /** Compile one field constraint to (pass, observed). `col(field)` may
+    * be any supported type; array-level keywords expect ArrayType.
+    */
+  def compile(fc: FieldConstraint): Compiled = {
+    val f = col(fc.field)
+    def obsSelf: Column = f.cast("string")
+
+    def go(c: Constraint): (Column, Column) = c match {
+      // --- presence / type (PJS:_keywords.py:282-309) ---
+      case Required() => (f.isNotNull, lit("null"))
+      case TypeIs(_)  => (f.isNotNull, lit("null"))
+
+      // --- scalar bounds (PJS:_keywords.py:127-191) ---
+      case Minimum(b, false) => (f >= lit(b), obsSelf)
+      case Minimum(b, true)  => (f > lit(b), obsSelf)
+      case Maximum(b, false) => (f <= lit(b), obsSelf)
+      case Maximum(b, true)  => (f < lit(b), obsSelf)
+      case MultipleOf(k)     => (pmod(f.cast("double"), lit(k)) === lit(0.0), obsSelf)
+
+      // --- string (PJS:_keywords.py:215-240; Spark length() is
+      //     code-point based on strings, matching the spec) ---
+      case MinLength(n) => (length(f) >= lit(n), length(f).cast("string"))
+      case MaxLength(n) => (length(f) <= lit(n), length(f).cast("string"))
+      case Pattern(re)  => (f.rlike(re), obsSelf)
+
+      // --- enum/const: deep structural equality is native in Spark for
+      //     arrays/structs (PJS:_utils.py:127-153; SURVEY.md §1.2) ---
+      case Enum(vs)  => (f.isin(vs: _*), obsSelf)
+      case Const(v)  => (f === lit(v), obsSelf)
+
+      // --- array (PJS:_keywords.py:59-124,194-212) ---
+      case MinItems(n) => (size(f) >= lit(n), size(f).cast("string"))
+      case MaxItems(n) => (size(f) <= lit(n), size(f).cast("string"))
+      case UniqueItems() =>
+        // pairwise distinctness under structural equality; hash-based
+        // O(n) vs the reference's sort fast-path (PJS:_utils.py:156-181)
+        (size(array_distinct(f)) === size(f),
+          (size(f) - size(array_distinct(f))).cast("string"))
+      case Items(el) =>
+        // THE hot path: codegen'd forall over array<int> — recovers the
+        // reference's 75x per-element descent overhead (BASELINE.md)
+        (forall(f, e => elementPred(el)(e)),
+          // observed: first offending element (try_: null-safe on empty,
+          // ANSI mode makes plain element_at throw)
+          try_element_at(filter(f, e => !elementPred(el)(e)), lit(1)).cast("string"))
+      case Contains(el, mn, mx) =>
+        val cnt = size(filter(f, e => elementPred(el)(e)))
+        val pass =
+          if (mx == Int.MaxValue) cnt >= lit(mn)
+          else cnt >= lit(mn) && cnt <= lit(mx)
+        (pass, cnt.cast("string"))
+
+      // --- combinators (PJS:_keywords.py:332-389) ---
+      case AllOf(cs) => (cs.map(go(_)._1).reduce(_ && _), obsSelf)
+      case AnyOf(cs) => (cs.map(go(_)._1).reduce(_ || _), obsSelf)
+      case OneOf(cs) => (cs.map(go(_)._1.cast("int")).reduce(_ + _) === lit(1), obsSelf)
+      case Not(x)    => (!go(x)._1, obsSelf)
+      case IfThenElse(i, t, e) =>
+        val tp = t.map(go(_)._1).getOrElse(lit(true))
+        val ep = e.map(go(_)._1).getOrElse(lit(true))
+        (when(go(i)._1, tp).otherwise(ep), obsSelf)
+
+      // --- cross-field / referential ---
+      case EqSizeOf(arr) => (f === size(col(arr)), concat_ws("!=", f.cast("string"), size(col(arr)).cast("string")))
+      case DependentRequired(fields) =>
+        (!f.isNotNull || fields.map(col(_).isNotNull).reduce(_ && _), obsSelf)
+      case Ref(n) =>
+        throw new IllegalStateException(s"unresolved $$ref '$n' — call Suite.resolved first")
+    }
+
+    val (p, o) = go(fc.constraint)
+    Compiled(fc.id, coalesce(p, lit(false)), coalesce(o, lit("null")))
+  }
+
+  /** Compile a whole suite to a single `checks` column:
+    * array<struct<cid,pass,observed>> — ONE projection, one table scan,
+    * all constraints (SURVEY.md §4.3.2).
+    */
+  def checksColumn(suite: Suite): Column = {
+    val cs = suite.resolved.constraints.map(compile)
+    array(cs.map(c => struct(lit(c.id).as("cid"), c.pass.as("pass"), c.observed.as("observed"))): _*)
+  }
+
+  /** df + boolean column per constraint (flat, codegen-friendly) plus a
+    * `row_valid` conjunction (≙ is_valid short-circuit AND,
+    * PJS:validators.py:485-500).
+    */
+  def withVerdicts(df: DataFrame, suite: Suite): DataFrame = {
+    val cs = suite.resolved.constraints.map(compile)
+    val withCols = cs.foldLeft(df)((d, c) => d.withColumn(c.id, c.pass))
+    // constraint ids contain dots — backtick-quote to avoid field-access parsing
+    withCols.withColumn("row_valid", cs.map(c => col(s"`${c.id}`")).reduce(_ && _))
+  }
+
+  /** Violation rows: filter failing rows, explode only their failures —
+    * the iter_errors stream (PJS:validators.py:349-394) at table scale.
+    * Output: (doc_id, constraint_id, observed, source).
+    */
+  def violations(df: DataFrame, suite: Suite, keyField: String = "doc_id", partField: String = "source"): DataFrame = {
+    val fails = filter(checksColumn(suite), c => !c("pass"))
+    df.select(col(keyField), col(partField), explode(fails).as("v"))
+      .select(
+        col(keyField).as("doc_id"),
+        col("v.cid").as("constraint_id"),
+        col("v.observed").as("observed"),
+        col(partField).as("source"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.suite
+
+/** Constraint ADT — the engine's "schema as data".
+  *
+  * The reference keeps a per-draft VALIDATORS dict keyed by keyword and
+  * compiles a schema once into (fn, keyword, value) triples
+  * (PJS:validators.py:293-297, 812-857). We mirror that: a suite is data
+  * (this ADT, loadable from JSON), compiled once on the driver into
+  * Catalyst Column expression trees (see [[graft.compilex.ConstraintCompiler]]),
+  * then executed columnar/codegen'd — never row-at-a-time interpretation.
+  *
+  * Keyword semantics cites (stand-in reference, SURVEY.md §0):
+  *  - type        PJS:_keywords.py:282-287
+  *  - enum        PJS:_keywords.py:269-271
+  *  - const       PJS:_keywords.py:85-87
+  *  - minimum/maximum            PJS:_keywords.py:149-164
+  *  - exclusiveMinimum/Maximum   PJS:_keywords.py:127-146
+  *  - multipleOf  PJS:_keywords.py:167-191
+  *  - minLength/maxLength        PJS:_keywords.py:231-240
+  *  - pattern     PJS:_keywords.py:215-220
+  *  - minItems/maxItems          PJS:_keywords.py:194-203
+  *  - uniqueItems PJS:_keywords.py:206-212 (deep equality: _utils.py:156-181)
+  *  - required    PJS:_keywords.py:304-309
+  *  - dependentRequired          PJS:_keywords.py:243-254
+  *  - items (2020-12, per-element subschema)  PJS:_keywords.py:59-82
+  *  - contains/minContains/maxContains        PJS:_keywords.py:90-124
+  *  - allOf/anyOf/oneOf/not      PJS:_keywords.py:332-379
+  *  - if/then/else               PJS:_keywords.py:382-389
+  *  - $ref (intra-suite, compile-time inlined) PJS:_keywords.py:274-275,
+  *    resolution REF:_core.py:653-698
+  */
+sealed trait Constraint extends Product with Serializable
+
+object Constraint {
+  // ---- scalar assertions -------------------------------------------------
+  /** JSON `type`: for a relational engine this is a null / conformance
+    * check; the static part is enforced by the table schema at load.
+    */
+  final case class TypeIs(jsonType: String) extends Constraint
+  final case class Enum(values: Seq[Any]) extends Constraint
+  final case class Const(value: Any) extends Constraint
+  final case class Minimum(bound: Double, exclusive: Boolean = false) extends Constraint
+  final case class Maximum(bound: Double, exclusive: Boolean = false) extends Constraint
+  final case class MultipleOf(k: Double) extends Constraint
+  final case class MinLength(n: Int) extends Constraint
+  final case class MaxLength(n: Int) extends Constraint
+  final case class Pattern(regex: String) extends Constraint
+  final case class Required() extends Constraint
+
+  // ---- array assertions --------------------------------------------------
+  final case class MinItems(n: Int) extends Constraint
+  final case class MaxItems(n: Int) extends Constraint
+  final case class UniqueItems() extends Constraint
+  /** 2020-12 `items`: subschema applied to every element. The hot operator:
+    * the reference pays ~75x per-element interpretive descent
+    * (BASELINE.md); we compile to a codegen'd `forall`.
+    */
+  final case class Items(element: Constraint) extends Constraint
+  /** `contains` with `minContains`/`maxContains` bounds. */
+  final case class Contains(element: Constraint, min: Int = 1, max: Int = Int.MaxValue) extends Constraint
+
+  // ---- combinators -------------------------------------------------------
+  final case class AllOf(cs: Seq[Constraint]) extends Constraint
+  final case class AnyOf(cs: Seq[Constraint]) extends Constraint
+  final case class OneOf(cs: Seq[Constraint]) extends Constraint
+  final case class Not(c: Constraint) extends Constraint
+  final case class IfThenElse(cond: Constraint, thenC: Option[Constraint], elseC: Option[Constraint]) extends Constraint
+
+  // ---- cross-field / referential ----------------------------------------
+  /** Cross-field equality: this column must equal `size()` of another
+    * (array) column — the n_tok == size(tokens) invariant of the north
+    * star. Generalization of `const` against a computed value.
+    */
+  final case class EqSizeOf(arrayField: String) extends Constraint
+  /** `dependentRequired`: if this field is non-null, `fields` must be. */
+  final case class DependentRequired(fields: Seq[String]) extends Constraint
+  /** Intra-suite $ref: resolved (inlined) at suite-compile time, exactly
+    * like the reference's subschema cache (PJS:validators.py:1070-1095).
+    * An unresolved name raises at compile, mirroring
+    * referencing.exceptions.Unresolvable (REF:_core.py:658-686).
+    */
+  final case class Ref(name: String) extends Constraint
+}
+
+/** A named constraint on one field of the table. `id` becomes the
+  * violation `constraint_id` (≙ ValidationError.validator +
+  * .json_path, PJS:exceptions.py:55-91).
+  */
+final case class FieldConstraint(id: String, field: String, constraint: Constraint)
+
+/** A constraint suite: the engine's "schema document". `defs` is the
+  * $defs/$ref registry (compile-time inlined); `constraints` the active
+  * assertions.
+  */
+final case class Suite(
+    name: String,
+    constraints: Seq[FieldConstraint],
+    defs: Map[String, Constraint] = Map.empty
+) {
+  /** Resolve all Ref nodes by inlining from `defs`, cycle-checked —
+    * mirror of the reference resolver walk (REF:_core.py:653-698) done
+    * once at compile time so runtime has zero lookups.
+    */
+  def resolved: Suite = {
+    import Constraint._
+    def inline(c: Constraint, seen: Set[String]): Constraint = c match {
+      case Ref(n) =>
+        if (seen.contains(n)) throw new IllegalArgumentException(s"$$ref cycle at '$n'")
+        val target = defs.getOrElse(n, throw new IllegalArgumentException(s"unresolvable $$ref '$n'"))
+        inline(target, seen + n)
+      case Items(e)          => Items(inline(e, seen))
+      case Contains(e, a, b) => Contains(inline(e, seen), a, b)
+      case AllOf(cs)         => AllOf(cs.map(inline(_, seen)))
+      case AnyOf(cs)         => AnyOf(cs.map(inline(_, seen)))
+      case OneOf(cs)         => OneOf(cs.map(inline(_, seen)))
+      case Not(x)            => Not(inline(x, seen))
+      case IfThenElse(i, t, e) =>
+        IfThenElse(inline(i, seen), t.map(inline(_, seen)), e.map(inline(_, seen)))
+      case other => other
+    }
+    copy(constraints = constraints.map(fc => fc.copy(constraint = inline(fc.constraint, Set.empty))))
+  }
+}
