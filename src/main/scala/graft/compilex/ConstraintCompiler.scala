@@ -44,6 +44,7 @@ object ConstraintCompiler {
     if (extensions.isDefinedAt(c)) extensions(c)(e)
     else
       c match {
+        case Always(b)         => lit(b)
         case Minimum(b, false) => e >= lit(b).cast("int")
         case Minimum(b, true)  => e > lit(b).cast("int")
         case Maximum(b, false) => e <= lit(b).cast("int")
@@ -67,57 +68,79 @@ object ConstraintCompiler {
 
   /** Compile one field constraint to (pass, observed). `col(field)` may
     * be any supported type; array-level keywords expect ArrayType.
+    *
+    * NULL semantics (critical for reference parity): JSON Schema
+    * assertion keywords are TYPE-GATED — each keyword no-ops (passes) on
+    * instances outside its type (e.g. `minimum` on a null/string
+    * instance passes; PJS:_keywords.py:150-151 `if not
+    * validator.is_type(instance, "number"): return`). A relational NULL
+    * is the JSON `null` instance, so every gated keyword compiles to
+    * `coalesce(pred, TRUE)` (SQL 3VL yields NULL on null input, which we
+    * resolve to pass). Only `required`/`type` fail nulls, and
+    * `enum`/`const` treat null as a comparable constant. The predicates
+    * returned by go() are always null-resolved booleans, so combinators
+    * are pure two-valued boolean algebra.
     */
   def compile(fc: FieldConstraint): Compiled = {
     val f = col(fc.field)
-    def obsSelf: Column = f.cast("string")
+    def obsSelf: Column = coalesce(f.cast("string"), lit("null"))
+    def gated(pred: Column): Column = coalesce(pred, lit(true))
 
     def go(c: Constraint): (Column, Column) = c match {
+      case Always(b)  => (lit(b), lit("n/a"))
       // --- presence / type (PJS:_keywords.py:282-309) ---
       case Required() => (f.isNotNull, lit("null"))
+      case TypeIs("null") => (f.isNull, obsSelf)
       case TypeIs(_)  => (f.isNotNull, lit("null"))
 
       // --- scalar bounds (PJS:_keywords.py:127-191) ---
-      case Minimum(b, false) => (f >= lit(b), obsSelf)
-      case Minimum(b, true)  => (f > lit(b), obsSelf)
-      case Maximum(b, false) => (f <= lit(b), obsSelf)
-      case Maximum(b, true)  => (f < lit(b), obsSelf)
-      case MultipleOf(k)     => (pmod(f.cast("double"), lit(k)) === lit(0.0), obsSelf)
+      case Minimum(b, false) => (gated(f >= lit(b)), obsSelf)
+      case Minimum(b, true)  => (gated(f > lit(b)), obsSelf)
+      case Maximum(b, false) => (gated(f <= lit(b)), obsSelf)
+      case Maximum(b, true)  => (gated(f < lit(b)), obsSelf)
+      case MultipleOf(k)     => (gated(pmod(f.cast("double"), lit(k)) === lit(0.0)), obsSelf)
 
       // --- string (PJS:_keywords.py:215-240; Spark length() is
       //     code-point based on strings, matching the spec) ---
-      case MinLength(n) => (length(f) >= lit(n), length(f).cast("string"))
-      case MaxLength(n) => (length(f) <= lit(n), length(f).cast("string"))
-      case Pattern(re)  => (f.rlike(re), obsSelf)
+      case MinLength(n) => (gated(length(f) >= lit(n)), coalesce(length(f).cast("string"), lit("null")))
+      case MaxLength(n) => (gated(length(f) <= lit(n)), coalesce(length(f).cast("string"), lit("null")))
+      case Pattern(re)  => (gated(f.rlike(re)), obsSelf)
 
       // --- enum/const: deep structural equality is native in Spark for
-      //     arrays/structs (PJS:_utils.py:127-153; SURVEY.md §1.2) ---
-      case Enum(vs)  => (f.isin(vs: _*), obsSelf)
-      case Const(v)  => (f === lit(v), obsSelf)
+      //     arrays/structs (PJS:_utils.py:127-153; SURVEY.md §1.2).
+      //     enum/const apply to ALL types including null, so null does
+      //     NOT gate: null passes iff null is among the constants. ---
+      case Enum(vs) =>
+        val nonNull = vs.filter(_ != null)
+        val base = if (nonNull.isEmpty) lit(false) else f.isin(nonNull: _*)
+        (when(f.isNull, lit(vs.contains(null))).otherwise(coalesce(base, lit(false))), obsSelf)
+      case Const(null) => (f.isNull, obsSelf)
+      case Const(v)    => (coalesce(f === lit(v), lit(false)), obsSelf)
 
       // --- array (PJS:_keywords.py:59-124,194-212) ---
-      case MinItems(n) => (size(f) >= lit(n), size(f).cast("string"))
-      case MaxItems(n) => (size(f) <= lit(n), size(f).cast("string"))
+      case MinItems(n) => (gated(size(f) >= lit(n)), coalesce(size(f).cast("string"), lit("null")))
+      case MaxItems(n) => (gated(size(f) <= lit(n)), coalesce(size(f).cast("string"), lit("null")))
       case UniqueItems() =>
         // pairwise distinctness under structural equality; hash-based
         // O(n) vs the reference's sort fast-path (PJS:_utils.py:156-181)
-        (size(array_distinct(f)) === size(f),
-          (size(f) - size(array_distinct(f))).cast("string"))
+        (gated(size(array_distinct(f)) === size(f)),
+          coalesce((size(f) - size(array_distinct(f))).cast("string"), lit("null")))
       case Items(el) =>
         // THE hot path: codegen'd forall over array<int> — recovers the
         // reference's 75x per-element descent overhead (BASELINE.md)
-        (forall(f, e => elementPred(el)(e)),
+        (gated(forall(f, e => elementPred(el)(e))),
           // observed: first offending element (try_: null-safe on empty,
           // ANSI mode makes plain element_at throw)
-          try_element_at(filter(f, e => !elementPred(el)(e)), lit(1)).cast("string"))
+          coalesce(try_element_at(filter(f, e => !elementPred(el)(e)), lit(1)).cast("string"), lit("null")))
       case Contains(el, mn, mx) =>
         val cnt = size(filter(f, e => elementPred(el)(e)))
         val pass =
           if (mx == Int.MaxValue) cnt >= lit(mn)
           else cnt >= lit(mn) && cnt <= lit(mx)
-        (pass, cnt.cast("string"))
+        (gated(pass), coalesce(cnt.cast("string"), lit("null")))
 
-      // --- combinators (PJS:_keywords.py:332-389) ---
+      // --- combinators (PJS:_keywords.py:332-389); children are already
+      //     null-resolved, so plain boolean algebra is exact ---
       case AllOf(cs) => (cs.map(go(_)._1).reduce(_ && _), obsSelf)
       case AnyOf(cs) => (cs.map(go(_)._1).reduce(_ || _), obsSelf)
       case OneOf(cs) => (cs.map(go(_)._1.cast("int")).reduce(_ + _) === lit(1), obsSelf)
@@ -127,8 +150,11 @@ object ConstraintCompiler {
         val ep = e.map(go(_)._1).getOrElse(lit(true))
         (when(go(i)._1, tp).otherwise(ep), obsSelf)
 
-      // --- cross-field / referential ---
-      case EqSizeOf(arr) => (f === size(col(arr)), concat_ws("!=", f.cast("string"), size(col(arr)).cast("string")))
+      // --- cross-field / referential (engine keywords, not JSON Schema:
+      //     null FAILS — data-quality semantics, `required` not implied) ---
+      case EqSizeOf(arr) =>
+        (coalesce(f === size(col(arr)), lit(false)),
+          concat_ws("!=", coalesce(f.cast("string"), lit("null")), size(col(arr)).cast("string")))
       case DependentRequired(fields) =>
         (!f.isNotNull || fields.map(col(_).isNotNull).reduce(_ && _), obsSelf)
       case Ref(n) =>
@@ -136,7 +162,7 @@ object ConstraintCompiler {
     }
 
     val (p, o) = go(fc.constraint)
-    Compiled(fc.id, coalesce(p, lit(false)), coalesce(o, lit("null")))
+    Compiled(fc.id, p, coalesce(o, lit("null")))
   }
 
   /** Compile a whole suite to a single `checks` column:

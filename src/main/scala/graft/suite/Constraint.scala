@@ -32,6 +32,17 @@ package graft.suite
 sealed trait Constraint extends Product with Serializable
 
 object Constraint {
+  /** Open extension point (≙ `extend(validator, {keyword: fn})`,
+    * PJS:validators.py:516-598): user keywords subclass this and register
+    * a compiler via ConstraintCompiler.extensions.
+    */
+  trait Custom extends Constraint
+
+  /** Boolean schema: `true` accepts everything, `false` rejects everything
+    * (PJS:validators.py:290-291,369-379).
+    */
+  final case class Always(pass: Boolean) extends Constraint
+
   // ---- scalar assertions -------------------------------------------------
   /** JSON `type`: for a relational engine this is a null / conformance
     * check; the static part is enforced by the table schema at load.

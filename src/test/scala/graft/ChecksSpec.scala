@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks.{Drift, Referential, Stats, Uniqueness}
+import graft.gen.TokenData
+
+/** Distributed checks vs brute-force truth on small in-memory data. */
+class ChecksSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val toks: DataFrame = TokenData.tokenTable(spark, 5000, 4).cache()
+
+  test("salted duplicate keys == brute-force duplicate set") {
+    val salted = Uniqueness.duplicateKeys(toks, "doc_id", salt = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val brute = toks.groupBy("doc_id").count().filter(col("count") > 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == brute)
+    assert(salted.nonEmpty, "generator must inject duplicates")
+  }
+
+  test("HLL prefilter flags duplicate presence and respects bounds") {
+    val v = Uniqueness.hllPrefilter(toks, "doc_id")
+    assert(v.rows == 5000)
+    // ~14 injected dups at 5000 rows; estimate must be within 5% of truth
+    val exact = toks.select(countDistinct("doc_id")).head().getLong(0)
+    assert(math.abs(v.approxDistinct - exact).toDouble / exact < 0.05)
+  }
+
+  test("HLL prefilter certifies a clean table") {
+    val clean = spark.range(10000).selectExpr("cast(id as string) as doc_id")
+    val v = Uniqueness.hllPrefilter(clean, "doc_id")
+    assert(!v.mayHaveDups || v.approxDistinct >= 9800) // no false certainty
+  }
+
+  test("referential broadcast anti-join finds exactly the bad sources") {
+    val dim = TokenData.allowedSources(spark)
+    val bad = Referential.violations(toks, dim)
+    val badSources = bad.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(badSources == Set("spam"))
+    val expected = toks.filter(col("source") === "spam").count()
+    assert(bad.count() == expected)
+  }
+
+  test("salted shuffle join == broadcast anti-join") {
+    val dim = TokenData.allowedSources(spark)
+    val a = Referential.violations(toks, dim).select("doc_id").collect().map(_.getString(0)).toSet
+    val b = Referential.saltedJoinViolations(toks, dim).select("doc_id").collect().map(_.getString(0)).toSet
+    assert(a == b)
+  }
+
+  test("salted source counts == plain groupBy counts") {
+    val salted = Referential.saltedSourceCounts(toks)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = toks.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+  }
+
+  test("profile exact stats match brute force") {
+    val p = Stats.profile(toks).head()
+    assert(p.getAs[Long]("n_rows") == 5000)
+    assert(p.getAs[Int]("token_min") == -5)      // injected k=0
+    assert(p.getAs[Int]("token_max") == 300000)  // injected k=1
+    assert(p.getAs[Int]("doc_id_len_min") == 1)  // injected "x"
+    val totalToks = toks.select(sum(size(col("tokens")))).head().getLong(0)
+    assert(p.getAs[Long]("total_tokens") == totalToks)
+  }
+
+  test("PSI of a table against itself is zero; KS of itself is zero") {
+    val snap = s"/tmp/graft-test-snap-${System.nanoTime()}"
+    Drift.writeSnapshot(toks, snap)
+    val snapshot = spark.read.parquet(snap)
+    assert(Drift.psiSourceMix(toks, snapshot).head().getDouble(0) == 0.0)
+    assert(Drift.ksBinned(toks, snapshot).head().getDouble(0) == 0.0)
+  }
+
+  test("PSI detects a shifted source mix; KS detects a shifted n_tok") {
+    val snap = s"/tmp/graft-test-snap2-${System.nanoTime()}"
+    Drift.writeSnapshot(toks, snap)
+    val snapshot = spark.read.parquet(snap)
+    val shifted = toks.withColumn("source",
+      when(col("source") === "web", lit("books")).otherwise(col("source")))
+    assert(Drift.psiSourceMix(shifted, snapshot).head().getDouble(0) > 0.5)
+    val longer = toks.withColumn("n_tok", col("n_tok") + 100)
+    assert(Drift.ksBinned(longer, snapshot).head().getDouble(0) > 0.15)
+  }
+
+  test("token vocab approx within 5% of exact") {
+    val approx = Stats.tokenVocabApprox(toks).head().getLong(0)
+    val exact = toks.select(explode(col("tokens")).as("t")).select(countDistinct("t")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.suite.{Constraint, FieldConstraint, Suite}
+import graft.suite.Constraint._
+import graft.compilex.ConstraintCompiler
+import graft.gen.TokenData
+
+/** Per-operator unit + property tests of the constraint compiler and the
+  * generator's injected-violation coordinates (FIXTURES.md).
+  */
+class CompilerSpec extends SparkSpec {
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("uniqueItems property: engine == scala distinct semantics") {
+    import spark.implicits._
+    val arrays = Gen.listOfN(200, Gen.listOf(Gen.chooseNum(0, 30))).sample.get
+    val df = arrays.map(a => Tuple1(a)).toDF("v")
+    val compiled = ConstraintCompiler.compile(FieldConstraint("u", "v", UniqueItems()))
+    val got = df.select(compiled.pass).collect().map(_.getBoolean(0))
+    val want = arrays.map(a => a.distinct.length == a.length)
+    assert(got.toSeq == want)
+  }
+
+  test("items bounds property: engine forall == scala forall") {
+    import spark.implicits._
+    val arrays = Gen.listOfN(200, Gen.listOf(Gen.chooseNum(-10, 300))).sample.get
+    val df = arrays.map(a => Tuple1(a)).toDF("v")
+    val c = Items(AllOf(Seq(Minimum(0), Maximum(255))))
+    val compiled = ConstraintCompiler.compile(FieldConstraint("i", "v", c))
+    val got = df.select(compiled.pass).collect().map(_.getBoolean(0))
+    val want = arrays.map(a => a.forall(t => t >= 0 && t <= 255))
+    assert(got.toSeq == want)
+  }
+
+  test("contains counting property") {
+    import spark.implicits._
+    val arrays = Gen.listOfN(120, Gen.listOf(Gen.chooseNum(0, 10))).sample.get
+    val df = arrays.map(a => Tuple1(a)).toDF("v")
+    val c = Contains(Minimum(5), min = 2, max = 4)
+    val compiled = ConstraintCompiler.compile(FieldConstraint("c", "v", c))
+    val got = df.select(compiled.pass).collect().map(_.getBoolean(0))
+    val want = arrays.map { a => val n = a.count(_ >= 5); n >= 2 && n <= 4 }
+    assert(got.toSeq == want)
+  }
+
+  test("$ref inlining resolves chains and rejects cycles") {
+    val s = Suite("t",
+      Seq(FieldConstraint("a", "v", Ref("x"))),
+      defs = Map("x" -> Ref("y"), "y" -> Minimum(3)))
+    assert(s.resolved.constraints.head.constraint == Minimum(3))
+    val cyc = Suite("t", Seq(FieldConstraint("a", "v", Ref("x"))),
+      defs = Map("x" -> Ref("y"), "y" -> Ref("x")))
+    intercept[IllegalArgumentException](cyc.resolved)
+    val missing = Suite("t", Seq(FieldConstraint("a", "v", Ref("nope"))))
+    intercept[IllegalArgumentException](missing.resolved)
+  }
+
+  test("compiler extension registry overrides element compilation") {
+    import spark.implicits._
+    case object Even extends Constraint.Custom
+    ConstraintCompiler.extensions = { case Even => (e) => pmod(e, lit(2)) === lit(0) }
+    try {
+      val df = Seq(Tuple1(Seq(2, 4)), Tuple1(Seq(2, 3))).toDF("v")
+      val compiled = ConstraintCompiler.compile(FieldConstraint("e", "v", Items(Even)))
+      assert(df.select(compiled.pass).collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+    } finally ConstraintCompiler.extensions = PartialFunction.empty
+  }
+
+  test("generator injects violations at exactly the FIXTURES coordinates") {
+    val df = TokenData.tokenTable(spark, 4000, 4)
+    val suite = graft.suite.NorthStar.suite
+    val v = ConstraintCompiler.violations(df, suite)
+      .groupBy("constraint_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(v("tokens.items.minimum") == 4)   // k=0: rows 0,1000,2000,3000
+    assert(v("tokens.items.maximum") == 4)   // k=1
+    assert(v("n_tok.eq.size") == 4)          // k=3
+    assert(v("source.enum") == 4)            // k=4
+    assert(v("doc_id.minLength") == 4)       // k=5
+    assert(v("tokens.minItems") == 4)        // k=6
+    assert(v("tokens.uniqueItems") >= 4)     // k=7 + natural collisions
+    assert(!v.contains("doc_id.required"))
+  }
+
+  test("single-pass plan: all constraints evaluate in one scan (no shuffle before projection)") {
+    val df = TokenData.tokenTable(spark, 100, 2)
+    val checked = df.select(ConstraintCompiler.checksColumn(graft.suite.NorthStar.suite).as("checks"))
+    val plan = checked.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"constraint projection must be shuffle-free:\n$plan")
+  }
+
+  test("violation explode emits (doc_id, constraint_id, observed, source)") {
+    val df = TokenData.tokenTable(spark, 2000, 2)
+    val rows = ConstraintCompiler.violations(df, graft.suite.NorthStar.suite)
+      .filter(col("constraint_id") === "tokens.items.minimum").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("observed") == "-5"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.col
+import scala.jdk.CollectionConverters._
+import graft.suite.{FieldConstraint, SuiteLoader}
+import graft.compilex.ConstraintCompiler
+
+/** Golden parity corpus — JSON-Schema-Test-Suite case format
+  * (PJS:tests/_suite.py:134-269: file = list of {description, schema,
+  * tests:[{description, data, valid}]}), self-authored from the spec
+  * semantics (the suite repo is not on this machine, SURVEY.md §5.2),
+  * plus a `ctype` field declaring the column type each group's
+  * instances inhabit (the engine's reinterpretation: the column type IS
+  * the JSON type, SURVEY.md §1.3).
+  *
+  * Each case: schema → SuiteLoader → ConstraintCompiler → evaluate on a
+  * one-column DataFrame; verdict must equal the case's `valid`.
+  */
+class GoldenSuiteSpec extends SparkSpec {
+  private val mapper = new ObjectMapper()
+  private val corpus = mapper.readTree(
+    scala.io.Source.fromResource("golden/cases.json")(scala.io.Codec.UTF8).mkString)
+
+  private def sparkType(ct: String): DataType = ct match {
+    case "int"        => IntegerType
+    case "long"       => LongType
+    case "double"     => DoubleType
+    case "string"     => StringType
+    case "bool"       => BooleanType
+    case "array<int>" => ArrayType(IntegerType, containsNull = false)
+  }
+
+  private def toValue(n: com.fasterxml.jackson.databind.JsonNode, ct: String): Any =
+    if (n == null || n.isNull) null
+    else ct match {
+      case "int"        => n.asInt()
+      case "long"       => n.asLong()
+      case "double"     => n.asDouble()
+      case "string"     => n.asText()
+      case "bool"       => n.asBoolean()
+      case "array<int>" => n.asScala.map(_.asInt()).toSeq
+    }
+
+  corpus.asScala.foreach { group =>
+    val desc = group.get("description").asText()
+    val ct = group.get("ctype").asText()
+    test(s"golden: $desc") {
+      val constraint = SuiteLoader.toConstraint(group.get("schema"))
+      val compiled = ConstraintCompiler.compile(FieldConstraint(desc, "v", constraint))
+      val tests = group.get("tests").asScala.toSeq
+      val schema = StructType(Seq(
+        StructField("v", sparkType(ct), nullable = true),
+        StructField("expected", BooleanType, nullable = false),
+        StructField("tdesc", StringType, nullable = false)))
+      val rows = tests.map(t => Row(
+        toValue(t.get("data"), ct), t.get("valid").asBoolean(), t.get("description").asText()))
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val got = df.select(col("tdesc"), col("expected"), compiled.pass.as("got")).collect()
+      val bad = got.filter(r => r.getBoolean(1) != r.getBoolean(2))
+      assert(bad.isEmpty,
+        s"\nparity failures in '$desc':\n" +
+          bad.map(r => s"  [${r.getString(0)}] expected=${r.getBoolean(1)} got=${r.getBoolean(2)}").mkString("\n"))
+    }
+  }
+}
