@@ -81,12 +81,38 @@ object ConstraintCompiler {
     * returned by go() are always null-resolved booleans, so combinators
     * are pure two-valued boolean algebra.
     */
-  def compile(fc: FieldConstraint): Compiled = {
+  def compile(fc: FieldConstraint): Compiled = compile(fc, Set.empty)
+
+  /** `fusedIntArrays`: fields known (by the caller's schema) to be
+    * array<int> columns. Constraints on them compile against ONE fused
+    * single-pass [[graft.functions.TokenStats]] profile instead of
+    * separate forall/array_distinct/size traversals; Catalyst
+    * whole-stage-codegen subexpression elimination evaluates the shared
+    * token_stats() tree once per row across the whole projection.
+    */
+  def compile(fc: FieldConstraint, fusedIntArrays: Set[String]): Compiled = {
     val f = col(fc.field)
     def obsSelf: Column = coalesce(f.cast("string"), lit("null"))
     def gated(pred: Column): Column = coalesce(pred, lit(true))
+    lazy val prof = graft.functions.TokenStats.token_stats(f)
+    val fuse = fusedIntArrays.contains(fc.field)
 
-    def go(c: Constraint): (Column, Column) = c match {
+    def goFused: PartialFunction[Constraint, (Column, Column)] = {
+      case Items(Minimum(b, excl)) =>
+        val p = if (excl) prof("tmin") > lit(b.toInt) else prof("tmin") >= lit(b.toInt)
+        (gated(prof("n") === 0 || p), coalesce(prof("tmin").cast("string"), lit("null")))
+      case Items(Maximum(b, excl)) =>
+        val p = if (excl) prof("tmax") < lit(b.toInt) else prof("tmax") <= lit(b.toInt)
+        (gated(prof("n") === 0 || p), coalesce(prof("tmax").cast("string"), lit("null")))
+      case UniqueItems() =>
+        (gated(prof("dups") === 0), coalesce(prof("dups").cast("string"), lit("null")))
+      case MinItems(k) =>
+        (gated(prof("n") >= lit(k)), coalesce(prof("n").cast("string"), lit("null")))
+      case MaxItems(k) =>
+        (gated(prof("n") <= lit(k)), coalesce(prof("n").cast("string"), lit("null")))
+    }
+
+    def go(c: Constraint): (Column, Column) = if (fuse && goFused.isDefinedAt(c)) goFused(c) else c match {
       case Always(b)  => (lit(b), lit("n/a"))
       // --- presence / type (PJS:_keywords.py:282-309) ---
       case Required() => (f.isNotNull, lit("null"))
@@ -152,6 +178,10 @@ object ConstraintCompiler {
 
       // --- cross-field / referential (engine keywords, not JSON Schema:
       //     null FAILS — data-quality semantics, `required` not implied) ---
+      case EqSizeOf(arr) if fusedIntArrays.contains(arr) =>
+        val an = graft.functions.TokenStats.token_stats(col(arr))("n")
+        (coalesce(f === an, lit(false)),
+          concat_ws("!=", coalesce(f.cast("string"), lit("null")), an.cast("string")))
       case EqSizeOf(arr) =>
         (coalesce(f === size(col(arr)), lit(false)),
           concat_ws("!=", coalesce(f.cast("string"), lit("null")), size(col(arr)).cast("string")))
@@ -169,17 +199,28 @@ object ConstraintCompiler {
     * array<struct<cid,pass,observed>> — ONE projection, one table scan,
     * all constraints (SURVEY.md §4.3.2).
     */
-  def checksColumn(suite: Suite): Column = {
-    val cs = suite.resolved.constraints.map(compile)
-    array(cs.map(c => struct(lit(c.id).as("cid"), c.pass.as("pass"), c.observed.as("observed"))): _*)
+  def checksColumn(suite: Suite): Column = checksColumn(suite, Set.empty)
+
+  def checksColumn(suite: Suite, fusedIntArrays: Set[String]): Column = {
+    val cs = suite.resolved.constraints.map(compile(_, fusedIntArrays))
+    // observed is computed LAZILY (only on failure): codegen evaluates the
+    // when-branch conditionally, so passing rows never pay for the
+    // observed-value extraction (e.g. Items' filter() re-scan of the
+    // token array) — the single-scan violation capture of SURVEY.md §7.
+    array(cs.map(c => struct(
+      lit(c.id).as("cid"),
+      c.pass.as("pass"),
+      when(!c.pass, c.observed).as("observed"))): _*)
   }
 
   /** df + boolean column per constraint (flat, codegen-friendly) plus a
     * `row_valid` conjunction (≙ is_valid short-circuit AND,
     * PJS:validators.py:485-500).
     */
-  def withVerdicts(df: DataFrame, suite: Suite): DataFrame = {
-    val cs = suite.resolved.constraints.map(compile)
+  def withVerdicts(df: DataFrame, suite: Suite): DataFrame = withVerdicts(df, suite, Set.empty)
+
+  def withVerdicts(df: DataFrame, suite: Suite, fusedIntArrays: Set[String]): DataFrame = {
+    val cs = suite.resolved.constraints.map(compile(_, fusedIntArrays))
     val withCols = cs.foldLeft(df)((d, c) => d.withColumn(c.id, c.pass))
     // constraint ids contain dots — backtick-quote to avoid field-access parsing
     withCols.withColumn("row_valid", cs.map(c => col(s"`${c.id}`")).reduce(_ && _))
@@ -189,8 +230,9 @@ object ConstraintCompiler {
     * the iter_errors stream (PJS:validators.py:349-394) at table scale.
     * Output: (doc_id, constraint_id, observed, source).
     */
-  def violations(df: DataFrame, suite: Suite, keyField: String = "doc_id", partField: String = "source"): DataFrame = {
-    val fails = filter(checksColumn(suite), c => !c("pass"))
+  def violations(df: DataFrame, suite: Suite, keyField: String = "doc_id", partField: String = "source",
+                 fusedIntArrays: Set[String] = Set.empty): DataFrame = {
+    val fails = filter(checksColumn(suite, fusedIntArrays), c => !c("pass"))
     df.select(col(keyField), col(partField), explode(fails).as("v"))
       .select(
         col(keyField).as("doc_id"),

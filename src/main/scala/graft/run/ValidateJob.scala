@@ -1,0 +1,143 @@
+package graft.run
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.compilex.ConstraintCompiler
+import graft.suite.{NorthStar, Suite}
+import graft.checks.{Referential, Uniqueness}
+import graft.gen.TokenData
+
+/** spark-submit entry point: the engine analogue of the reference CLI
+  * (`python -m jsonschema`, PJS:cli.py:230-292) — batch-validates a
+  * partitioned token table, writing the per-partition verdict table and
+  * the violation-rows Dataset, with RESUMABILITY from a per-partition
+  * lineage/metrics manifest (BASELINE.json north_rule; no reference
+  * analogue — the CLI revalidates everything on rerun).
+  *
+  * Checkpoint design: one JSONL manifest line per completed partition
+  * `(partition, suiteHash, rows, violations, wallMs, ts)`. On restart,
+  * completed partitions with a matching suiteHash are pruned from the
+  * scan — partition-filter pushdown does the skipping at file-listing
+  * time, so a 99%-done 10^12-row run re-reads ~nothing. The manifest is
+  * append-only; the LAST line per partition wins (a retried partition
+  * simply re-appends).
+  *
+  * Args: --table <path> --out <dir> [--checkpoint <dir>] [--salt N]
+  *       [--shuffle-partitions N] [--partition-col source]
+  */
+object ValidateJob {
+
+  final case class ManifestEntry(partition: String, suiteHash: String, rows: Long,
+      violations: Long, wallMs: Long, ts: Long)
+
+  def suiteHash(s: Suite): String =
+    java.lang.Integer.toHexString(s.resolved.toString.hashCode)
+
+  /** Read completed partitions (last line per partition wins). */
+  def completed(checkpointDir: String, hash: String): Set[String] = {
+    val f = Paths.get(checkpointDir, "manifest.jsonl")
+    if (!Files.exists(f)) return Set.empty
+    val byPart = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    Files.readAllLines(f).forEach { line =>
+      val part = """"partition":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+      val h = """"suiteHash":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+      (part, h) match { case (Some(p), Some(hh)) => byPart(p) = hh; case _ => () }
+    }
+    byPart.collect { case (p, h) if h == hash => p }.toSet
+  }
+
+  def appendManifest(checkpointDir: String, e: ManifestEntry): Unit = {
+    Files.createDirectories(Paths.get(checkpointDir))
+    val line = s"""{"partition":"${e.partition}","suiteHash":"${e.suiteHash}","rows":${e.rows},""" +
+      s""""violations":${e.violations},"wallMs":${e.wallMs},"ts":${e.ts}}\n"""
+    Files.write(Paths.get(checkpointDir, "manifest.jsonl"), line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Validate one partition's slice: verdict metrics + violations write.
+    * The input df must already be pruned to the partition.
+    */
+  def validatePartition(df: DataFrame, suite: Suite, outDir: String, partition: String): (Long, Long) = {
+    val verdicts = ConstraintCompiler.withVerdicts(df, suite)
+    // one job: count rows + row-level violations in a single agg
+    val agg = verdicts.agg(
+      count(lit(1)).as("rows"),
+      sum(when(!col("row_valid"), 1L).otherwise(0L)).as("viol")).head()
+    val rows = agg.getLong(0)
+    val viol = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    ConstraintCompiler.violations(df, suite)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/violations/partition=$partition")
+    (rows, viol)
+  }
+
+  /** Full run: per-partition loop with checkpoint skip + final verdict
+    * table + global (cross-partition) checks: doc_id uniqueness and
+    * referential integrity, which cannot be computed per-partition.
+    */
+  def run(spark: SparkSession, tablePath: String, outDir: String, checkpointDir: String,
+          suite: Suite = NorthStar.suite, partitionCol: String = "source"): Unit = {
+    val hash = suiteHash(suite)
+    val table = spark.read.parquet(tablePath)
+    val parts = table.select(partitionCol).distinct().collect().map(_.getString(0)).sorted
+    val done = completed(checkpointDir, hash)
+    val todo = parts.filterNot(done)
+    println(s"[validate] partitions=${parts.length} done=${done.size} todo=${todo.length}")
+
+    todo.foreach { p =>
+      val t0 = System.currentTimeMillis()
+      // partition pruning: for a partitionBy(source) layout this filter
+      // prunes directories at file-listing time
+      val slice = table.filter(col(partitionCol) === p)
+      val (rows, viol) = validatePartition(slice, suite, outDir, p)
+      appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
+        System.currentTimeMillis() - t0, System.currentTimeMillis()))
+    }
+
+    // verdict table from the manifest (cheap, driver-side truth)
+    val entries = completed(checkpointDir, hash)
+    import spark.implicits._
+    val verdictRows = {
+      val f = Paths.get(checkpointDir, "manifest.jsonl")
+      val byPart = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      Files.readAllLines(f).forEach { line =>
+        val part = """"partition":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+        val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        val viol = """"violations":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        (part, rows, viol) match {
+          case (Some(p), Some(r), Some(v)) if entries(p) => byPart(p) = (r, v)
+          case _ => ()
+        }
+      }
+      byPart.toSeq.map { case (p, (r, v)) => (p, r, v, v == 0L) }
+    }
+    verdictRows.toDF("partition", "rows", "violations", "pass")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/verdicts")
+
+    // global checks (cross-partition by nature)
+    Uniqueness.duplicateKeys(table, "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dup_doc_ids")
+    Referential.violations(table, TokenData.allowedSources(spark))
+      .groupBy(col(partitionCol)).agg(count(lit(1)).as("bad_rows"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/referential_violations")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val table = a.getOrElse("--table", throw new IllegalArgumentException("--table required"))
+    val out = a.getOrElse("--out", throw new IllegalArgumentException("--out required"))
+    val ckpt = a.getOrElse("--checkpoint", s"$out/_checkpoint")
+    val cpus = a.getOrElse("--cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-validate")
+      .config("spark.sql.shuffle.partitions", a.getOrElse("--shuffle-partitions", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, table, out, ckpt, partitionCol = a.getOrElse("--partition-col", "source"))
+    spark.stop()
+  }
+}

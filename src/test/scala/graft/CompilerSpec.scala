@@ -72,6 +72,37 @@ class CompilerSpec extends SparkSpec {
     } finally ConstraintCompiler.extensions = PartialFunction.empty
   }
 
+  test("fused TokenStats path == generic path on random arrays (incl. empty/dups/negatives)") {
+    import spark.implicits._
+    val arrays = Gen.listOfN(300, Gen.listOf(Gen.chooseNum(-3, 40))).sample.get ++
+      Seq(Nil, List(0, 0), List(0), List(-5, 262144), List(300000))
+    val df = arrays.map(a => Tuple1(a)).toDF("tokens").withColumn("n_tok", size(col("tokens")))
+    val cons = Seq(
+      FieldConstraint("imin", "tokens", Items(Minimum(0))),
+      FieldConstraint("imax", "tokens", Items(Maximum(30))),
+      FieldConstraint("uniq", "tokens", UniqueItems()),
+      FieldConstraint("mini", "tokens", MinItems(1)),
+      FieldConstraint("eqs", "n_tok", EqSizeOf("tokens")))
+    val s = graft.suite.Suite("fuse-test", cons)
+    val generic = df.select(ConstraintCompiler.checksColumn(s).as("c")).collect()
+    val fused = df.select(ConstraintCompiler.checksColumn(s, Set("tokens")).as("c")).collect()
+    generic.zip(fused).zipWithIndex.foreach { case ((g, fz), i) =>
+      val gp = g.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getBoolean(1)))
+      val fp = fz.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getBoolean(1)))
+      assert(gp == fp, s"row $i (${arrays(i)}): generic=$gp fused=$fp")
+    }
+  }
+
+  test("TokenStats dups == size - size(array_distinct)") {
+    import spark.implicits._
+    val arrays = Gen.listOfN(300, Gen.listOf(Gen.chooseNum(0, 15))).sample.get
+    val df = arrays.map(a => Tuple1(a)).toDF("tokens")
+    val got = df.select(graft.functions.TokenStats.token_stats(col("tokens"))("dups")).collect()
+      .map(_.getInt(0))
+    val want = arrays.map(a => a.length - a.distinct.length)
+    assert(got.toSeq == want)
+  }
+
   test("generator injects violations at exactly the FIXTURES coordinates") {
     val df = TokenData.tokenTable(spark, 4000, 4)
     val suite = graft.suite.NorthStar.suite
