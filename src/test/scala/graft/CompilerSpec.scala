@@ -85,7 +85,7 @@ class CompilerSpec extends SparkSpec {
       FieldConstraint("eqs", "n_tok", EqSizeOf("tokens")))
     val s = graft.suite.Suite("fuse-test", cons)
     val generic = df.select(ConstraintCompiler.checksColumn(s).as("c")).collect()
-    val fused = df.select(ConstraintCompiler.checksColumn(s, Set("tokens")).as("c")).collect()
+    val fused = ConstraintCompiler.withProfiles(df, Set("tokens")).select(ConstraintCompiler.checksColumn(s, Set("tokens")).as("c")).collect()
     generic.zip(fused).zipWithIndex.foreach { case ((g, fz), i) =>
       val gp = g.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getBoolean(1)))
       val fp = fz.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getBoolean(1)))
