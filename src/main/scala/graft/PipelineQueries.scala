@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.TextOps._
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash/LSH, SimHash,
+  * n-gram Jaccard), text quality/language/token analysis, fingerprints,
+  * and similarity search (brute-force cosine baseline; IVF scale path in
+  * AnnQueries).
+  *
+  * Scale design notes:
+  *  - every per-doc signal is a codegen'd projection (no UDF, no shuffle)
+  *  - dedup candidate generation is LSH band-bucketing: shuffle keys are
+  *    (band, signature) — fine-grained, skew-free; verification joins
+  *    only touch bucket collisions, never all pairs
+  *  - the exact all-pairs Jaccard here is the correctness baseline and
+  *    deliberately group-bounded ((lang, source) blocks) so its cost is
+  *    sum of block^2, not table^2
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact dedup accounting per source: md5-keyed two-phase agg (the
+    * map-side combine collapses per-partition duplicates first).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_rows"))
+
+  /** Per-document quality signals (single projection). */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      nWords(col("text")).as("n_words"),
+      bpeishCount(col("text")).as("n_bpeish"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      punctRatio(col("text")).as("punct_ratio"),
+      avgWordLen(col("text")).as("avg_word_len"))
+
+  /** Corpus token accounting per lang (whitespace + BPE-ish lexer). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(nWords(col("text")).cast("long")).as("total_words"),
+        sum(bpeishCount(col("text")).cast("long")).as("total_bpeish"),
+        round(sum(nWords(col("text")).cast("long")).cast("double") / count(lit(1)), 6).as("avg_words"))
+
+  /** Rolling-hash document fingerprints (order-sensitive identity). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), langPredict(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** MinHash signatures (k=8) per document. Shingle hashes are
+    * pre-projected ONCE (md5 per shingle is the expensive part; 8 mins
+    * over the cached array are cheap) — same lower-projection sharing
+    * trick as the TokenStats fusion.
+    */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("_sh", shingleHashes(col("text")))
+      .select(
+        (Seq(col("doc_id")) ++ (0 until 8).map(i => minhash(col("_sh"), i).as(s"mh$i"))): _*)
+
+  /** LSH: 4 bands x 2 rows; docs sharing a band signature are candidate
+    * near-duplicates. Output: per-band bucket sizes for buckets with >1
+    * doc (the candidate-pair generator at scale: shuffle key = (band,
+    * sig), join only within buckets).
+    */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      concat_ws("_", minhash(col("_sh"), 2 * b), minhash(col("_sh"), 2 * b + 1)).as(s"band$b"))
+    val withBands = docs(s, dir)
+      .withColumn("_sh", shingleHashes(col("text")))
+      .select(col("doc_id") +: bandCols: _*)
+    val long = withBands.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    long.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+  }
+
+  /** Exact 3-gram Jaccard near-dup baseline, blocked by (lang, source):
+    * pair histogram by Jaccard decile. Verification oracle for LSH.
+    */
+  def ngramJaccardHist(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(shingles3(col("text"))).as("sh"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source")).filter(col("id_a") < col("id_b"))
+      .select(
+        floor(round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6) * 10).cast("long").as("jac_decile"))
+      .groupBy(col("jac_decile")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** SimHash (16-bit) per document + per-source duplicate-bit stats. */
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), simhash16(col("text")).as("simhash"))
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata + a
+    * deterministic stub "feature extraction" (real pipelines decode
+    * image/audio here; the decode itself is STUBBED as a hash-derived
+    * feature — the Spark-side schema/batching/partitioning is the part
+    * under test; see pipeline.Multimodal for the mapPartitions path).
+    */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      octet_length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"),
+      md5(col("text")).as("digest"),
+      round((conv(substring(md5(concat(col("text"), lit("|f0"))), 1, 8), 16, 10).cast("long") % 1000)
+        .cast("double") / 1000.0, 3).as("feat0"))
+
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 20):
+    * the ANN correctness baseline. Broadcast the tiny query side; rounded
+    * cosine + vec_id tiebreak for determinism.
+    */
+  def annCosineTop5(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cosine = {
+      val dot = aggregate(zip_with(col("qv"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+      val na = sqrt(aggregate(transform(col("qv"), x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))
+      val nb = sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))
+      round(dot / (na * nb), 4)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+  }
+
+  /** 5-NN same-label purity per label (leave-one-out over all vectors):
+    * embedding-space quality signal; exercises the full pairwise join +
+    * window top-k at n^2 scale within label-blocked partitions.
+    */
+  def knnLabelPurity(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlabel"))
+    val cosine = {
+      val dot = aggregate(zip_with(col("qv"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(transform(col("qv"), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+      val nb = sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+      round(dot / (na * nb), 4)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(a)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("label"), col("vec_id"), cosine.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("qlabel"))
+      .agg(round(avg((col("label") === col("qlabel")).cast("double")), 6).as("purity"),
+        count(lit(1)).as("n_neighbors"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dedup_exact" -> (dedupExact _),
+    "d_quality" -> (quality _),
+    "d_token_counts" -> (tokenCounts _),
+    "d_fingerprints" -> (fingerprints _),
+    "d_langid" -> (langId _),
+    "d_minhash_sigs" -> (minhashSigs _),
+    "d_lsh_buckets" -> (lshBuckets _),
+    "d_ngram_jaccard_hist" -> (ngramJaccardHist _),
+    "d_simhashes" -> (simhashes _),
+    "m_binary_meta" -> (binaryMeta _),
+    "e_ann_cosine_top5" -> (annCosineTop5 _),
+    "e_knn_label_purity" -> (knnLabelPurity _)
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Shared fragments:
+  private val H = (e: String) => s"('0x' || substr(md5($e),1,8))::BIGINT"
+  private val W = "string_split(text, ' ')"
+  private val SH3 = // word 3-gram shingles (n-2, empty when < 3 words)
+    s"list_transform(range(1, greatest(len($W)-1, 1)), i -> $W[i] || ' ' || $W[i+1] || ' ' || $W[i+2])"
+  private def MH(i: Int) =
+    s"coalesce(list_min(list_transform($SH3, s0 -> (${1103515245L + 2L * i} * ${H("s0")} + ${12345L + i}) % 2147483647)), 2147483647)"
+  private val STOP = "('the','a','of','and','to','in','is','on','for','with')"
+
+  private val COS =
+    """round(
+       list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+       (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)"""
+
+  val oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT md5(text))::BIGINT AS n_distinct,
+         (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_rows
+         FROM documents GROUP BY source""".replaceAll("\\s+", " "),
+
+    "d_quality" ->
+      s"""SELECT doc_id, lang,
+         len($W)::INT AS n_words,
+         len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]'))::INT AS n_bpeish,
+         round(len(list_filter($W, x -> x IN $STOP))::DOUBLE / greatest(len($W), 1), 6) AS stopword_ratio,
+         round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio,
+         round((length(text) - len($W) + 1)::DOUBLE / greatest(len($W), 1), 6) AS avg_word_len
+         FROM documents""".replaceAll("\\s+", " "),
+
+    "d_token_counts" ->
+      s"""SELECT lang, sum(len($W))::BIGINT AS total_words,
+         sum(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]')))::BIGINT AS total_bpeish,
+         round(sum(len($W))::DOUBLE / count(*), 6) AS avg_words
+         FROM documents GROUP BY lang""".replaceAll("\\s+", " "),
+
+    "d_fingerprints" ->
+      s"""SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($W, w0 -> ${H("w0")})),
+         (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+         FROM documents""".replaceAll("\\s+", " "),
+
+    "d_minhash_sigs" ->
+      s"""SELECT doc_id, ${(0 until 8).map(i => s"${MH(i)} AS mh$i").mkString(", ")}
+         FROM documents""".replaceAll("\\s+", " "),
+
+    "d_lsh_buckets" ->
+      s"""WITH sigs AS (SELECT doc_id,
+           ${(0 until 4).map(b => s"${MH(2 * b)}::VARCHAR || '_' || ${MH(2 * b + 1)}::VARCHAR AS band$b").mkString(", ")}
+         FROM documents),
+         long AS (${(0 until 4).map(b => s"SELECT $b AS band, band$b AS sig FROM sigs").mkString(" UNION ALL ")})
+         SELECT band, sig, count(*)::BIGINT AS n_docs FROM long GROUP BY band, sig HAVING count(*) > 1""".replaceAll("\\s+", " "),
+
+    "d_ngram_jaccard_hist" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($SH3) AS sh FROM documents)
+         SELECT floor(round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) * 10)::BIGINT AS jac_decile,
+            count(*)::BIGINT AS n_pairs
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         GROUP BY 1""".replaceAll("\\s+", " "),
+
+    "d_simhashes" ->
+      s"""SELECT doc_id, (${(0 until 16).map(b =>
+           s"CASE WHEN list_sum(list_transform($W, w0 -> ((${H("w0")} >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END")
+           .mkString(" + ")})::BIGINT AS simhash
+         FROM documents""".replaceAll("\\s+", " "),
+
+    "m_binary_meta" ->
+      s"""SELECT doc_id, octet_length(encode(text))::INT AS n_bytes, md5(text) AS digest,
+         round((${H("text || '|f0'")} % 1000)::DOUBLE / 1000.0, 3) AS feat0
+         FROM documents""".replaceAll("\\s+", " "),
+
+    "e_ann_cosine_top5" ->
+      s"""SELECT qid, vec_id, cos, rk FROM (
+           SELECT a.vec_id AS qid, b.vec_id AS vec_id, $COS AS cos,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY $COS DESC, b.vec_id ASC) AS rk
+           FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id != a.vec_id)
+         WHERE rk <= 5""".replaceAll("\\s+", " "),
+
+    "e_knn_label_purity" ->
+      s"""WITH nn AS (
+           SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS label,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY $COS DESC, b.vec_id ASC) AS rk
+           FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id)
+         SELECT qlabel, round(avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END), 6) AS purity,
+           count(*)::BIGINT AS n_neighbors
+         FROM nn WHERE rk <= 5 GROUP BY qlabel""".replaceAll("\\s+", " ")
+  )
+}
