@@ -177,7 +177,15 @@ object PipelineQueries {
         count(lit(1)).as("n_neighbors"))
   }
 
+  /** IVF ANN (scale path) with recall vs brute force — Spark-only
+    * (rows-only driver check; the recall NUMBER is itself the oracle
+    * against the exact search).
+    */
+  def ivfAnn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ann.ivfSearchWithRecall(emb(s, dir), nQueries = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_ivf_ann_recall" -> (ivfAnn _),
     "d_dedup_exact" -> (dedupExact _),
     "d_quality" -> (quality _),
     "d_token_counts" -> (tokenCounts _),

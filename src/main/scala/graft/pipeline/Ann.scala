@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (PipelineQueries.annCosineTop5) —
+  * exact, O(Q*N), the correctness oracle.
+  *
+  * Scale path: IVF (inverted-file) index —
+  *  1. pick K centroids deterministically (first K vec_ids; a k-means
+  *     refinement is a drop-in),
+  *  2. assign every vector to its nearest centroid (ONE broadcast join,
+  *     map-side argmin, no shuffle of the big side beyond the final
+  *     bucket write),
+  *  3. at query time probe only the nProbe nearest buckets: the scan
+  *     touches nProbe/K of the corpus instead of all of it.
+  * At 100 TB the bucketed table is written partitioned by bucket id so
+  * probing prunes at file level, same pruning story as the token table.
+  */
+object Ann {
+
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    round(dot / (na * nb), 4)
+  }
+
+  /** Assign each vector to its nearest of K deterministic centroids.
+    * Broadcast the centroids; argmin via window over the small fan-out.
+    */
+  def ivfAssign(emb: DataFrame, k: Int): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+        cosineCol(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("bucket"))
+  }
+
+  /** IVF query: for each query vector, probe its nProbe nearest buckets,
+    * brute-force within them, return top-k. Also reports recall@k vs the
+    * exact brute-force answer — the quality/throughput tradeoff metric.
+    */
+  def ivfSearchWithRecall(emb: DataFrame, nQueries: Int, k: Int = 16,
+                          nProbe: Int = 4, topK: Int = 5): DataFrame = {
+    val assigned = ivfAssign(emb, k).cache()
+    val centroids = assigned.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    // probe set: nProbe nearest centroids per query
+    val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cid"), cosineCol(col("qv"), col("cv")).as("qsim"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("bucket"))
+
+    // candidate scan: only probed buckets (bucket-pruned at scale)
+    val wc = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    val approx = probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosineCol(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") <= topK)
+      .select(col("qid"), col("vec_id"))
+
+    // exact answer for recall
+    val we = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosineCol(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(we)).filter(col("rk") <= topK)
+      .select(col("qid"), col("vec_id"))
+
+    val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    hits.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("n_hits").cast("double") / topK), 6).as("recall_at_k"))
+      .withColumn("k_buckets", lit(k))
+      .withColumn("n_probe", lit(nProbe))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.compilex.ConstraintCompiler
+import graft.suite.Suite
+
+/** Structured Streaming face of the engine. The reference is strictly
+  * one-shot batch (PJS:cli.py:230-292, SURVEY.md §2.10); the engine's
+  * constraint compiler is sink-agnostic by construction — the SAME
+  * compiled Column predicates run unchanged under `readStream`, because
+  * every row constraint is stateless/row-local (narrow, no shuffle).
+  * State only enters through the windowed aggregation (watermarked) and
+  * streaming dedup.
+  */
+object StreamingValidate {
+
+  /** Per-(window, source) verdict aggregation over a stream of token
+    * rows carrying an ingest timestamp. Watermark bounds the state; late
+    * rows beyond it are dropped (documented engine semantics).
+    */
+  def verdictStream(stream: DataFrame, suite: Suite, fusedIntArrays: Set[String],
+                    tsCol: String, watermark: String, windowLen: String): DataFrame =
+    ConstraintCompiler.withVerdicts(stream, suite, fusedIntArrays)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("source"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(!col("row_valid"), 1L).otherwise(0L)).as("violations"))
+
+  /** Streaming violation stream: the iter_errors analogue, incremental.
+    * Stateless — safe for append-mode sinks at any scale.
+    */
+  def violationStream(stream: DataFrame, suite: Suite, fusedIntArrays: Set[String]): DataFrame =
+    ConstraintCompiler.violations(stream, suite, fusedIntArrays = fusedIntArrays)
+
+  /** Streaming doc_id uniqueness: watermarked dropDuplicates — the
+    * streaming face of the salted-agg uniqueness check (state pruned by
+    * event time; exact within the watermark horizon).
+    */
+  def dedupStream(stream: DataFrame, tsCol: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates("doc_id")
+}

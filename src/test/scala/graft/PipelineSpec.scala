@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, Multimodal, TextOps}
+
+/** Pipeline operators: ANN recall, multimodal plumbing, text-op
+  * properties (MinHash≈Jaccard, SimHash locality), plan quality
+  * (pushdown, broadcast).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("IVF ANN: recall@5 >= 0.5 with 4/16 probes and all vectors bucketed") {
+    val assigned = Ann.ivfAssign(emb, 16)
+    assert(assigned.count() == emb.count(), "every vector must land in exactly one bucket")
+    val r = Ann.ivfSearchWithRecall(emb, nQueries = 20, k = 16, nProbe = 4, topK = 5).head()
+    assert(r.getAs[Long]("n_queries") == 20)
+    val recall = r.getAs[Double]("recall_at_k")
+    assert(recall >= 0.5 && recall <= 1.0, s"recall=$recall")
+    // more probes -> recall must not decrease
+    val r8 = Ann.ivfSearchWithRecall(emb, 20, 16, 8, 5).head().getAs[Double]("recall_at_k")
+    assert(r8 >= recall)
+  }
+
+  test("multimodal: typed mapPartitions feature extraction is deterministic and batched") {
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.extractFeatures(spark, media)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(r => r.feature.forall(f => f >= 0f && f <= 1f)))
+    // digest matches the SQL-side md5 (the oracle-checked path)
+    val sqlDigest = docs.select(col("doc_id").cast("long"), md5(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r => sqlDigest(r.doc_id) == r.digest))
+    // determinism across runs
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(rows.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
+  }
+
+  test("MinHash signature equality rate approximates Jaccard similarity") {
+    import spark.implicits._
+    // construct docs with known overlap: A vs B share half their shingle space
+    val base = (0 until 200).map(i => s"w$i").mkString(" ")
+    val half = ((0 until 100) ++ (300 until 400)).map(i => s"w$i").mkString(" ")
+    val df = Seq(("A", base), ("B", half), ("C", base)).toDF("id", "text")
+      .withColumn("_sh", TextOps.shingleHashes(col("text")))
+    val sigs = df.select(col("id") +: (0 until 8).map(i => TextOps.minhash(col("_sh"), i).as(s"mh$i")): _*)
+      .collect().map(r => r.getString(0) -> (1 to 8).map(r.getLong)).toMap
+    // identical docs -> identical signatures
+    assert(sigs("A") == sigs("C"))
+    // ~half-overlapping docs -> some but not all matches is expected;
+    // at k=8 just assert it differs from both extremes
+    val agree = sigs("A").zip(sigs("B")).count { case (x, y) => x == y }
+    assert(agree < 8, "distinct docs must not collide on the full signature")
+  }
+
+  test("SimHash locality: editing one word flips few bits; unrelated text flips many") {
+    import spark.implicits._
+    val a = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val b = (0 until 59).map(i => s"tok$i").mkString(" ") + " CHANGED"
+    val c = (100 until 160).map(i => s"other$i").mkString(" ")
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("id", "text")
+      .select(col("id"), TextOps.simhash16(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("b")) <= ham(m("a"), m("c")),
+      s"near-dup hamming ${ham(m("a"), m("b"))} must be <= unrelated ${ham(m("a"), m("c"))}")
+  }
+
+  test("plan quality: filters and column pruning reach the parquet scan") {
+    val df = RelationalQueries.pushdownScan(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"expected pushed filters in:\n$plan")
+    // only the two needed columns are read
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double") ||
+      plan.contains("ReadSchema: struct<l_extendedprice:double,l_quantity:double"),
+      s"expected pruned read schema in:\n$plan")
+  }
+
+  test("plan quality: dimension joins broadcast, no shuffle of the fact side") {
+    val df = RelationalQueries.joinRevenueByNation(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dims must not sort-merge:\n$plan")
+  }
+
+  test("plan quality: referential anti-join broadcasts the dim") {
+    val toks = graft.gen.TokenData.tokenTable(spark, 1000, 2)
+    val dim = graft.gen.TokenData.allowedSources(spark)
+    val plan = graft.checks.Referential.violations(toks, dim)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+}

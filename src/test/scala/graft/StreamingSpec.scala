@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingValidate
+import graft.suite.NorthStar
+
+/** The SAME compiled constraint suite under Structured Streaming:
+  * verdict windows, violation stream, watermarked dedup.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("verdict stream: windowed per-source counts match the batch semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Seq[Int], Int, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "tokens", "n_tok", "source", "ingest_ts")
+    val q = StreamingValidate.verdictStream(df, NorthStar.suite, Set("tokens"),
+      "ingest_ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("verdicts").outputMode("complete").start()
+    try {
+      mem.addData(
+        ("doc-1", Seq(1, 2, 3), 3, "web", ts(0)),       // valid
+        ("doc-2", Seq(-5, 2), 2, "web", ts(1)),         // items.minimum
+        ("doc-3", Seq(1, 2), 7, "books", ts(2)),        // n_tok.eq.size
+        ("doc-4", Seq(4, 5), 2, "spam", ts(6)))         // source.enum
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT source, rows, violations FROM verdicts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("web", 2L, 1L), ("books", 1L, 1L), ("spam", 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("violation stream is stateless append and emits constraint ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Seq[Int], Int, String)]
+    val df = mem.toDF().toDF("doc_id", "tokens", "n_tok", "source")
+    val q = StreamingValidate.violationStream(df, NorthStar.suite, Set("tokens"))
+      .writeStream.format("memory").queryName("viols").outputMode("append").start()
+    try {
+      mem.addData(("doc-9", Seq(300000, 1), 2, "web"))
+      q.processAllAvailable()
+      val v = spark.sql("SELECT constraint_id, observed FROM viols").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(v == Set(("tokens.items.maximum", "300000")))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup drops in-horizon duplicate doc_ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "ingest_ts")
+    val q = StreamingValidate.dedupStream(df, "ingest_ts", "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(("a", ts(0)), ("b", ts(1)), ("a", ts(2)))
+      q.processAllAvailable()
+      mem.addData(("a", ts(3)), ("c", ts(4)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup").collect().map(_.getString(0)).sorted
+      assert(ids.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+}
