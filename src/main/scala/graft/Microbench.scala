@@ -27,10 +27,14 @@ object Microbench {
         .agg(count(lit(1)), sum(when(!col("row_valid"), 1L).otherwise(0L)))
       val t0 = System.nanoTime(); df.head(); (System.nanoTime() - t0) / 1e9
     }
-    // JIT + page-cache warmup
+    // JIT + page-cache warmup; ALTERNATE configs per round (the host
+    // shows phantom load spikes lasting seconds — alternation + min
+    // keeps a spike from biasing one config)
     run(Set("tokens")); run(Set.empty)
-    val fusedT = (1 to reps).map(_ => run(Set("tokens"))).min
-    val plainT = (1 to reps).map(_ => run(Set.empty)).min
+    val pairs = (1 to reps).map(_ => (run(Set("tokens")), run(Set.empty)))
+    pairs.zipWithIndex.foreach { case ((f, p), i) => println(f"  rep$i fused=$f%.2fs plain=$p%.2fs") }
+    val fusedT = pairs.map(_._1).min
+    val plainT = pairs.map(_._2).min
     val rows = TokenData.rowsFor(new java.io.File(sfDir).getName)
     println(f"MICROBENCH rows=$rows fused=${fusedT}%.2fs (${rows / fusedT}%.0f rows/s) " +
       f"plain=${plainT}%.2fs (${rows / plainT}%.0f rows/s) speedup=${plainT / fusedT}%.2fx")

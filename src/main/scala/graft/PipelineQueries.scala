@@ -22,10 +22,19 @@ import graft.pipeline.TextOps._
   */
 object PipelineQueries {
 
+  /** documents/embeddings arrive as single small parquet files -> ONE
+    * input partition. The pipeline operators are COMPUTE-bound (cosine,
+    * shingle intersection), so partition count must track cores, not
+    * input bytes (maxPartitionBytes logic is for IO-bound scans). The
+    * tiny repartition shuffle (<1 MB) buys full-core parallelism; at
+    * real scale the source has many files and this is a no-op choice.
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Exact dedup accounting per source: md5-keyed two-phase agg (the
     * map-side combine collapses per-partition duplicates first).

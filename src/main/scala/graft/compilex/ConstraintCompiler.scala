@@ -90,6 +90,29 @@ object ConstraintCompiler {
     * whole-stage-codegen subexpression elimination evaluates the shared
     * token_stats() tree once per row across the whole projection.
     */
+  /** Format-checker registry (≙ FormatChecker.checks, PJS:_format.py:57-168):
+    * each format is a Column predicate — `to_date`/`to_timestamp` parse
+    * checks or anchored regexes, all codegen'd, UDF-free. Extend via
+    * [[formatExtensions]].
+    */
+  @volatile var formatExtensions: Map[String, Column => Column] = Map.empty
+
+  def formatPred(name: String, f: Column): Column =
+    formatExtensions.get(name).map(_(f)).getOrElse(name match {
+      case "date"      => try_to_timestamp(f, lit("yyyy-MM-dd")).isNotNull
+      case "date-time" => try_to_timestamp(f, lit("yyyy-MM-dd'T'HH:mm:ss[XXX]")).isNotNull
+      case "uuid" =>
+        f.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+      case "ipv4" =>
+        f.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
+      case "email"    => f.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+      case "hostname" => f.rlike("^(?=.{1,253}$)([a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?\\.)*[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?$")
+      case "uri"      => f.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^\\s]+$")
+      // unknown format: annotation-only no-op, like the reference with
+      // assertion disabled
+      case _ => lit(true)
+    })
+
   /** Name of the hidden pre-projected profile column for a fused field.
     * Fused constraints REFERENCE this column instead of re-embedding the
     * token_stats() tree: boolean AND short-circuits in generated code,
@@ -148,6 +171,17 @@ object ConstraintCompiler {
 
       // --- string (PJS:_keywords.py:215-240; Spark length() is
       //     code-point based on strings, matching the spec) ---
+      case Format(name) =>
+        // explicit null gate: try_to_timestamp(null).isNotNull is a
+        // definite FALSE (not NULL), so coalesce-gating can't apply
+        (when(f.isNull, lit(true)).otherwise(gated(formatPred(name, f))), obsSelf)
+      case PrefixItems(cs) =>
+        // element i checked only when present (PJS:_keywords.py:440-443
+        // zips schema list with instance prefix)
+        val preds = cs.zipWithIndex.map { case (c0, i) =>
+          size(f) <= lit(i) || elementPred(c0)(element_at(f, i + 1))
+        }
+        (gated(preds.reduce(_ && _)), obsSelf)
       case MinLength(n) => (gated(length(f) >= lit(n)), coalesce(length(f).cast("string"), lit("null")))
       case MaxLength(n) => (gated(length(f) <= lit(n)), coalesce(length(f).cast("string"), lit("null")))
       case Pattern(re)  => (gated(f.rlike(re)), obsSelf)

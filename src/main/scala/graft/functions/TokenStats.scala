@@ -27,6 +27,27 @@ import org.apache.spark.sql.types._
   * pairwise-distinctness violation magnitude.
   */
 object TokenStatsUtil {
+  /** Thread-local reusable open-addressing scratch (values + epoch
+    * stamps). A slot is occupied iff stamp == current epoch, so clearing
+    * between rows is a single counter increment — ZERO per-row table
+    * allocation. (A per-row `new Array[Int]` was measured to collapse
+    * multi-core scaling via GC pressure: ~4 KB garbage/row x 10^6 rows/s
+    * x 32 threads saturates the collector long before the CPUs.)
+    */
+  private final class Scratch {
+    var table: Array[Int] = new Array[Int](1024)
+    var stamp: Array[Int] = new Array[Int](1024)
+    var epoch: Int = 0
+    def ensure(n: Int): Int = {
+      var cap = table.length
+      while (cap < n * 2) cap <<= 1
+      if (cap != table.length) { table = new Array[Int](cap); stamp = new Array[Int](cap); epoch = 0 }
+      cap
+    }
+  }
+  private val scratchTL: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   /** Hot loop: called per row from generated code. */
   def compute(a: ArrayData): InternalRow = {
     val n = a.numElements()
@@ -34,25 +55,22 @@ object TokenStatsUtil {
     var mx = Int.MinValue
     var dups = 0
     if (n > 0) {
-      // power-of-two open-addressing table, load factor <= 0.5;
-      // 0 is the empty sentinel, the value 0 tracked via a flag
-      var cap = 4
-      while (cap < n * 2) cap <<= 1
-      val table = new Array[Int](cap)
+      val s = scratchTL.get()
+      val cap = s.ensure(n)
       val mask = cap - 1
-      var seenZero = false
+      s.epoch += 1
+      val ep = s.epoch
+      val table = s.table
+      val stamp = s.stamp
       var i = 0
       while (i < n) {
         val v = a.getInt(i)
         if (v < mn) mn = v
         if (v > mx) mx = v
-        if (v == 0) {
-          if (seenZero) dups += 1 else seenZero = true
-        } else {
-          var idx = (v * -1640531527) & mask // Fibonacci hashing (2^32/phi)
-          while (table(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
-          if (table(idx) == v) dups += 1 else table(idx) = v
-        }
+        var idx = (v * -1640531527) & mask // Fibonacci hashing (2^32/phi)
+        while (stamp(idx) == ep && table(idx) != v) idx = (idx + 1) & mask
+        if (stamp(idx) == ep) dups += 1
+        else { stamp(idx) = ep; table(idx) = v }
         i += 1
       }
     } else { mn = 0; mx = 0 }

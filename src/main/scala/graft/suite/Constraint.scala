@@ -58,6 +58,20 @@ object Constraint {
   final case class Pattern(regex: String) extends Constraint
   final case class Required() extends Constraint
 
+  /** `format` (PJS:_format.py:234-542): opt-in named string formats.
+    * v1 registry: date, date-time, uuid, ipv4, email, hostname, uri —
+    * each compiled to a Column predicate (to_date / rlike), no UDFs.
+    * Like the reference, unknown format names are accepted as no-ops
+    * when assertion is disabled (PJS:_keywords.py:223-228).
+    */
+  final case class Format(name: String) extends Constraint
+
+  /** `prefixItems` (2020-12 positional subschemas, PJS:_keywords.py:439-449):
+    * constraint i applies to element i when present; shorter arrays pass
+    * vacuously for missing positions.
+    */
+  final case class PrefixItems(cs: Seq[Constraint]) extends Constraint
+
   // ---- array assertions --------------------------------------------------
   final case class MinItems(n: Int) extends Constraint
   final case class MaxItems(n: Int) extends Constraint
@@ -120,6 +134,7 @@ final case class Suite(
         val target = defs.getOrElse(n, throw new IllegalArgumentException(s"unresolvable $$ref '$n'"))
         inline(target, seen + n)
       case Items(e)          => Items(inline(e, seen))
+      case PrefixItems(cs)   => PrefixItems(cs.map(inline(_, seen)))
       case Contains(e, a, b) => Contains(inline(e, seen), a, b)
       case AllOf(cs)         => AllOf(cs.map(inline(_, seen)))
       case AnyOf(cs)         => AnyOf(cs.map(inline(_, seen)))
@@ -130,5 +145,20 @@ final case class Suite(
       case other => other
     }
     copy(constraints = constraints.map(fc => fc.copy(constraint = inline(fc.constraint, Set.empty))))
+  }
+
+  /** Strict-schema mode — the relational reading of `propertyNames` /
+    * `additionalProperties: false` (PJS:_keywords.py:28-56): every table
+    * column must be declared, every constrained field must exist.
+    * Compile-time (driver-side), mirroring how the reference resolves
+    * these keywords against a fixed key set.
+    */
+  def checkSchema(tableColumns: Seq[String], declared: Seq[String]): Either[String, Unit] = {
+    val undeclared = tableColumns.filterNot(declared.contains)
+    val missing = constraints.map(_.field).distinct
+      .filterNot(f => tableColumns.contains(f) || f.startsWith("__"))
+    if (undeclared.nonEmpty) Left(s"additionalProperties: undeclared columns $undeclared")
+    else if (missing.nonEmpty) Left(s"required properties absent from table: $missing")
+    else Right(())
   }
 }

@@ -68,6 +68,8 @@ object SuiteLoader {
         case "minLength" => cs += MinLength(v.asInt())
         case "maxLength" => cs += MaxLength(v.asInt())
         case "pattern" => cs += Pattern(v.asText())
+        case "format" => cs += Format(v.asText())
+        case "prefixItems" => cs += PrefixItems(v.asScala.map(toConstraint(_, defs)).toSeq)
         case "minItems" => cs += MinItems(v.asInt())
         case "maxItems" => cs += MaxItems(v.asInt())
         case "uniqueItems" => if (v.asBoolean()) cs += UniqueItems()

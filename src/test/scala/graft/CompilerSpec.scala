@@ -103,6 +103,22 @@ class CompilerSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("strict-schema mode rejects undeclared columns and missing fields") {
+    val suite = graft.suite.NorthStar.suite
+    val declared = Seq("doc_id", "tokens", "n_tok", "source")
+    assert(suite.checkSchema(declared, declared).isRight)
+    assert(suite.checkSchema(declared :+ "rogue", declared).isLeft)   // additionalProperties
+    assert(suite.checkSchema(declared.tail, declared.tail).isLeft)    // required field absent
+  }
+
+  test("golden loader handles format and prefixItems keywords") {
+    import graft.suite.{SuiteLoader, Constraint}
+    val c = SuiteLoader.parseSchema("""{"format":"uuid"}""")
+    assert(c == Constraint.Format("uuid"))
+    val p = SuiteLoader.parseSchema("""{"prefixItems":[{"minimum":1},{"maximum":2}]}""")
+    assert(p == Constraint.PrefixItems(Seq(Constraint.Minimum(1.0), Constraint.Maximum(2.0))))
+  }
+
   test("generator injects violations at exactly the FIXTURES coordinates") {
     val df = TokenData.tokenTable(spark, 4000, 4)
     val suite = graft.suite.NorthStar.suite
