@@ -83,9 +83,15 @@ object Bench {
       val df = ConstraintCompiler.withVerdicts(spark.read.parquet(scalePath), NorthStar.suite, Set("tokens"))
         .agg(count(lit(1)).as("r"), sum(when(!col("row_valid"), 1L).otherwise(0L)).as("v"))
       rows = df.head().getLong(0) // warm: plan + codegen + page cache
-      (1 to 2).map(_ => time { df.head() }._2).min
+      (1 to 3).map(_ => time { df.head() }._2).min
     }
-    val rounds = (1 to 3).map(_ => (measure(8), measure(32)))
+    // 5 rounds, order alternating per round: host load spikes last
+    // seconds-to-minutes, so neither config may systematically follow
+    // the other; min over all rounds finds a quiet window per config.
+    val rounds = (1 to 5).map { r =>
+      if (r % 2 == 1) { val a = measure(8); val b = measure(32); (a, b) }
+      else { val b = measure(32); val a = measure(8); (a, b) }
+    }
     val thr8 = rows / rounds.map(_._1).min
     val thr32 = rows / rounds.map(_._2).min
     val eff = (thr32 / thr8) / 4.0
