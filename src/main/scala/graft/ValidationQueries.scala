@@ -104,6 +104,27 @@ object ValidationQueries {
   def ks(s: SparkSession, dir: String): DataFrame =
     Drift.ksBinned(toks(s, dir), baseline(s))
 
+  /** t-digest token-length profile (north-star wording: "token-length
+    * histograms via t-digest") — the exact fields (n/min/max) carried by
+    * the sketch are oracle-comparable; quantile accuracy is bounded in
+    * SketchSpec instead.
+    */
+  def ntokTdigestSummary(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketches._
+    toks(s, dir).agg(tdigest_agg(col("n_tok")).as("td"))
+      .select(
+        tdigest_summary(col("td"))("n").as("n"),
+        tdigest_summary(col("td"))("min").as("vmin"),
+        tdigest_summary(col("td"))("max").as("vmax"))
+  }
+
+  /** Sketch-based KS of n_tok vs the sf0.001 baseline (KLL CDFs; rows-only
+    * check — KLL compaction is randomized so the value is approximate by
+    * design; bounded-error assertions live in SketchSpec).
+    */
+  def ksSketch(s: SparkSession, dir: String): DataFrame =
+    Drift.ksSketch(toks(s, dir), TokenData.read(s, "/root/testdata/sf0.001"))
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. The driver verifies at sf0.01; the token parquet
   // for that sf is generated by TokenData.ensure under a fixed path.
@@ -195,7 +216,10 @@ object ValidationQueries {
          w AS (SELECT bin,
                 sum(c) OVER (ORDER BY bin) / (SELECT sum(c) FROM j) AS cdf_c,
                 sum(b) OVER (ORDER BY bin) / (SELECT sum(b) FROM j) AS cdf_b FROM j)
-         SELECT round(max(abs(cdf_c - cdf_b)), 6) AS ks, count(*)::BIGINT AS n_bins FROM w""".replaceAll("\\s+", " ")
+         SELECT round(max(abs(cdf_c - cdf_b)), 6) AS ks, count(*)::BIGINT AS n_bins FROM w""".replaceAll("\\s+", " "),
+
+    "v_ntok_tdigest_summary" ->
+      s"SELECT count(n_tok)::BIGINT AS n, min(n_tok)::DOUBLE AS vmin, max(n_tok)::DOUBLE AS vmax FROM $T"
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,6 +232,8 @@ object ValidationQueries {
     "v_stats" -> (stats _),
     "v_ntok_hist" -> (ntokHist _),
     "v_psi" -> (psi _),
-    "v_ks" -> (ks _)
+    "v_ks" -> (ks _),
+    "v_ntok_tdigest_summary" -> (ntokTdigestSummary _),
+    "v_ks_sketch" -> (ksSketch _)
   )
 }

@@ -66,4 +66,32 @@ object Drift {
       .withColumn("cdf_b", sum(col("b")).over(w) / col("bt"))
       .agg(round(max(abs(col("cdf_c") - col("cdf_b"))), 6).as("ks"), count(lit(1)).as("n_bins"))
   }
+
+  /** Sketch-based KS: D = max over split points of |CDF_a - CDF_b| where
+    * both CDFs come from mergeable KLL sketches (custom
+    * TypedImperativeAggregate, [[graft.functions.QuantileSketches]]).
+    *
+    * Scale story vs [[ksBinned]]: binning needs the value range known up
+    * front; the sketch path is range-free (split points derived from the
+    * sketches' exact min/max AFTER aggregation) and shuffles one ~KB
+    * sketch state per partition regardless of the value domain — the
+    * right shape when `field` is unbounded or heavy-tailed at 10^12 rows.
+    * Rank error ≤ ~1.65% per side at k=200 bounds the KS estimate error.
+    */
+  def ksSketch(current: DataFrame, baseline: DataFrame, field: String = "n_tok", nSplits: Int = 64): DataFrame = {
+    import graft.functions.QuantileSketches._
+    val a = current.agg(kll_agg(col(field)).as("sa"))
+    val b = baseline.agg(kll_agg(col(field)).as("sb"))
+    a.crossJoin(b)
+      .withColumn("lo", least(kll_summary(col("sa"))("min"), kll_summary(col("sb"))("min")))
+      .withColumn("hi", greatest(kll_summary(col("sa"))("max"), kll_summary(col("sb"))("max")))
+      .withColumn("splits", transform(sequence(lit(1), lit(nSplits)),
+        i => col("lo") + i.cast("double") * (col("hi") - col("lo")) / lit((nSplits + 1).toDouble)))
+      .select(
+        round(aggregate(
+          zip_with(kll_cdf(col("sa"), col("splits")), kll_cdf(col("sb"), col("splits")),
+            (x, y) => abs(x - y)),
+          lit(0.0), (acc, d) => greatest(acc, d)), 6).as("ks"),
+        lit(nSplits).as("n_splits"))
+  }
 }

@@ -42,12 +42,18 @@ object Stats {
     * tests instead of the SQL oracle.
     */
   def sketchProfile(df: DataFrame): DataFrame = {
+    import graft.functions.QuantileSketches._
     df.agg(
       approx_count_distinct(col("doc_id"), 0.01).as("doc_id_approx_distinct"),
       approx_count_distinct(col("source"), 0.01).as("source_approx_distinct"),
       percentile_approx(col("n_tok"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
-        .as("n_tok_p50_p90_p99")
-    )
+        .as("n_tok_p50_p90_p99"),
+      // the north star names t-digest for token-length histograms: the
+      // DataSketches-backed TypedImperativeAggregate, mergeable map-side
+      tdigest_agg(col("n_tok")).as("n_tok_tdigest")
+    ).withColumn("n_tok_td_p50_p90_p99",
+      tdigest_quantiles(col("n_tok_tdigest"), array(lit(0.5), lit(0.9), lit(0.99))))
+     .drop("n_tok_tdigest")
   }
 
   /** Fixed-width histogram of a numeric column — deterministic (unlike
