@@ -70,7 +70,7 @@ object Bench {
     // across sessions in the shared JVM).
     val scalePath = s"${TokenData.dataRoot}/scaling/token_seqs"
     if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
-      TokenData.tokenTable(spark, 4000000L).write.mode("overwrite").parquet(scalePath)
+      TokenData.writeTokens(TokenData.tokenTable(spark, 4000000L), scalePath)
     // Per-parallelism measurement EXCLUDES driver-side planning/codegen:
     // the Dataset caches its QueryExecution, so repeated head() on the
     // same instance re-executes without re-planning. Planning is a

@@ -28,7 +28,7 @@ object ScalingProbe {
     val path = s"${TokenData.dataRoot}/scaling_${rows}_$nFiles/token_seqs"
     var spark = newSession(32)
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      TokenData.tokenTable(spark, rows, nFiles).write.mode("overwrite").parquet(path)
+      TokenData.writeTokens(TokenData.tokenTable(spark, rows, nFiles), path)
 
     def measure(p: Int): Double = {
       spark = newSession(p)

@@ -125,6 +125,39 @@ object ValidationQueries {
   def ksSketch(s: SparkSession, dir: String): DataFrame =
     Drift.ksSketch(toks(s, dir), TokenData.read(s, "/root/testdata/sf0.001"))
 
+  /** The wider keyword surface — pattern, multipleOf, contains,
+    * oneOf/anyOf/not, exclusive bounds, if/then/else, maxLength,
+    * dependentRequired — as an ad-hoc suite over the token table, each
+    * keyword's fail count oracled against DuckDB. Complements
+    * v_row_checks (the 8 north-star constraints) so every §2.1/§2.2
+    * ROW-scope keyword has a driver-gate verification, not just a golden
+    * corpus case.
+    */
+  val KeywordMatrix: graft.suite.Suite = {
+    import graft.suite.Constraint._
+    import graft.suite.FieldConstraint
+    graft.suite.Suite("keyword-matrix", Seq(
+      FieldConstraint("doc_id.pattern", "doc_id", Pattern("^doc-[0-9]{12}$")),
+      FieldConstraint("doc_id.maxLength", "doc_id", MaxLength(16)),
+      FieldConstraint("n_tok.multipleOf2", "n_tok", MultipleOf(2)),
+      FieldConstraint("n_tok.not.exclMin513", "n_tok", Not(Minimum(513, exclusive = true))),
+      FieldConstraint("n_tok.oneOf.bands", "n_tok",
+        OneOf(Seq(Maximum(150), AllOf(Seq(Minimum(100), Maximum(300))), Minimum(301)))),
+      FieldConstraint("source.anyOf", "source", AnyOf(Seq(Enum(Seq("web", "books")), MinLength(5)))),
+      FieldConstraint("source.ifWebElseShort", "source",
+        IfThenElse(Enum(Seq("web")), Some(MinLength(3)), Some(MaxLength(5)))),
+      FieldConstraint("tokens.contains.le63", "tokens", Contains(Maximum(63), min = 1)),
+      FieldConstraint("doc_id.depReq", "doc_id", DependentRequired(Seq("n_tok", "source")))))
+  }
+
+  def keywordMatrix(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .select(explode(ConstraintCompiler.checksColumn(KeywordMatrix)).as("c"))
+      .groupBy(col("c.cid").as("constraint_id"))
+      .agg(
+        sum(when(!col("c.pass"), 1L).otherwise(0L)).as("fails"),
+        count(lit(1)).as("n_rows"))
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. The driver verifies at sf0.01; the token parquet
   // for that sf is generated by TokenData.ensure under a fixed path.
@@ -219,7 +252,33 @@ object ValidationQueries {
          SELECT round(max(abs(cdf_c - cdf_b)), 6) AS ks, count(*)::BIGINT AS n_bins FROM w""".replaceAll("\\s+", " "),
 
     "v_ntok_tdigest_summary" ->
-      s"SELECT count(n_tok)::BIGINT AS n, min(n_tok)::DOUBLE AS vmin, max(n_tok)::DOUBLE AS vmax FROM $T"
+      s"SELECT count(n_tok)::BIGINT AS n, min(n_tok)::DOUBLE AS vmin, max(n_tok)::DOUBLE AS vmax FROM $T",
+
+    "v_keyword_matrix" -> {
+      // fail predicates mirroring ConstraintCompiler's null-gated
+      // compilation of each keyword, in DuckDB dialect
+      val checks: Seq[(String, String)] = Seq(
+        ("doc_id.pattern", "NOT coalesce(regexp_matches(doc_id, '^doc-[0-9]{12}$'), true)"),
+        ("doc_id.maxLength", "NOT coalesce(length(doc_id) <= 16, true)"),
+        ("n_tok.multipleOf2", "NOT coalesce((n_tok % 2) = 0, true)"),
+        ("n_tok.not.exclMin513", "NOT (NOT coalesce(n_tok > 513, true))"),
+        ("n_tok.oneOf.bands",
+          "NOT ((CASE WHEN coalesce(n_tok <= 150, true) THEN 1 ELSE 0 END + " +
+            "CASE WHEN coalesce(n_tok >= 100, true) AND coalesce(n_tok <= 300, true) THEN 1 ELSE 0 END + " +
+            "CASE WHEN coalesce(n_tok >= 301, true) THEN 1 ELSE 0 END) = 1)"),
+        ("source.anyOf",
+          "NOT ((CASE WHEN source IS NULL THEN false ELSE coalesce(source IN ('web','books'), false) END) " +
+            "OR coalesce(length(source) >= 5, true))"),
+        ("source.ifWebElseShort",
+          "NOT (CASE WHEN (CASE WHEN source IS NULL THEN false ELSE coalesce(source IN ('web'), false) END) " +
+            "THEN coalesce(length(source) >= 3, true) ELSE coalesce(length(source) <= 5, true) END)"),
+        ("tokens.contains.le63",
+          "NOT coalesce(len(list_filter(tokens, t -> coalesce(t <= 63, false))) >= 1, true)"),
+        ("doc_id.depReq", "NOT ((doc_id IS NULL) OR (n_tok IS NOT NULL AND source IS NOT NULL))"))
+      checks.map { case (cid, failp) =>
+        s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM $T"
+      }.mkString(" UNION ALL ")
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,6 +293,7 @@ object ValidationQueries {
     "v_psi" -> (psi _),
     "v_ks" -> (ks _),
     "v_ntok_tdigest_summary" -> (ntokTdigestSummary _),
-    "v_ks_sketch" -> (ksSketch _)
+    "v_ks_sketch" -> (ksSketch _),
+    "v_keyword_matrix" -> (keywordMatrix _)
   )
 }

@@ -212,6 +212,12 @@ object ConstraintCompiler {
           // observed: first offending element (try_: null-safe on empty,
           // ANSI mode makes plain element_at throw)
           coalesce(try_element_at(filter(f, e => !elementPred(el)(e)), lit(1)).cast("string"), lit("null")))
+      case ItemsFrom(k, el) =>
+        // items after prefixItems: two-arg filter lambda keeps elements
+        // at index >= k without slice's negative-length edge cases
+        val rest = filter(f, (e, i) => i >= lit(k))
+        (gated(forall(rest, e => elementPred(el)(e))),
+          coalesce(try_element_at(filter(rest, e => !elementPred(el)(e)), lit(1)).cast("string"), lit("null")))
       case Contains(el, mn, mx) =>
         val cnt = size(filter(f, e => elementPred(el)(e)))
         val pass =

@@ -81,6 +81,12 @@ object Constraint {
     * (BASELINE.md); we compile to a codegen'd `forall`.
     */
   final case class Items(element: Constraint) extends Constraint
+  /** 2020-12 `items` WITH sibling `prefixItems`: applies only to elements
+    * past the first `offset` positions (PJS:_keywords.py:59-82 reads
+    * `prefixItems` length and starts `items` there). Produced by the
+    * loader when both keywords are present.
+    */
+  final case class ItemsFrom(offset: Int, element: Constraint) extends Constraint
   /** `contains` with `minContains`/`maxContains` bounds. */
   final case class Contains(element: Constraint, min: Int = 1, max: Int = Int.MaxValue) extends Constraint
 
@@ -134,6 +140,7 @@ final case class Suite(
         val target = defs.getOrElse(n, throw new IllegalArgumentException(s"unresolvable $$ref '$n'"))
         inline(target, seen + n)
       case Items(e)          => Items(inline(e, seen))
+      case ItemsFrom(k, e)   => ItemsFrom(k, inline(e, seen))
       case PrefixItems(cs)   => PrefixItems(cs.map(inline(_, seen)))
       case Contains(e, a, b) => Contains(inline(e, seen), a, b)
       case AllOf(cs)         => AllOf(cs.map(inline(_, seen)))

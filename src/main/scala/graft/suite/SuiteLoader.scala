@@ -73,7 +73,12 @@ object SuiteLoader {
         case "minItems" => cs += MinItems(v.asInt())
         case "maxItems" => cs += MaxItems(v.asInt())
         case "uniqueItems" => if (v.asBoolean()) cs += UniqueItems()
-        case "items" => cs += Items(toConstraint(v, defs))
+        case "items" =>
+          // 2020-12: with sibling prefixItems, items starts after the
+          // prefix positions (PJS:_keywords.py:59-82)
+          val prefixLen = Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
+          cs += (if (prefixLen == 0) Items(toConstraint(v, defs))
+                 else ItemsFrom(prefixLen, toConstraint(v, defs)))
         case "contains" =>
           val mn = Option(n.get("minContains")).map(_.asInt()).getOrElse(1)
           val mx = Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue)
