@@ -24,6 +24,12 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      // v2-encoded token files are ~40% smaller than v1; the default
+      // 128m split packing then yields fewer splits than cores at p32
+      // (measured: efficiency fell to 0.37 purely from idle cores).
+      // 16m keeps >= 4 splits/core at every probed parallelism — on a
+      // real cluster the same rule is splits >= 3-4x total cores.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

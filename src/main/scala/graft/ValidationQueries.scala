@@ -19,16 +19,11 @@ object ValidationQueries {
 
   private def toks(s: SparkSession, dir: String): DataFrame = TokenData.read(s, dir)
 
-  /** Per-constraint fail/total counts — one scan, one projection with
-    * all 8 constraints, map-side combined agg of 8 groups.
+  /** Per-constraint fail/total counts — one scan, one aggregation, no
+    * row explosion (ConstraintCompiler.failCounts).
     */
   def rowChecks(s: SparkSession, dir: String): DataFrame =
-    ConstraintCompiler.withProfiles(toks(s, dir), Fused)
-      .select(explode(ConstraintCompiler.checksColumn(NorthStar.suite, Fused)).as("c"))
-      .groupBy(col("c.cid").as("constraint_id"))
-      .agg(
-        sum(when(!col("c.pass"), 1L).otherwise(0L)).as("fails"),
-        count(lit(1)).as("n_rows"))
+    ConstraintCompiler.failCounts(toks(s, dir), NorthStar.suite, Fused)
 
   /** The violation-rows Dataset (doc_id, constraint_id, observed, source)
     * ≙ the reference's iter_errors stream (PJS:validators.py:349-394).
@@ -151,12 +146,7 @@ object ValidationQueries {
   }
 
   def keywordMatrix(s: SparkSession, dir: String): DataFrame =
-    toks(s, dir)
-      .select(explode(ConstraintCompiler.checksColumn(KeywordMatrix)).as("c"))
-      .groupBy(col("c.cid").as("constraint_id"))
-      .agg(
-        sum(when(!col("c.pass"), 1L).otherwise(0L)).as("fails"),
-        count(lit(1)).as("n_rows"))
+    ConstraintCompiler.failCounts(toks(s, dir), KeywordMatrix)
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. The driver verifies at sf0.01; the token parquet

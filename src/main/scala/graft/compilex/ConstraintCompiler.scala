@@ -218,6 +218,14 @@ object ConstraintCompiler {
         val rest = filter(f, (e, i) => i >= lit(k))
         (gated(forall(rest, e => elementPred(el)(e))),
           coalesce(try_element_at(filter(rest, e => !elementPred(el)(e)), lit(1)).cast("string"), lit("null")))
+      case Contains(el, 1, Int.MaxValue) =>
+        // common case (minContains=1, no max): `exists` short-circuits on
+        // first match and allocates nothing, vs filter()'s per-row result
+        // array (measured 2.8s -> sub-second on 1M x 264-token rows).
+        // Mirrors the reference's own early-exit (PJS:_keywords.py:103-110).
+        (gated(exists(f, e => elementPred(el)(e))),
+          // a failing row by definition contains zero matches
+          lit("0"))
       case Contains(el, mn, mx) =>
         val cnt = size(filter(f, e => elementPred(el)(e)))
         val pass =
@@ -271,6 +279,27 @@ object ConstraintCompiler {
       lit(c.id).as("cid"),
       c.pass.as("pass"),
       when(!c.pass, c.observed).as("observed"))): _*)
+  }
+
+  /** Per-constraint fail/total counts in ONE aggregation pass with NO
+    * row explosion: each constraint contributes one conditional-sum
+    * column, and the single result row is stacked to long format
+    * (constraint_id, fails, n_rows). The explode-based alternative
+    * (checksColumn + explode + groupBy) materializes #constraints
+    * structs per row including lazily-built observed strings — measured
+    * 7.2s vs sub-second for 9 constraints on 1M rows. Use this whenever
+    * only counts are needed; use [[violations]] when the per-row stream
+    * is the product.
+    */
+  def failCounts(df: DataFrame, suite: Suite, fusedIntArrays: Set[String] = Set.empty): DataFrame = {
+    val cs = suite.resolved.constraints.map(compile(_, fusedIntArrays))
+    val aggCols = cs.zipWithIndex.map { case (c, i) =>
+      sum(when(!c.pass, 1L).otherwise(0L)).as(s"__f$i")
+    } :+ count(lit(1)).as("__n")
+    val row = withProfiles(df, fusedIntArrays).agg(aggCols.head, aggCols.tail: _*)
+    val stacked = cs.zipWithIndex
+      .map { case (c, i) => s"'${c.id}', __f$i" }.mkString(", ")
+    row.selectExpr(s"stack(${cs.length}, $stacked) AS (constraint_id, fails)", "__n AS n_rows")
   }
 
   /** df + boolean column per constraint (flat, codegen-friendly) plus a

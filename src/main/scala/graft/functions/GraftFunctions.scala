@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.FunctionBridge
+
+/** The engine's SQL-facing function surface: every custom Catalyst
+  * expression/aggregate, with name + builder, consumable two ways:
+  *   - [[graft.GraftExtensions]] injects them at session build
+  *     (`--conf spark.sql.extensions=graft.GraftExtensions`), the
+  *     spark-submit path;
+  *   - [[register]] adds them to a live session (REPL/tests).
+  * This mirrors the reference's `extend(validator, {keyword: fn})`
+  * surface (PJS:validators.py:516-598) at the SQL layer.
+  */
+object GraftFunctions {
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  private def intLit(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+
+  /** (name, usage, builder) triples for every custom function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("token_stats", "token_stats(arr) - single-pass struct(tmin,tmax,dups,n) of an int array",
+      args => { arity("token_stats", 1, args); TokenStats(args.head) }),
+    ("tdigest_agg", "tdigest_agg(col[, k]) - mergeable t-digest sketch of a numeric column",
+      args => args match {
+        case Seq(c)    => QuantileSketches.TDigestAgg(c)
+        case Seq(c, k) => QuantileSketches.TDigestAgg(c, intLit(k).toShort)
+        case _ => throw new IllegalArgumentException("tdigest_agg expects 1 or 2 arguments")
+      }),
+    ("tdigest_quantiles", "tdigest_quantiles(sketch, probs) - quantile values at the given ranks",
+      args => { arity("tdigest_quantiles", 2, args); QuantileSketches.TDigestQuantiles(args(0), args(1)) }),
+    ("tdigest_cdf", "tdigest_cdf(sketch, splits) - CDF values at the given split points",
+      args => { arity("tdigest_cdf", 2, args); QuantileSketches.TDigestCdf(args(0), args(1)) }),
+    ("tdigest_summary", "tdigest_summary(sketch) - exact struct(n,min,max) carried by the sketch",
+      args => { arity("tdigest_summary", 1, args); QuantileSketches.TDigestSummary(args.head) }),
+    ("kll_agg", "kll_agg(col[, k]) - mergeable KLL quantile sketch (provable rank error)",
+      args => args match {
+        case Seq(c)    => QuantileSketches.KllAgg(c)
+        case Seq(c, k) => QuantileSketches.KllAgg(c, intLit(k))
+        case _ => throw new IllegalArgumentException("kll_agg expects 1 or 2 arguments")
+      }),
+    ("kll_quantiles", "kll_quantiles(sketch, probs) - quantile values at the given ranks",
+      args => { arity("kll_quantiles", 2, args); QuantileSketches.KllQuantiles(args(0), args(1)) }),
+    ("kll_cdf", "kll_cdf(sketch, splits) - CDF values at the given split points",
+      args => { arity("kll_cdf", 2, args); QuantileSketches.KllCdf(args(0), args(1)) }),
+    ("kll_summary", "kll_summary(sketch) - exact struct(n,min,max) carried by the sketch",
+      args => { arity("kll_summary", 1, args); QuantileSketches.KllSummary(args.head) })
+  )
+
+  /** Register every custom function into a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, usage, builder) => FunctionBridge.register(spark, name, usage, builder) }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+/** The SQL face: every custom expression callable from spark.sql after
+  * GraftFunctions.register (same builder list GraftExtensions injects
+  * via spark.sql.extensions on spark-submit).
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  GraftFunctions.register(spark)
+
+  test("token_stats from SQL") {
+    val r = spark.sql(
+      "SELECT token_stats(array(3, 1, 2, 2)) AS ts").select("ts.tmin", "ts.tmax", "ts.dups", "ts.n").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) === ((1, 3, 1, 4)))
+  }
+
+  test("kll_agg + kll_quantiles + kll_summary from SQL, with explicit k") {
+    val r = spark.sql(
+      """SELECT kll_summary(s).n AS n,
+        |       kll_quantiles(s, array(0.5D))[0] AS p50
+        |FROM (SELECT kll_agg(v, 400) AS s
+        |      FROM VALUES (1.0),(2.0),(3.0),(4.0),(5.0) AS t(v))""".stripMargin).head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getDouble(1) === 3.0)
+  }
+
+  test("tdigest_agg + tdigest_cdf + tdigest_summary from SQL") {
+    val r = spark.sql(
+      """SELECT tdigest_summary(s).min AS mn, tdigest_summary(s).max AS mx,
+        |       tdigest_cdf(s, array(2.5D))[0] AS cdf
+        |FROM (SELECT tdigest_agg(v) AS s
+        |      FROM VALUES (1.0),(2.0),(3.0),(4.0) AS t(v))""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 4.0)
+    assert(r.getDouble(2) === 0.5)
+  }
+
+  test("aggregates work with GROUP BY from SQL") {
+    val rows = spark.sql(
+      """SELECT g, kll_summary(kll_agg(v)).n AS n
+        |FROM VALUES ('a', 1.0), ('a', 2.0), ('b', 3.0) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("GraftExtensions injects the same surface without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // builder-list smoke: no throw
+  }
+}
