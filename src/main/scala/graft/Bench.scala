@@ -24,12 +24,11 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
-      // v2-encoded token files are ~40% smaller than v1; the default
-      // 128m split packing then yields fewer splits than cores at p32
-      // (measured: efficiency fell to 0.37 purely from idle cores).
-      // 16m keeps >= 4 splits/core at every probed parallelism — on a
-      // real cluster the same rule is splits >= 3-4x total cores.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // split sizing (SplitProbe, alternating rounds): sub-row-group
+      // splits (16m on ~20MB single-row-group files) consistently lose
+      // ~2x — half the tasks map to no row group; 32m/64m/128m are
+      // indistinguishable within this host's noise. Keep the 128m
+      // default; the durable rule is split >= row-group size.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -62,9 +61,10 @@ object Bench {
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, warm) = time { exec(fn(spark, sfDir)) } // warm: plan + page cache
-      val (_, sec) = time { exec(fn(spark, sfDir)) }
-      name -> math.min(warm, sec)
+      // min over warm + 2 reps: this host shows phantom-load spikes that
+      // inflate single measurements up to 10x
+      val reps = (1 to 3).map(_ => time { exec(fn(spark, sfDir)) }._2)
+      name -> reps.min
     }
 
     // ---- scaling probe: full suite at local[8] vs local[32] ----

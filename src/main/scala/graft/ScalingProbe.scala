@@ -15,7 +15,6 @@ object ScalingProbe {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val s = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "16m") // see Bench.newSession
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -77,7 +77,7 @@ object ValidateJob {
     * referential integrity, which cannot be computed per-partition.
     */
   def run(spark: SparkSession, tablePath: String, outDir: String, checkpointDir: String,
-          suite: Suite = NorthStar.suite, partitionCol: String = "source"): Unit = {
+          suite: Suite = NorthStar.suite, partitionCol: String = "source", salt: Int = 64): Unit = {
     val hash = suiteHash(suite)
     val table = spark.read.parquet(tablePath)
     val parts = table.select(partitionCol).distinct().collect().map(_.getString(0)).sorted
@@ -115,9 +115,15 @@ object ValidateJob {
     verdictRows.toDF("partition", "rows", "violations", "pass")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/verdicts")
 
-    // global checks (cross-partition by nature)
-    Uniqueness.duplicateKeys(table, "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dup_doc_ids")
+    // global checks (cross-partition by nature). HLL pre-filter first:
+    // a duplicate-free table (the common case) is certified by one
+    // sketch agg with no exact salted pass at all.
+    val pre = Uniqueness.hllPrefilter(table, "doc_id")
+    val dups =
+      if (pre.mayHaveDups) Uniqueness.duplicateKeys(table, "doc_id", salt)
+      else spark.emptyDataFrame.withColumn("doc_id", lit("")).withColumn("dup_count", lit(0L))
+        .filter(lit(false))
+    dups.write.mode(SaveMode.Overwrite).parquet(s"$outDir/dup_doc_ids")
     Referential.violations(table, TokenData.allowedSources(spark))
       .groupBy(col(partitionCol)).agg(count(lit(1)).as("bad_rows"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/referential_violations")
@@ -137,7 +143,9 @@ object ValidateJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, table, out, ckpt, partitionCol = a.getOrElse("--partition-col", "source"))
+    run(spark, table, out, ckpt,
+      partitionCol = a.getOrElse("--partition-col", "source"),
+      salt = a.getOrElse("--salt", "64").toInt)
     spark.stop()
   }
 }

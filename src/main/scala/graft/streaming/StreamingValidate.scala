@@ -1,9 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import graft.compilex.ConstraintCompiler
 import graft.suite.Suite
+
+/** Running per-source tallies carried as mapGroupsWithState state. */
+final case class RunningVerdict(source: String, rows: Long, violations: Long) {
+  def pass: Boolean = violations == 0L
+}
 
 /** Structured Streaming face of the engine. The reference is strictly
   * one-shot batch (PJS:cli.py:230-292, SURVEY.md §2.10); the engine's
@@ -41,4 +47,29 @@ object StreamingValidate {
   def dedupStream(stream: DataFrame, tsCol: String, watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates("doc_id")
+
+  /** Lifetime running verdict per source via custom state
+    * (mapGroupsWithState): each micro-batch folds its rows into the
+    * per-source state and emits the updated totals — the streaming
+    * equivalent of the batch per-partition verdict table, but
+    * incremental across batches. State is one small record per source
+    * (bounded by source cardinality, not row count).
+    */
+  def runningVerdictStream(stream: DataFrame, suite: Suite,
+                           fusedIntArrays: Set[String]): Dataset[RunningVerdict] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val verdicts = ConstraintCompiler.withVerdicts(stream, suite, fusedIntArrays)
+      .select(col("source"), col("row_valid")).as[(String, Boolean)]
+    verdicts.groupByKey(_._1)
+      .mapGroupsWithState[RunningVerdict, RunningVerdict](GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Boolean)], state: GroupState[RunningVerdict]) =>
+          var n = 0L; var bad = 0L
+          rows.foreach { case (_, ok) => n += 1; if (!ok) bad += 1 }
+          val prev = state.getOption.getOrElse(RunningVerdict(src, 0L, 0L))
+          val next = RunningVerdict(src, prev.rows + n, prev.violations + bad)
+          state.update(next)
+          next
+      }
+  }
 }

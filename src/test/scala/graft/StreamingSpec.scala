@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running verdict via mapGroupsWithState accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Seq[Int], Int, String)]
+    val df = mem.toDF().toDF("doc_id", "tokens", "n_tok", "source")
+    val q = StreamingValidate.runningVerdictStream(df, NorthStar.suite, Set("tokens"))
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      mem.addData(("doc-1", Seq(1, 2, 3), 3, "web"), ("doc-2", Seq(-5, 2), 2, "web"))
+      q.processAllAvailable()
+      mem.addData(("doc-3", Seq(7, 8), 2, "web"), ("doc-4", Seq(1, 2), 9, "books"))
+      q.processAllAvailable()
+      // update mode: take the LAST emitted state per source
+      val last = spark.sql("SELECT source, rows, violations FROM running").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (s, vs) =>
+          (s, vs.map(_._2).maxBy(_._1)) // rows grow monotonically
+        }
+      assert(last("web") === ((3L, 1L)))   // 3 rows total, 1 violation, across 2 batches
+      assert(last("books") === ((1L, 1L))) // n_tok mismatch
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops in-horizon duplicate doc_ids") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
