@@ -146,13 +146,9 @@ object PipelineQueries {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cosine = {
-      val dot = aggregate(zip_with(col("qv"), col("embedding"),
-        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
-      val na = sqrt(aggregate(transform(col("qv"), x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))
-      val nb = sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))
-      round(dot / (na * nb), 4)
-    }
+    // fused codegen'd cosine (graft.functions.CosineSim) — same summation
+    // order as the composed HOF form, so round(...,4) parity holds
+    val cosine = round(graft.functions.CosineSim.cosine_sim(col("qv"), col("embedding")), 4)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -168,13 +164,9 @@ object PipelineQueries {
   def knnLabelPurity(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val a = e.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlabel"))
-    val cosine = {
-      val dot = aggregate(zip_with(col("qv"), col("embedding"),
-        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
-      val na = sqrt(aggregate(transform(col("qv"), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
-      val nb = sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
-      round(dot / (na * nb), 4)
-    }
+    // fused codegen'd cosine (graft.functions.CosineSim) — same summation
+    // order as the composed HOF form, so round(...,4) parity holds
+    val cosine = round(graft.functions.CosineSim.cosine_sim(col("qv"), col("embedding")), 4)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     e.crossJoin(a)
       .filter(col("vec_id") =!= col("qid"))

@@ -29,6 +29,8 @@ object GraftFunctions {
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("token_stats", "token_stats(arr) - single-pass struct(tmin,tmax,dups,n) of an int array",
       args => { arity("token_stats", 1, args); TokenStats(args.head) }),
+    ("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two float/double arrays",
+      args => { arity("cosine_sim", 2, args); CosineSim(args(0), args(1)) }),
     ("tdigest_agg", "tdigest_agg(col[, k]) - mergeable t-digest sketch of a numeric column",
       args => args match {
         case Seq(c)    => QuantileSketches.TDigestAgg(c)

@@ -22,13 +22,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
-    round(dot / (na * nb), 4)
-  }
+  /** Fused codegen'd cosine ([[graft.functions.CosineSim]]); rounded for
+    * deterministic tiebreaks and oracle parity.
+    */
+  def cosineCol(a: Column, b: Column): Column =
+    round(graft.functions.CosineSim.cosine_sim(a, b), 4)
 
   /** Assign each vector to its nearest of K deterministic centroids.
     * Broadcast the centroids; argmin via window over the small fan-out.

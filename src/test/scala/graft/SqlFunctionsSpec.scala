@@ -45,6 +45,19 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("cosine_sim from SQL matches the composed HOF formula bit-for-bit") {
+    val rows = spark.sql(
+      """SELECT cosine_sim(a, b) AS fused,
+        |  aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0D, (acc, x) -> acc + x) /
+        |  (sqrt(aggregate(transform(a, x -> double(x) * double(x)), 0.0D, (acc, x) -> acc + x)) *
+        |   sqrt(aggregate(transform(b, x -> double(x) * double(x)), 0.0D, (acc, x) -> acc + x))) AS hof
+        |FROM VALUES
+        |  (array(1.0F, 2.0F, 3.0F), array(3.0F, 1.0F, 2.0F)),
+        |  (array(0.5F, -0.25F), array(-0.125F, 0.75F)),
+        |  (array(1e-8F, 2e8F, 3.3F), array(7.7F, 1e-9F, -2e8F)) AS t(a, b)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("GraftExtensions injects the same surface without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-list smoke: no throw
