@@ -46,6 +46,26 @@ object PipelineQueries {
         countDistinct(md5(col("text"))).as("n_distinct"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_rows"))
 
+  /** The constraint engine pointed at a DIFFERENT table: a suite over
+    * `documents` (enum, minLength, maximum, pattern, cross-field
+    * n_chars == length(text)) — the engine is schema-generic, not
+    * token-table-specific. Fail counts per constraint, DuckDB-oracled.
+    */
+  val DocSuite: graft.suite.Suite = {
+    import graft.suite.Constraint._
+    import graft.suite.FieldConstraint
+    graft.suite.Suite("doc-suite", Seq(
+      FieldConstraint("lang.enum.western", "lang", Enum(Seq("en", "fr", "de", "es"))),
+      FieldConstraint("text.minLength100", "text", MinLength(100)),
+      FieldConstraint("n_chars.maximum500", "n_chars", Maximum(500)),
+      FieldConstraint("source.pattern", "source", Pattern("^src[0-9]{1,2}$")),
+      FieldConstraint("n_chars.eq.length", "n_chars", EqLengthOf("text")),
+      FieldConstraint("doc_id.required", "doc_id", Required())))
+  }
+
+  def docSuiteChecks(s: SparkSession, dir: String): DataFrame =
+    graft.compilex.ConstraintCompiler.failCounts(docs(s, dir), DocSuite)
+
   /** Per-document quality signals (single projection). */
   def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -187,6 +207,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ivf_ann_recall" -> (ivfAnn _),
+    "d_doc_suite" -> (docSuiteChecks _),
     "d_dedup_exact" -> (dedupExact _),
     "d_quality" -> (quality _),
     "d_token_counts" -> (tokenCounts _),
@@ -217,7 +238,22 @@ object PipelineQueries {
        (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)"""
 
+  private val docSuiteOracle: String = {
+    val checks: Seq[(String, String)] = Seq(
+      ("lang.enum.western",
+        "NOT (CASE WHEN lang IS NULL THEN false ELSE coalesce(lang IN ('en','fr','de','es'), false) END)"),
+      ("text.minLength100", "NOT coalesce(length(text) >= 100, true)"),
+      ("n_chars.maximum500", "NOT coalesce(n_chars <= 500, true)"),
+      ("source.pattern", "NOT coalesce(regexp_matches(source, '^src[0-9]{1,2}$'), true)"),
+      ("n_chars.eq.length", "NOT coalesce(n_chars = length(text), false)"),
+      ("doc_id.required", "NOT (doc_id IS NOT NULL)"))
+    checks.map { case (cid, failp) =>
+      s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM documents"
+    }.mkString(" UNION ALL ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "d_doc_suite" -> docSuiteOracle,
     "d_dedup_exact" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
          count(DISTINCT md5(text))::BIGINT AS n_distinct,

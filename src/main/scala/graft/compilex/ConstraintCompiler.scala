@@ -106,6 +106,16 @@ object ConstraintCompiler {
       case "ipv4" =>
         f.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
       case "email"    => f.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+      // RFC3339 full-time (2020-12 draft-bound checker semantics:
+      // offset REQUIRED, Z/z accepted); leap seconds excluded like the
+      // reference's own declared skips (PJS:tests/...:73-115)
+      case "time" =>
+        f.rlike("^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\\.[0-9]+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$")
+      // approximation caveat (documented like the regex dialect): no
+      // embedded-IPv4 form, compressed-group count not cross-checked
+      case "ipv6" =>
+        f.rlike("^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|(([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4})?::(([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4})?)$")
+      case "json-pointer" => f.rlike("^(/([^/~]|~[01])*)*$")
       case "hostname" => f.rlike("^(?=.{1,253}$)([a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?\\.)*[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?$")
       case "uri"      => f.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^\\s]+$")
       // unknown format: annotation-only no-op, like the reference with
@@ -253,6 +263,9 @@ object ConstraintCompiler {
       case EqSizeOf(arr) =>
         (coalesce(f === size(col(arr)), lit(false)),
           concat_ws("!=", coalesce(f.cast("string"), lit("null")), size(col(arr)).cast("string")))
+      case EqLengthOf(sf) =>
+        (coalesce(f === length(col(sf)), lit(false)),
+          concat_ws("!=", coalesce(f.cast("string"), lit("null")), length(col(sf)).cast("string")))
       case DependentRequired(fields) =>
         (!f.isNotNull || fields.map(col(_).isNotNull).reduce(_ && _), obsSelf)
       case Ref(n) =>

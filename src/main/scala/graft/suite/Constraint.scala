@@ -103,6 +103,11 @@ object Constraint {
     * star. Generalization of `const` against a computed value.
     */
   final case class EqSizeOf(arrayField: String) extends Constraint
+  /** Cross-field equality against a string column's code-point length:
+    * the declared-length invariant for text columns (documents table's
+    * n_chars == length(text)), sibling of [[EqSizeOf]] for arrays.
+    */
+  final case class EqLengthOf(strField: String) extends Constraint
   /** `dependentRequired`: if this field is non-null, `fields` must be. */
   final case class DependentRequired(fields: Seq[String]) extends Constraint
   /** Intra-suite $ref: resolved (inlined) at suite-compile time, exactly
