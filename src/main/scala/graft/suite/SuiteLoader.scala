@@ -23,6 +23,70 @@ object SuiteLoader {
   /** Parse one JSON Schema (subset) document into a Constraint. */
   def parseSchema(json: String): Constraint = toConstraint(mapper.readTree(json))
 
+  /** Parse a whole SUITE document — a JSON Schema object whose
+    * `properties` map the table's columns (≙ the reference's root-schema
+    * entry, PJS:validators.py:1265-1332): each keyword inside a field's
+    * subschema becomes one named FieldConstraint (`<field>.<keyword>`)
+    * so violations stay per-keyword granular, exactly like the
+    * reference's per-keyword ValidationError.validator. Top-level
+    * `required` and `dependentRequired` are object-level keywords over
+    * the column set; `$defs` provides the `$ref` registry (inlined at
+    * parse, document scope).
+    */
+  def parseSuiteDocument(json: String): Suite = {
+    val n = mapper.readTree(json)
+    require(n.isObject, "suite document must be a JSON object")
+    val name = Option(n.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
+    val scope: Map[String, JsonNode] =
+      Option(n.get("$defs")).map(d => d.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
+        .getOrElse(Map.empty)
+    val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
+
+    Option(n.get("required")).foreach(_.asScala.foreach(f =>
+      cs += FieldConstraint(s"${f.asText()}.required", f.asText(), Constraint.Required())))
+    Option(n.get("dependentRequired")).foreach(_.properties().asScala.foreach { e =>
+      cs += FieldConstraint(s"${e.getKey}.dependentRequired", e.getKey,
+        Constraint.DependentRequired(e.getValue.asScala.map(_.asText()).toSeq))
+    })
+
+    // keywords that are consumed by a sibling anchor keyword, never alone
+    val anchored = Set("minContains", "maxContains", "then", "else", "$defs")
+    Option(n.get("properties")).foreach(_.properties().asScala.foreach { p =>
+      val (field, sub) = (p.getKey, p.getValue)
+      require(sub.isObject || sub.isBoolean, s"field '$field' subschema must be object or boolean")
+      if (sub.isBoolean) {
+        cs += FieldConstraint(s"$field.schema", field, Constraint.Always(sub.asBoolean()))
+      } else {
+        sub.properties().asScala.foreach { e =>
+          val k = e.getKey
+          if (!anchored.contains(k)) {
+            // single-keyword slice, carrying the anchored siblings +
+            // document $defs scope along
+            val slice = mapper.createObjectNode()
+            slice.set[JsonNode](k, e.getValue)
+            val carry = Map(
+              "contains" -> Seq("minContains", "maxContains"),
+              "if"       -> Seq("then", "else"),
+              "items"    -> Seq("prefixItems"))
+            carry.getOrElse(k, Nil)
+              .foreach(s => Option(sub.get(s)).foreach(slice.set[JsonNode](s, _)))
+            val c = toConstraint(slice, scope)
+            // the prefixItems slice inside an items-slice is only there
+            // to offset items; it emits its own constraint from its own
+            // keyword iteration, so drop it from the items slice result
+            val cleaned = c match {
+              case Constraint.AllOf(xs) if k == "items" =>
+                xs.find(_.isInstanceOf[Constraint.ItemsFrom]).getOrElse(c)
+              case other => other
+            }
+            cs += FieldConstraint(s"$field.$k", field, cleaned)
+          }
+        }
+      }
+    })
+    Suite(name, cs.toSeq)
+  }
+
   def toConstraint(n: JsonNode): Constraint = toConstraint(n, Map.empty)
 
   private def anyVal(n: JsonNode): Any =
@@ -93,6 +157,11 @@ object SuiteLoader {
             Option(n.get("then")).map(toConstraint(_, defs)),
             Option(n.get("else")).map(toConstraint(_, defs)))
         case "$ref" => cs += resolveRef(v.asText())
+        // engine extension keywords (x- prefix, the JSON Schema custom-
+        // keyword convention): cross-field invariants with no pure-JSON-
+        // Schema analogue (≙ extend(validator, ...), PJS:validators.py:516)
+        case "x-eqSizeOf"   => cs += EqSizeOf(v.asText())
+        case "x-eqLengthOf" => cs += EqLengthOf(v.asText())
         // non-assertion / unsupported keywords are ignored, like the
         // reference ignores annotations (title, description, ...)
         case _ => ()

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.compilex.ConstraintCompiler
+import graft.suite.{NorthStar, SuiteLoader}
+
+/** The suite-as-JSON-document path (schema-as-data end to end): the
+  * north-star suite authored as a real JSON Schema document must give
+  * row-for-row identical verdicts to the ADT-built NorthStar.suite.
+  */
+class SuiteDocumentSpec extends SparkSpec {
+
+  private lazy val jsonSuite = SuiteLoader.parseSuiteDocument(
+    scala.io.Source.fromResource("suites/north_star.json")(scala.io.Codec.UTF8).mkString)
+
+  test("document parses to per-keyword constraints with granular ids") {
+    val ids = jsonSuite.constraints.map(_.id).toSet
+    assert(ids === Set(
+      "doc_id.required", "doc_id.minLength",
+      "tokens.minItems", "tokens.uniqueItems", "tokens.items",
+      "n_tok.x-eqSizeOf", "source.enum"))
+  }
+
+  test("JSON-document suite gives row-identical verdicts to the ADT suite") {
+    val df = graft.gen.TokenData.tokenTable(spark, 8000L, parallelism = 4)
+    // evaluate BOTH suites on the same rows in one frame (doc_id is not
+    // unique by design — the generator injects duplicates — so a
+    // join-on-key compare would pair different rows)
+    val a = ConstraintCompiler.withVerdicts(df, NorthStar.suite, Set("tokens"))
+      .withColumnRenamed("row_valid", "a_valid")
+      .select((df.columns.map(col) :+ col("a_valid")): _*)
+    val both = ConstraintCompiler.withVerdicts(a, jsonSuite, Set("tokens"))
+    assert(both.filter(col("a_valid") =!= col("row_valid")).count() === 0L)
+    val invalid = both.filter(!col("row_valid")).count()
+    assert(invalid > 0L) // the generator injects violations
+  }
+
+  test("engine extension keyword x-eqLengthOf parses and compiles") {
+    val s = SuiteLoader.parseSuiteDocument(
+      """{"properties": {"n_chars": {"x-eqLengthOf": "text"}}}""")
+    assert(s.constraints.map(_.id) === Seq("n_chars.x-eqLengthOf"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("n_chars", IntegerType)))
+    val df = spark.createDataFrame(Seq(Row("abc", 3), Row("abc", 7)).asJava, schema)
+    val fails = ConstraintCompiler.failCounts(df, s).head()
+    assert(fails.getLong(1) === 1L)
+  }
+
+  test("boolean field subschema: false rejects all rows, true accepts") {
+    val s = SuiteLoader.parseSuiteDocument(
+      """{"properties": {"source": false}}""")
+    val df = graft.gen.TokenData.tokenTable(spark, 100L, parallelism = 1)
+    val fails = ConstraintCompiler.failCounts(df, s).head()
+    assert(fails.getLong(1) === 100L)
+  }
+}
