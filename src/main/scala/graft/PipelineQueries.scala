@@ -205,8 +205,23 @@ object PipelineQueries {
   def ivfAnn(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ann.ivfSearchWithRecall(emb(s, dir), nQueries = 20)
 
+  /** Sign-bit hyperplane LSH over embeddings (the bucketed near-dup
+    * scale path: shuffle key = 8-bit signature, never all pairs).
+    * Output: bucket-size histogram, oracled — DuckDB computes the SAME
+    * deterministic hyperplane signatures from the shared fixed-seed
+    * weights.
+    */
+  private val LshPlanes = graft.pipeline.Ann.hyperplanes(8, 64)
+
+  def lshHyperplaneHist(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(graft.pipeline.Ann.hyperplaneSig(col("embedding"), LshPlanes).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ivf_ann_recall" -> (ivfAnn _),
+    "e_lsh_hyperplane_hist" -> (lshHyperplaneHist _),
     "d_doc_suite" -> (docSuiteChecks _),
     "d_dedup_exact" -> (dedupExact _),
     "d_quality" -> (quality _),
@@ -252,8 +267,19 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
   }
 
+  private val lshOracle: String = {
+    val bits = LshPlanes.zipWithIndex.map { case (w, i) =>
+      val arr = w.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $arr::DOUBLE[]), p -> p[1]::DOUBLE * p[2])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sigs AS (SELECT ($bits) AS sig FROM embeddings),
+       b AS (SELECT sig, count(*)::BIGINT AS bucket_size FROM sigs GROUP BY sig)
+       SELECT bucket_size, count(*)::BIGINT AS n_buckets FROM b GROUP BY bucket_size""".replaceAll("\\s+", " ")
+  }
+
   val oracles: Map[String, String] = Map(
     "d_doc_suite" -> docSuiteOracle,
+    "e_lsh_hyperplane_hist" -> lshOracle,
     "d_dedup_exact" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
          count(DISTINCT md5(text))::BIGINT AS n_distinct,

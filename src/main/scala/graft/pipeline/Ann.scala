@@ -28,6 +28,30 @@ object Ann {
   def cosineCol(a: Column, b: Column): Column =
     round(graft.functions.CosineSim.cosine_sim(a, b), 4)
 
+  /** Deterministic random hyperplanes for sign-bit LSH (fixed-seed
+    * java.util.Random — algorithm is specified, so weights are
+    * bit-stable across runs/JVMs; SURVEY §7 determinism rule).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature: bit p = [dot(embedding, plane_p) >= 0].
+    * Cosine-similar vectors agree on most bits, so equal signatures are
+    * near-dup candidates — the embedding-space analogue of the text
+    * SimHash, and the bucketed (shuffle-on-signature, never all-pairs)
+    * scale path for embedding near-dup detection. nPlanes trades recall
+    * for bucket selectivity exactly like LSH bands.
+    */
+  def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, i) =>
+      val dot = aggregate(
+        zip_with(emb, typedlit(w.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Assign each vector to its nearest of K deterministic centroids.
     * Broadcast the centroids; argmin via window over the small fan-out.
     */

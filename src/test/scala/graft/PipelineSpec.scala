@@ -71,6 +71,24 @@ class PipelineSpec extends SparkSpec {
       s"near-dup hamming ${ham(m("a"), m("b"))} must be <= unrelated ${ham(m("a"), m("c"))}")
   }
 
+  test("hyperplane LSH locality: perturbed vector keeps most sig bits; unrelated differs more") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val planes = graft.pipeline.Ann.hyperplanes(16, 64)
+    val df = Seq(("base", base.toSeq), ("near", near.toSeq), ("far", far.toSeq))
+      .toDF("id", "embedding")
+      .select(col("id"), graft.pipeline.Ann.hyperplaneSig(col("embedding"), planes).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(ham(m("base"), m("near")) <= 2,
+      s"near-dup must share almost all bits, hamming=${ham(m("base"), m("near"))}")
+    assert(ham(m("base"), m("near")) < ham(m("base"), m("far")),
+      s"near ${ham(m("base"), m("near"))} must beat far ${ham(m("base"), m("far"))}")
+  }
+
   test("plan quality: filters and column pruning reach the parquet scan") {
     val df = RelationalQueries.pushdownScan(spark, dir)
     val plan = df.queryExecution.executedPlan.toString()
@@ -95,5 +113,18 @@ class PipelineSpec extends SparkSpec {
     val plan = graft.checks.Referential.violations(toks, dim)
       .queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("plan quality: failCounts is one scan + partial/final agg; only agg state shuffles") {
+    val df = graft.gen.TokenData.read(spark, "/root/testdata/sf0.001")
+    val q = graft.compilex.ConstraintCompiler.failCounts(
+      df, graft.suite.NorthStar.suite, Set("tokens"))
+    val plan = q.queryExecution.executedPlan.toString()
+    // exactly one parquet scan of the table
+    assert("Scan parquet".r.findAllIn(plan).length === 1, s"expected ONE scan:\n$plan")
+    // two-phase agg: partial on the scan side, final after a
+    // single-row exchange (shuffled bytes independent of row count)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+    assert("Exchange".r.findAllIn(plan).length === 1, s"expected ONE exchange (agg state only):\n$plan")
   }
 }
