@@ -9,17 +9,33 @@ import org.apache.spark.sql.expressions.Window
   * broadcast join chains, semi/anti joins, window top-k, rollup,
   * time-bucketed aggregation, set ops, filter/projection pushdown.
   *
-  * Determinism rules for oracle parity: money aggregates use explicit
-  * DECIMAL casts (exact, order-independent); averages are computed as
-  * round(double(sum)/count, 6); every window ordering carries a unique
-  * tiebreak key.
+  * Determinism rules for oracle parity — NO DECIMAL anywhere (round-2
+  * fix): a DECIMAL output stringifies with trailing zeros under a
+  * pyarrow-style reader ("420129.40") but without them under a float
+  * reader ("420129.4"), so the driver's value hash diverges even when
+  * the values are identical. Instead every money aggregate is computed
+  * in integer cents — `floor(x*100 + 0.5)` is a pure IEEE-754 op
+  * sequence that yields bit-identical BIGINTs in Spark and DuckDB, the
+  * BIGINT sum is exact and order-independent, and the final division by
+  * 100.0 is one IEEE op producing the same double bits on both engines.
+  * Per-row money values (window output, max) pass through as the raw
+  * DOUBLE read from parquet — trivially bit-equal. Every window ordering
+  * carries a unique tiebreak key.
   */
 object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Integer cents: exact cross-engine quantization of a 2-decimal money
+    * double (DuckDB mirror: floor(x*100 + 0.5)::BIGINT).
+    */
+  private def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+
+  /** cents-sum -> money double: one IEEE division, bit-equal on both
+    * engines (DuckDB mirror: sum(...)::DOUBLE / 100.0).
+    */
+  private def money(sumCents: Column): Column = sumCents.cast("double") / lit(100.0)
 
   /** TPC-H Q1 flavor: scan-heavy partial+final hash agg. */
   def aggPricing(s: SparkSession, dir: String): DataFrame =
@@ -27,11 +43,13 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("decimal(38,4)").as("sum_disc_price"),
-        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        money(sum(cents(col("l_quantity")))).as("sum_qty"),
+        money(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+        // discounted price in cents*100 units (scale 4): exact BIGINT
+        // per-row product, exact sum, one final division
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / lit(10000.0)).as("sum_disc_price"),
+        (money(sum(cents(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   /** Broadcast-join chain: orders -> customer -> nation -> region.
@@ -44,11 +62,12 @@ object RelationalQueries {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("revenue"),
+        money(sum(cents(col("o_totalprice")))).as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** Window top-k: top-3 orders per customer by totalprice (unique
-    * tiebreak on orderkey for determinism).
+    * tiebreak on orderkey for determinism). totalprice passes through as
+    * the raw parquet DOUBLE — bit-equal on both engines by construction.
     */
   def windowTop3Orders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -57,7 +76,7 @@ object RelationalQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec(col("o_totalprice")).as("totalprice"), col("rk"))
+        col("o_totalprice").as("totalprice"), col("rk"))
   }
 
   /** Semi/anti join: one-row summary of customers with/without orders. */
@@ -74,7 +93,7 @@ object RelationalQueries {
     t(s, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("total"))
+        money(sum(cents(col("o_totalprice")))).as("total"))
 
   /** Time-bucketed aggregation over the events stream table. */
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -82,7 +101,7 @@ object RelationalQueries {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+        money(sum(cents(col("value")))).as("sum_value"))
 
   /** Set ops: event types never appearing as high-value events. */
   def setOpsEventTypes(s: SparkSession, dir: String): DataFrame = {
@@ -98,16 +117,18 @@ object RelationalQueries {
     t(s, dir, "lineitem")
       .filter(col("l_quantity") >= 45 && col("l_discount") <= lit(0.02))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("price_sum"))
+        money(sum(cents(col("l_extendedprice")))).as("price_sum"))
 
-  /** Grouped distinct-count + conditional aggregation over part. */
+  /** Grouped distinct-count + conditional aggregation over part.
+    * max_price is the raw parquet DOUBLE (max never mixes values).
+    */
   def partBrandStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
       .groupBy(col("p_brand"))
       .agg(
         countDistinct(col("p_type")).as("n_types"),
         sum(when(col("p_size") >= 25, 1L).otherwise(0L)).as("n_large"),
-        max(dec(col("p_retailprice"))).as("max_price"))
+        max(col("p_retailprice")).as("max_price"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
@@ -121,20 +142,24 @@ object RelationalQueries {
     "q_part_brand_stats" -> (partBrandStats _)
   )
 
+  // DuckDB fragments mirroring cents()/money() bit-for-bit:
+  private def C(e: String) = s"floor($e*100 + 0.5)::BIGINT"
+  private def M(e: String) = s"(sum($e)::DOUBLE / 100.0)"
+
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-         sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
-         sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_base_price,
-         sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS sum_disc_price,
-         round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty,
+      s"""SELECT l_returnflag, l_linestatus,
+         ${M(C("l_quantity"))} AS sum_qty,
+         ${M(C("l_extendedprice"))} AS sum_base_price,
+         (sum(${C("l_extendedprice")} * (100 - ${C("l_discount")}))::DOUBLE / 10000.0) AS sum_disc_price,
+         (${M(C("l_quantity"))} / count(*)) AS avg_qty,
          count(*)::BIGINT AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""".replaceAll("\\s+", " "),
 
     "q_join_revenue_nation" ->
-      """SELECT r_name, n_name,
-         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS revenue,
+      s"""SELECT r_name, n_name,
+         ${M(C("o_totalprice"))} AS revenue,
          count(*)::BIGINT AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -142,7 +167,7 @@ object RelationalQueries {
          GROUP BY r_name, n_name""".replaceAll("\\s+", " "),
 
     "q_window_top3" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice::DECIMAL(18,2) AS totalprice, rk FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, rk FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
          FROM orders) WHERE rk <= 3""".replaceAll("\\s+", " "),
@@ -153,13 +178,13 @@ object RelationalQueries {
          (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))::BIGINT AS without_orders""".replaceAll("\\s+", " "),
 
     "q_rollup_orders" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
-         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS total
+      s"""SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+         ${M(C("o_totalprice"))} AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".replaceAll("\\s+", " "),
 
     "q_events_hourly" ->
-      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
-         count(*)::BIGINT AS n, sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS sum_value
+      s"""SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         count(*)::BIGINT AS n, ${M(C("value"))} AS sum_value
          FROM events GROUP BY 1, 2""".replaceAll("\\s+", " "),
 
     "q_setops_events" ->
@@ -168,14 +193,14 @@ object RelationalQueries {
          SELECT DISTINCT event_type FROM events WHERE value > 360""".replaceAll("\\s+", " "),
 
     "q_pushdown_scan" ->
-      """SELECT count(*)::BIGINT AS n,
-         sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS price_sum
+      s"""SELECT count(*)::BIGINT AS n,
+         ${M(C("l_extendedprice"))} AS price_sum
          FROM lineitem WHERE l_quantity >= 45 AND l_discount <= 0.02""".replaceAll("\\s+", " "),
 
     "q_part_brand_stats" ->
       """SELECT p_brand, count(DISTINCT p_type)::BIGINT AS n_types,
          sum(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END)::BIGINT AS n_large,
-         max(p_retailprice::DECIMAL(18,2)) AS max_price
+         max(p_retailprice) AS max_price
          FROM part GROUP BY p_brand""".replaceAll("\\s+", " ")
   )
 }

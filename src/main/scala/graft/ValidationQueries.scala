@@ -54,17 +54,33 @@ object ValidationQueries {
     "tokens.items.minimum" -> 3, "tokens.items.maximum" -> 3,
     "tokens.minItems" -> 2, "doc_id.minLength" -> 2, "tokens.uniqueItems" -> 1)
 
+  /** Two-phase top-k (round-1 VERDICT item 4): a single
+    * Window.partitionBy(source) would shuffle EVERY violation to
+    * |sources| (=5) reducers — on a bad day (billions of violations,
+    * exactly when this query runs) that pins 5 tasks. Phase 1 takes a
+    * partial top-5 within (source, salt-bucket) — 5×32 shuffle keys, so
+    * the sort is spread and each group is 1/32 of a source; phase 2
+    * re-ranks the ≤ 5·32·5 survivors. Global top-5 per source is a
+    * subset of the union of per-bucket top-5s, so results are identical;
+    * the (severity, doc_id, constraint_id) ordering is total within a
+    * source (one violation row per (doc,constraint)), so deterministic.
+    */
   def topViolations(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sev = Severity.foldLeft(lit(0)) { case (acc, (cid, w)) =>
       when(col("constraint_id") === cid, lit(w)).otherwise(acc)
     }
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("severity").desc, col("doc_id").asc, col("constraint_id").asc)
+    val ord = Seq(col("severity").desc, col("doc_id").asc, col("constraint_id").asc)
+    val w1 = Window.partitionBy(col("source"), col("_salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("source")).orderBy(ord: _*)
     violations(s, dir)
       .withColumn("severity", sev)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("_salt", pmod(xxhash64(col("doc_id"), col("constraint_id")), lit(32L)))
+      .withColumn("_prk", row_number().over(w1))
+      .filter(col("_prk") <= 5)
+      .withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= 5)
+      .drop("_salt", "_prk")
   }
 
   /** Exact duplicate doc_ids via salted two-phase aggregation. */
@@ -165,9 +181,11 @@ object ValidationQueries {
     ("tokens.minItems", "NOT coalesce(len(tokens) >= 1, true)", "len(tokens)::VARCHAR"),
     ("tokens.uniqueItems", "NOT coalesce(len(list_distinct(tokens)) = len(tokens), true)",
       "(len(tokens) - len(list_distinct(tokens)))::VARCHAR"),
-    ("tokens.items.minimum", "NOT coalesce(len(list_filter(tokens, t -> NOT coalesce(t >= 0, false))) = 0, true)",
+    // element keywords are type-gated like the reference: a null element
+    // PASSES minimum/maximum (coalesce(..., true) inside the lambda)
+    ("tokens.items.minimum", "NOT coalesce(len(list_filter(tokens, t -> NOT coalesce(t >= 0, true))) = 0, true)",
       "coalesce(list_min(tokens)::VARCHAR, 'null')"),
-    ("tokens.items.maximum", "NOT coalesce(len(list_filter(tokens, t -> NOT coalesce(t <= 262143, false))) = 0, true)",
+    ("tokens.items.maximum", "NOT coalesce(len(list_filter(tokens, t -> NOT coalesce(t <= 262143, true))) = 0, true)",
       "coalesce(list_max(tokens)::VARCHAR, 'null')"),
     ("n_tok.eq.size", "NOT coalesce(n_tok = len(tokens), false)",
       "n_tok::VARCHAR || '!=' || len(tokens)::VARCHAR"),
@@ -262,8 +280,8 @@ object ValidationQueries {
         ("source.ifWebElseShort",
           "NOT (CASE WHEN (CASE WHEN source IS NULL THEN false ELSE coalesce(source IN ('web'), false) END) " +
             "THEN coalesce(length(source) >= 3, true) ELSE coalesce(length(source) <= 5, true) END)"),
-        ("tokens.contains.le63",
-          "NOT coalesce(len(list_filter(tokens, t -> coalesce(t <= 63, false))) >= 1, true)"),
+        ("tokens.contains.le63", // null elements MATCH a type-gated maximum
+          "NOT coalesce(len(list_filter(tokens, t -> coalesce(t <= 63, true))) >= 1, true)"),
         ("doc_id.depReq", "NOT ((doc_id IS NULL) OR (n_tok IS NOT NULL AND source IS NOT NULL))"))
       checks.map { case (cid, failp) =>
         s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM $T"

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  1. HLL pre-filter: `approx_count_distinct(key)` vs `count(*)` in one
   *     partial+final agg (no shuffle of raw rows — HLL++ sketches merge).
-  *     If the estimate is within the sketch's relative error of the row
-  *     count AND an exact confirmation is not requested, the table is
-  *     certified duplicate-free for ~free.
+  *     FAST-FAIL SIGNAL ONLY: an estimate far below the row count proves
+  *     duplicates exist (alert/abort early); a near-equal estimate
+  *     certifies NOTHING — at rsd=0.01 the sketch noise (~1%) can hide
+  *     up to ~1% duplicate keys. Certification always requires phase 2.
   *  2. Exact phase (only when needed): two-phase salted aggregation —
   *     first `groupBy(salt, key)` (salt = hash(key) mod S spreads any
   *     hot key ranges across S*P reducers), then re-agg by key. For a
@@ -26,13 +27,17 @@ object Uniqueness {
 
   final case class HllVerdict(rows: Long, approxDistinct: Long, mayHaveDups: Boolean)
 
-  /** Phase 1: sketch-only pre-filter. rsd=0.01 → ~1% relative error. */
+  /** Phase 1: sketch-only pre-filter. rsd=0.01 → ~1% relative error.
+    * `mayHaveDups = true` is a definite early-warning; `false` means
+    * only "no duplicates VISIBLE above the sketch noise" — callers must
+    * still run [[duplicateKeys]] to certify (round-1 ADVICE, high).
+    */
   def hllPrefilter(df: DataFrame, key: String, rsd: Double = 0.01): HllVerdict = {
     val r = df.agg(
       count(lit(1)).as("rows"),
       approx_count_distinct(col(key), rsd).as("ad")).head()
     val rows = r.getLong(0); val ad = r.getLong(1)
-    // duplicates possible iff estimate is materially below the row count
+    // duplicates LIKELY iff estimate is materially below the row count
     HllVerdict(rows, ad, ad < (rows * (1 - 3 * rsd)).toLong || rows - ad > math.max(1, rows / 1000))
   }
 

@@ -39,20 +39,35 @@ object ConstraintCompiler {
     * `forall`/`exists` lambdas for Items/Contains — the engine analogue
     * of the reference's `descend` per array element, minus the 75x
     * interpretive cost).
+    *
+    * NULL elements (round-1 ADVICE, medium): a null array element is the
+    * JSON `null` instance, so the same TYPE-GATING as top-level keywords
+    * applies — `minimum` on a null element PASSES (PJS:_keywords.py:
+    * 150-151 no-ops on non-numbers), `enum`/`const` compare null as a
+    * constant. Every branch below therefore returns a DEFINITE boolean
+    * (never SQL NULL), which makes `forall`, `exists`, and
+    * `size(filter(...))` agree with each other and with the reference —
+    * previously the exists fast path resolved a null predicate to PASS
+    * while the counted path resolved it to non-match.
     */
   def elementPred(c: Constraint)(e: Column): Column =
     if (extensions.isDefinedAt(c)) extensions(c)(e)
     else
       c match {
         case Always(b)         => lit(b)
-        case Minimum(b, false) => e >= lit(b).cast("int")
-        case Minimum(b, true)  => e > lit(b).cast("int")
-        case Maximum(b, false) => e <= lit(b).cast("int")
-        case Maximum(b, true)  => e < lit(b).cast("int")
-        case MultipleOf(k)     => pmod(e, lit(k).cast("int")) === lit(0)
-        case Enum(vs)          => e.isin(vs: _*)
-        case Const(v)          => e === lit(v)
-        case TypeIs(_)         => e.isNotNull
+        case Minimum(b, false) => coalesce(e >= lit(b).cast("int"), lit(true))
+        case Minimum(b, true)  => coalesce(e > lit(b).cast("int"), lit(true))
+        case Maximum(b, false) => coalesce(e <= lit(b).cast("int"), lit(true))
+        case Maximum(b, true)  => coalesce(e < lit(b).cast("int"), lit(true))
+        case MultipleOf(k)     => coalesce(pmod(e, lit(k).cast("int")) === lit(0), lit(true))
+        case Enum(vs) =>
+          val nonNull = vs.filter(_ != null)
+          val base = if (nonNull.isEmpty) lit(false) else e.isin(nonNull: _*)
+          when(e.isNull, lit(vs.contains(null))).otherwise(coalesce(base, lit(false)))
+        case Const(null)    => e.isNull
+        case Const(v)       => coalesce(e === lit(v), lit(false))
+        case TypeIs("null") => e.isNull
+        case TypeIs(_)      => e.isNotNull
         case AllOf(cs)         => cs.map(elementPred(_)(e)).reduce(_ && _)
         case AnyOf(cs)         => cs.map(elementPred(_)(e)).reduce(_ || _)
         case OneOf(cs) =>
@@ -118,6 +133,34 @@ object ConstraintCompiler {
       case "json-pointer" => f.rlike("^(/([^/~]|~[01])*)*$")
       case "hostname" => f.rlike("^(?=.{1,253}$)([a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?\\.)*[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?$")
       case "uri"      => f.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^\\s]+$")
+      // ---- round-2 registry growth (VERDICT item 7) ----
+      // validity-of-a-regex (PJS is_regex = re.compile; Java dialect,
+      // documented like the pattern keyword's caveat)
+      case "regex" => graft.functions.RegexValid.regex_valid(f)
+      // RFC 6901 relative pointer: non-negative int then '#' or pointer
+      // (PJS _format.py is_relative_json_pointer)
+      case "relative-json-pointer" =>
+        f.rlike("^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$")
+      // idn-hostname: documented approximation of the reference's idna
+      // encode (unicode letters/digits in 1-63-char labels, no edge
+      // hyphens, lowercase only — idna rejects uppercase); the full
+      // UTS-46 bidi/contextual rules are out of regex reach, mirroring
+      // the reference's own declared-skip precedent
+      case "idn-hostname" =>
+        f.rlike("^(?=.{1,253}$)([\\p{Ll}\\p{Lo}\\p{N}]([\\p{Ll}\\p{Lo}\\p{N}-]{0,61}[\\p{Ll}\\p{Lo}\\p{N}])?\\.)*[\\p{Ll}\\p{Lo}\\p{N}]([\\p{Ll}\\p{Lo}\\p{N}-]{0,61}[\\p{Ll}\\p{Lo}\\p{N}])?$")
+      // ISO 8601 duration (RFC 3339 appendix A): week form XOR
+      // date/time components, integer fields (the reference env lacks
+      // the isoduration package, so this checker is spec-derived and
+      // spec-tested rather than reference-cross-checked)
+      case "duration" =>
+        f.rlike("^P(?:\\d+W|(?=\\d|T\\d)(?:\\d+Y)?(?:\\d+M)?(?:\\d+D)?(?:T(?=\\d)(?:\\d+H)?(?:\\d+M)?(?:\\d+S)?)?)$")
+      // RFC 3986 URI-reference grammar approximation (pct-encoded
+      // triplets, reserved/unreserved classes; rejects spaces, <>,
+      // backslash, bare %). The reference env lacks rfc3986-validator,
+      // so this too is spec-derived, spec-tested.
+      case "uri-reference" =>
+        val pct = "%[0-9A-Fa-f]{2}"
+        f.rlike(s"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://(?:(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:]|$pct)*@)?(?:\\[[0-9A-Fa-f:.]+\\]|(?:[A-Za-z0-9\\-._~!$$&'()*+,;=]|$pct)*)(?::[0-9]*)?)?(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/]|$pct)*(?:\\?(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/?]|$pct)*)?(?:#(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/?]|$pct)*)?$$")
       // unknown format: annotation-only no-op, like the reference with
       // assertion disabled
       case _ => lit(true)
@@ -268,6 +311,11 @@ object ConstraintCompiler {
           concat_ws("!=", coalesce(f.cast("string"), lit("null")), length(col(sf)).cast("string")))
       case DependentRequired(fields) =>
         (!f.isNotNull || fields.map(col(_).isNotNull).reduce(_ && _), obsSelf)
+      case WhenPresent(trigger, inner) =>
+        // dependentSchemas implication (PJS:_keywords.py:257-266):
+        // inner applies to THIS field only when `trigger` is present
+        val (p, o) = go(inner)
+        (!col(trigger).isNotNull || p, o)
       case Ref(n) =>
         throw new IllegalStateException(s"unresolved $$ref '$n' — call Suite.resolved first")
     }
@@ -310,8 +358,12 @@ object ConstraintCompiler {
       sum(when(!c.pass, 1L).otherwise(0L)).as(s"__f$i")
     } :+ count(lit(1)).as("__n")
     val row = withProfiles(df, fusedIntArrays).agg(aggCols.head, aggCols.tail: _*)
+    // constraint ids are suite-author-controlled strings (arbitrary JSON
+    // property names): escape backslash+quote so a name like
+    // "o'brien.minLength" can't break or inject into the stack() SQL
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val stacked = cs.zipWithIndex
-      .map { case (c, i) => s"'${c.id}', __f$i" }.mkString(", ")
+      .map { case (c, i) => s"'${esc(c.id)}', __f$i" }.mkString(", ")
     row.selectExpr(s"stack(${cs.length}, $stacked) AS (constraint_id, fails)", "__n AS n_rows")
   }
 
@@ -331,12 +383,26 @@ object ConstraintCompiler {
   /** Violation rows: filter failing rows, explode only their failures —
     * the iter_errors stream (PJS:validators.py:349-394) at table scale.
     * Output: (doc_id, constraint_id, observed, source).
+    *
+    * `observe`: optional [[Observation]] collecting `(rows, viol)` —
+    * total input rows and rows with ≥1 failure — as accumulator metrics
+    * WHILE the violations stream past, so a caller needing both the
+    * stream and the verdict counts pays ONE scan, not two
+    * (ValidateJob.validatePartition; round-1 VERDICT item 3).
     */
   def violations(df: DataFrame, suite: Suite, keyField: String = "doc_id", partField: String = "source",
-                 fusedIntArrays: Set[String] = Set.empty): DataFrame = {
+                 fusedIntArrays: Set[String] = Set.empty,
+                 observe: org.apache.spark.sql.Observation = null): DataFrame = {
     val fails = filter(checksColumn(suite, fusedIntArrays), c => !c("pass"))
-    withProfiles(df, fusedIntArrays)
-      .select(col(keyField), col(partField), explode(fails).as("v"))
+    val base = withProfiles(df, fusedIntArrays)
+      .select(col(keyField), col(partField), fails.as("_fails"))
+    val observed =
+      if (observe == null) base
+      else base.observe(observe,
+        count(lit(1)).as("rows"),
+        sum(when(size(col("_fails")) > 0, 1L).otherwise(0L)).as("viol"))
+    observed
+      .select(col(keyField), col(partField), explode(col("_fails")).as("v"))
       .select(
         col(keyField).as("doc_id"),
         col("v.cid").as("constraint_id"),

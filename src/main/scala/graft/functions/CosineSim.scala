@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,10 +20,17 @@ import org.apache.spark.sql.types._
   * right double summation order of the composed form, so results are
   * bit-identical (the DuckDB oracle rounds to 4 decimals on the same
   * order).
+  *
+  * Input contract (round-1 ADVICE, medium): both children MUST be
+  * arrays of the SAME float/double element type — enforced at analysis
+  * time by [[checkInputDataTypes]] (mixed float/double would read the
+  * right array at the wrong element width). Unequal lengths return
+  * NULL, matching the composed zip_with form's behavior.
   */
 object CosineSimUtil {
-  def cosF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
@@ -31,8 +39,9 @@ object CosineSimUtil {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def cosD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getDouble(i); val y = b.getDouble(i)
@@ -45,16 +54,19 @@ object CosineSimUtil {
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null inputs OR length mismatch
 
-  private def elemType: DataType = left.dataType match {
-    case ArrayType(et, _) => et
-    case other => throw new IllegalArgumentException(s"cosine_sim expects arrays, got $other")
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) if a == b && (a == FloatType || a == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects two arrays of the SAME float/double element type, got $l and $r")
   }
 
-  private def fn: String = elemType match {
-    case FloatType  => "cosF"
-    case DoubleType => "cosD"
-    case other => throw new IllegalArgumentException(s"cosine_sim expects float/double elements, got $other")
+  private def fn: String = left.dataType match {
+    case ArrayType(FloatType, _) => "cosF"
+    case _ => "cosD"
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -63,8 +75,12 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSimUtil.$fn($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cos")
+      s"""java.lang.Double $tmp = graft.functions.CosineSimUtil.$fn($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)

@@ -110,6 +110,12 @@ object Constraint {
   final case class EqLengthOf(strField: String) extends Constraint
   /** `dependentRequired`: if this field is non-null, `fields` must be. */
   final case class DependentRequired(fields: Seq[String]) extends Constraint
+  /** `dependentSchemas` implication (PJS:_keywords.py:257-266): the inner
+    * constraint (on this FieldConstraint's own field) applies only when
+    * the `trigger` column is present (non-null). Produced by the suite
+    * loader from document-level `dependentSchemas: {trigger: subschema}`.
+    */
+  final case class WhenPresent(trigger: String, inner: Constraint) extends Constraint
   /** Intra-suite $ref: resolved (inlined) at suite-compile time, exactly
     * like the reference's subschema cache (PJS:validators.py:1070-1095).
     * An unresolved name raises at compile, mirroring
@@ -154,6 +160,7 @@ final case class Suite(
       case Not(x)            => Not(inline(x, seen))
       case IfThenElse(i, t, e) =>
         IfThenElse(inline(i, seen), t.map(inline(_, seen)), e.map(inline(_, seen)))
+      case WhenPresent(t, c) => WhenPresent(t, inline(c, seen))
       case other => other
     }
     copy(constraints = constraints.map(fc => fc.copy(constraint = inline(fc.constraint, Set.empty))))

@@ -8,11 +8,23 @@ import graft.suite.Constraint._
   *
   * The engine's analogue of the reference's schema compile
   * (PJS:validators.py:282-304): a schema is data (JSON), parsed once on
-  * the driver into the ADT, `$defs`/`$ref` resolved by compile-time
-  * inlining (PJS:validators.py:1070-1095). Unknown keywords are ignored
-  * exactly like the reference ignores non-assertion keywords; an
-  * unresolvable `$ref` raises, mirroring
-  * referencing.exceptions.Unresolvable (REF:_core.py:658-686).
+  * the driver into the ADT, `$ref` resolved by compile-time inlining.
+  *
+  * `$ref` resolution (round-2, VERDICT item 6): any intra-document
+  * fragment reference resolves — `#` (root), `#/arbitrary/json/pointer`
+  * (RFC 6901 walk with ~0/~1 unescaping and array indices, mirroring
+  * REF:_core.py:653-698's pointer lookup), and `#anchor` (`$anchor`
+  * lookup by subtree scan, mirroring the reference's BFS subschema
+  * cache, PJS:validators.py:1254-1262). Remote/absolute refs raise
+  * (zero-egress; suites must be self-contained, mirroring
+  * referencing.exceptions.Unresolvable). Circular refs raise at parse —
+  * inlining cannot represent them.
+  *
+  * Unknown keywords (round-2, VERDICT item 5): ANNOTATIONS (title,
+  * description, default, examples, …) are ignored like the reference
+  * ignores non-assertion keywords; unsupported APPLICATORS
+  * (unevaluatedItems, patternProperties, $dynamicRef, …) RAISE — a
+  * silently dropped applicator would silently weaken the suite.
   *
   * Boolean schemas: `true` → always-pass, `false` → always-fail
   * (PJS:validators.py:290-291,369-379).
@@ -20,46 +32,147 @@ import graft.suite.Constraint._
 object SuiteLoader {
   private val mapper = new ObjectMapper()
 
+  /** Annotation keywords: legal to ignore (no assertion semantics). */
+  private val Annotations = Set(
+    "$id", "$schema", "$anchor", "$comment", "$vocabulary", "$defs",
+    "title", "description", "default", "examples", "deprecated",
+    "readOnly", "writeOnly", "contentMediaType", "contentEncoding")
+
+  /** Applicators / assertions the engine does not support INSIDE a field
+    * subschema (object-shaped instances never occur: a field value is a
+    * scalar or array; minProperties et al. are constants over a fixed
+    * relational schema — SURVEY.md §2.1-2.2 OUT rows). These RAISE.
+    */
+  private val UnsupportedInField = Set(
+    "properties", "patternProperties", "additionalProperties",
+    "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+    "dependentSchemas", "dependentRequired", "required",
+    "minProperties", "maxProperties", "dependencies",
+    "$dynamicRef", "$dynamicAnchor", "$recursiveRef", "$recursiveAnchor")
+
   /** Parse one JSON Schema (subset) document into a Constraint. */
-  def parseSchema(json: String): Constraint = toConstraint(mapper.readTree(json))
+  def parseSchema(json: String): Constraint = {
+    val n = mapper.readTree(json)
+    toConstraint(n, Map.empty, n, Set.empty)
+  }
+
+  private def nodeDefs(n: JsonNode): Map[String, JsonNode] =
+    Option(n.get("$defs"))
+      .map(d => d.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
+      .getOrElse(Map.empty)
 
   /** Parse a whole SUITE document — a JSON Schema object whose
     * `properties` map the table's columns (≙ the reference's root-schema
     * entry, PJS:validators.py:1265-1332): each keyword inside a field's
     * subschema becomes one named FieldConstraint (`<field>.<keyword>`)
     * so violations stay per-keyword granular, exactly like the
-    * reference's per-keyword ValidationError.validator. Top-level
-    * `required` and `dependentRequired` are object-level keywords over
-    * the column set; `$defs` provides the `$ref` registry (inlined at
-    * parse, document scope).
+    * reference's per-keyword ValidationError.validator.
+    *
+    * Document-level keywords: `required`, `dependentRequired`,
+    * `dependentSchemas` (each trigger's subschema recursed with a
+    * WhenPresent wrap), `allOf` (branches recursed and concatenated —
+    * the common real-world "allOf of partial suites" wrapping, round-2
+    * VERDICT item 5), `$ref` (pointer-resolved then recursed), `$defs`.
+    * Doc-level `anyOf`/`oneOf`/`not`/`if` cannot decompose into
+    * independent per-field constraints and RAISE (explicitly, never
+    * silently dropped).
     */
   def parseSuiteDocument(json: String): Suite = {
-    val n = mapper.readTree(json)
-    require(n.isObject, "suite document must be a JSON object")
-    val name = Option(n.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
-    val scope: Map[String, JsonNode] =
-      Option(n.get("$defs")).map(d => d.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
-        .getOrElse(Map.empty)
+    val root = mapper.readTree(json)
+    require(root.isObject, "suite document must be a JSON object")
+    val name = Option(root.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
     val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
+    parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs)
+    // keep ids unique when allOf branches repeat a (field, keyword) pair
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val uniq = cs.toSeq.map { fc =>
+      val n = seen.getOrElse(fc.id, 0); seen(fc.id) = n + 1
+      if (n == 0) fc else fc.copy(id = s"${fc.id}#$n")
+    }
+    Suite(name, uniq)
+  }
 
-    Option(n.get("required")).foreach(_.asScala.foreach(f =>
-      cs += FieldConstraint(s"${f.asText()}.required", f.asText(), Constraint.Required())))
-    Option(n.get("dependentRequired")).foreach(_.properties().asScala.foreach { e =>
-      cs += FieldConstraint(s"${e.getKey}.dependentRequired", e.getKey,
-        Constraint.DependentRequired(e.getValue.asScala.map(_.asText()).toSeq))
-    })
+  /** One object-level schema (document root, allOf branch, or a
+    * dependentSchemas trigger subschema) → FieldConstraints appended to
+    * `out`, each wrapped by `wrap` (identity at root; WhenPresent under
+    * dependentSchemas).
+    */
+  private def parseObjectLevel(n: JsonNode, scope: Map[String, JsonNode], root: JsonNode,
+                               prefix: String, wrap: Constraint => Constraint,
+                               activeRefs: Set[String],
+                               out: scala.collection.mutable.ArrayBuffer[FieldConstraint]): Unit = {
+    val localScope = scope ++ nodeDefs(n)
 
+    n.properties().asScala.foreach { entry =>
+      entry.getKey match {
+        case "required" =>
+          entry.getValue.asScala.foreach(f =>
+            out += FieldConstraint(s"$prefix${f.asText()}.required", f.asText(), wrap(Required())))
+        case "dependentRequired" =>
+          entry.getValue.properties().asScala.foreach { e =>
+            out += FieldConstraint(s"$prefix${e.getKey}.dependentRequired", e.getKey,
+              wrap(DependentRequired(e.getValue.asScala.map(_.asText()).toSeq)))
+          }
+        case "dependentSchemas" =>
+          entry.getValue.properties().asScala.foreach { e =>
+            val (trigger, sub) = (e.getKey, e.getValue)
+            if (sub.isBoolean) {
+              if (!sub.asBoolean()) // {trigger: false}: trigger must be absent
+                out += FieldConstraint(s"$prefix$trigger.dependentSchemas", trigger,
+                  wrap(WhenPresent(trigger, Always(false))))
+            } else {
+              require(sub.isObject, s"dependentSchemas['$trigger'] must be a schema")
+              parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
+                s"$prefix$trigger.dependentSchemas.",
+                c => wrap(WhenPresent(trigger, c)), activeRefs, out)
+            }
+          }
+        case "allOf" =>
+          entry.getValue.asScala.zipWithIndex.foreach { case (branch, i) =>
+            require(branch.isObject, s"doc-level allOf[$i] must be an object schema")
+            parseObjectLevel(branch, localScope ++ nodeDefs(branch), root,
+              s"${prefix}allOf[$i].", wrap, activeRefs, out)
+          }
+        case "$ref" =>
+          val ref = entry.getValue.asText()
+          require(!activeRefs.contains(ref), s"circular doc-level $$ref '$ref'")
+          val target = resolveFragment(ref, root, localScope)
+          require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
+          parseObjectLevel(target, localScope, root, prefix, wrap, activeRefs + ref, out)
+        case "properties" =>
+          parseProperties(entry.getValue, localScope, root, prefix, wrap, out)
+        case "type" =>
+          val t = entry.getValue
+          require(t.isTextual && t.asText() == "object",
+            s"suite document type must be 'object', got $t")
+        case "additionalProperties" | "propertyNames" =>
+          // strict-schema mode is compile-time column checking
+          // (Suite.checkSchema); only the boolean form is meaningful here
+          require(entry.getValue.isBoolean,
+            s"doc-level ${entry.getKey} supports only the boolean form (strict mode = Suite.checkSchema)")
+        case k if Annotations.contains(k) => ()
+        case k =>
+          throw new UnsupportedOperationException(
+            s"unsupported document-level keyword '$k' — raising instead of silently dropping an applicator")
+      }
+    }
+  }
+
+  /** `properties`: one FieldConstraint per (field, keyword) slice. */
+  private def parseProperties(props: JsonNode, scope: Map[String, JsonNode], root: JsonNode,
+                              prefix: String, wrap: Constraint => Constraint,
+                              out: scala.collection.mutable.ArrayBuffer[FieldConstraint]): Unit = {
     // keywords that are consumed by a sibling anchor keyword, never alone
     val anchored = Set("minContains", "maxContains", "then", "else", "$defs")
-    Option(n.get("properties")).foreach(_.properties().asScala.foreach { p =>
+    props.properties().asScala.foreach { p =>
       val (field, sub) = (p.getKey, p.getValue)
       require(sub.isObject || sub.isBoolean, s"field '$field' subschema must be object or boolean")
       if (sub.isBoolean) {
-        cs += FieldConstraint(s"$field.schema", field, Constraint.Always(sub.asBoolean()))
+        out += FieldConstraint(s"$prefix$field.schema", field, wrap(Always(sub.asBoolean())))
       } else {
         sub.properties().asScala.foreach { e =>
           val k = e.getKey
-          if (!anchored.contains(k)) {
+          if (!anchored.contains(k) && !Annotations.contains(k)) {
             // single-keyword slice, carrying the anchored siblings +
             // document $defs scope along
             val slice = mapper.createObjectNode()
@@ -70,24 +183,28 @@ object SuiteLoader {
               "items"    -> Seq("prefixItems"))
             carry.getOrElse(k, Nil)
               .foreach(s => Option(sub.get(s)).foreach(slice.set[JsonNode](s, _)))
-            val c = toConstraint(slice, scope)
+            val c = toConstraint(slice, scope ++ nodeDefs(sub), root, Set.empty)
             // the prefixItems slice inside an items-slice is only there
             // to offset items; it emits its own constraint from its own
-            // keyword iteration, so drop it from the items slice result
+            // keyword iteration, so drop it from the items slice result.
+            // Plain Items is matched too: an EMPTY prefixItems array
+            // compiles items without offset, and the extraction must not
+            // fall through to the AllOf carrying the redundant
+            // PrefixItems (round-1 ADVICE, low).
             val cleaned = c match {
               case Constraint.AllOf(xs) if k == "items" =>
-                xs.find(_.isInstanceOf[Constraint.ItemsFrom]).getOrElse(c)
+                xs.find(x => x.isInstanceOf[Constraint.ItemsFrom] || x.isInstanceOf[Constraint.Items])
+                  .getOrElse(c)
               case other => other
             }
-            cs += FieldConstraint(s"$field.$k", field, cleaned)
+            out += FieldConstraint(s"$prefix$field.$k", field, wrap(cleaned))
           }
         }
       }
-    })
-    Suite(name, cs.toSeq)
+    }
   }
 
-  def toConstraint(n: JsonNode): Constraint = toConstraint(n, Map.empty)
+  def toConstraint(n: JsonNode): Constraint = toConstraint(n, Map.empty, n, Set.empty)
 
   private def anyVal(n: JsonNode): Any =
     if (n.isIntegralNumber) n.asLong()
@@ -97,24 +214,79 @@ object SuiteLoader {
     else if (n.isNull) null
     else throw new IllegalArgumentException(s"unsupported constant: $n")
 
-  /** `scope` carries the lexically-enclosing $defs registry down the
-    * tree (document scope), like the reference resolver's dynamic scope
-    * stack collapsed to the static case (REF:_core.py:653-698).
+  // ---- $ref machinery (REF:_core.py:653-698 static subset) --------------
+
+  private def unescapePointer(seg: String): String =
+    seg.replace("~1", "/").replace("~0", "~")
+
+  /** RFC 6901 JSON-pointer walk from `root` (objects by key, arrays by
+    * index). Returns None when any step is missing.
     */
-  private def toConstraint(n: JsonNode, scope: Map[String, JsonNode]): Constraint = {
+  private def pointerWalk(root: JsonNode, ptr: String): Option[JsonNode] = {
+    if (ptr.isEmpty) return Some(root)
+    var cur: JsonNode = root
+    ptr.split("/", -1).foreach { seg0 =>
+      val seg = unescapePointer(seg0)
+      cur =
+        if (cur == null) null
+        else if (cur.isObject) cur.get(seg)
+        else if (cur.isArray && seg.matches("0|[1-9][0-9]*")) cur.get(seg.toInt)
+        else null
+    }
+    Option(cur)
+  }
+
+  /** `$anchor` lookup: scan the document for an object carrying
+    * `$anchor: name` (≙ the reference's BFS subschema cache,
+    * PJS:validators.py:1254-1262).
+    */
+  private def findAnchor(root: JsonNode, name: String): Option[JsonNode] = {
+    val queue = scala.collection.mutable.Queue[JsonNode](root)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      if (n.isObject) {
+        val a = n.get("$anchor")
+        if (a != null && a.isTextual && a.asText() == name) return Some(n)
+        n.properties().asScala.foreach(e => queue.enqueue(e.getValue))
+      } else if (n.isArray) n.asScala.foreach(queue.enqueue(_))
+    }
+    None
+  }
+
+  /** Resolve an intra-document fragment reference to its target node. */
+  private def resolveFragment(ref: String, root: JsonNode, scope: Map[String, JsonNode]): JsonNode =
+    if (ref == "#" || ref == "") root
+    else if (ref.startsWith("#/"))
+      pointerWalk(root, ref.drop(2))
+        // slices parsed outside full-document context still resolve
+        // their lexical $defs through the carried scope
+        .orElse(scope.get(unescapePointer(ref.stripPrefix("#/$defs/"))))
+        .getOrElse(throw new IllegalArgumentException(s"unresolvable $$ref '$ref'"))
+    else if (ref.startsWith("#"))
+      findAnchor(root, ref.drop(1))
+        .getOrElse(throw new IllegalArgumentException(s"unresolvable $$anchor ref '$ref'"))
+    else throw new IllegalArgumentException(
+      s"non-fragment $$ref '$ref' unsupported: zero-egress, suites must be self-contained " +
+        "(mirrors referencing.exceptions.Unresolvable, REF:_core.py:658-686)")
+
+  /** `scope` carries the lexically-enclosing $defs registry down the
+    * tree; `root` is the whole document for pointer/anchor refs;
+    * `activeRefs` guards against circular inlining.
+    */
+  private def toConstraint(n: JsonNode, scope: Map[String, JsonNode],
+                           root: JsonNode, activeRefs: Set[String]): Constraint = {
     if (n.isBoolean) return Always(n.asBoolean())
     require(n.isObject, s"schema must be object or boolean, got $n")
     val cs = scala.collection.mutable.ArrayBuffer.empty[Constraint]
-    val defs: Map[String, JsonNode] = scope ++
-      Option(n.get("$defs")).map(d => d.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
-        .getOrElse(Map.empty)
+    val defs: Map[String, JsonNode] = scope ++ nodeDefs(n)
 
     def resolveRef(ref: String): Constraint = {
-      val name = ref.stripPrefix("#/$defs/")
-      val target = defs.getOrElse(name,
-        throw new IllegalArgumentException(s"unresolvable $$ref '$ref'"))
-      toConstraint(target, defs)
+      if (activeRefs.contains(ref))
+        throw new IllegalArgumentException(s"circular $$ref '$ref' — compile-time inlining cannot represent cycles")
+      toConstraint(resolveFragment(ref, root, defs), defs, root, activeRefs + ref)
     }
+
+    def sub(v: JsonNode): Constraint = toConstraint(v, defs, root, activeRefs)
 
     n.properties().asScala.foreach { e =>
       val (k, v) = (e.getKey, e.getValue)
@@ -133,7 +305,7 @@ object SuiteLoader {
         case "maxLength" => cs += MaxLength(v.asInt())
         case "pattern" => cs += Pattern(v.asText())
         case "format" => cs += Format(v.asText())
-        case "prefixItems" => cs += PrefixItems(v.asScala.map(toConstraint(_, defs)).toSeq)
+        case "prefixItems" => cs += PrefixItems(v.asScala.map(sub).toSeq)
         case "minItems" => cs += MinItems(v.asInt())
         case "maxItems" => cs += MaxItems(v.asInt())
         case "uniqueItems" => if (v.asBoolean()) cs += UniqueItems()
@@ -141,30 +313,38 @@ object SuiteLoader {
           // 2020-12: with sibling prefixItems, items starts after the
           // prefix positions (PJS:_keywords.py:59-82)
           val prefixLen = Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
-          cs += (if (prefixLen == 0) Items(toConstraint(v, defs))
-                 else ItemsFrom(prefixLen, toConstraint(v, defs)))
+          cs += (if (prefixLen == 0) Items(sub(v)) else ItemsFrom(prefixLen, sub(v)))
         case "contains" =>
           val mn = Option(n.get("minContains")).map(_.asInt()).getOrElse(1)
           val mx = Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue)
-          cs += Contains(toConstraint(v, defs), mn, mx)
-        case "allOf" => cs += AllOf(v.asScala.map(toConstraint(_, defs)).toSeq)
-        case "anyOf" => cs += AnyOf(v.asScala.map(toConstraint(_, defs)).toSeq)
-        case "oneOf" => cs += OneOf(v.asScala.map(toConstraint(_, defs)).toSeq)
-        case "not" => cs += Not(toConstraint(v, defs))
+          cs += Contains(sub(v), mn, mx)
+        case "allOf" => cs += AllOf(v.asScala.map(sub).toSeq)
+        case "anyOf" => cs += AnyOf(v.asScala.map(sub).toSeq)
+        case "oneOf" => cs += OneOf(v.asScala.map(sub).toSeq)
+        case "not" => cs += Not(sub(v))
         case "if" =>
-          cs += IfThenElse(
-            toConstraint(v, defs),
-            Option(n.get("then")).map(toConstraint(_, defs)),
-            Option(n.get("else")).map(toConstraint(_, defs)))
+          cs += IfThenElse(sub(v),
+            Option(n.get("then")).map(sub),
+            Option(n.get("else")).map(sub))
         case "$ref" => cs += resolveRef(v.asText())
         // engine extension keywords (x- prefix, the JSON Schema custom-
         // keyword convention): cross-field invariants with no pure-JSON-
         // Schema analogue (≙ extend(validator, ...), PJS:validators.py:516)
         case "x-eqSizeOf"   => cs += EqSizeOf(v.asText())
         case "x-eqLengthOf" => cs += EqLengthOf(v.asText())
-        // non-assertion / unsupported keywords are ignored, like the
-        // reference ignores annotations (title, description, ...)
-        case _ => ()
+        // anchored siblings consumed by their anchor keyword above
+        case "minContains" | "maxContains" | "then" | "else" => ()
+        // annotations are ignored like the reference ignores them …
+        case k0 if Annotations.contains(k0) => ()
+        // … but an unsupported APPLICATOR must raise, not silently
+        // weaken the suite (round-2, VERDICT item 5)
+        case k0 if UnsupportedInField.contains(k0) =>
+          throw new UnsupportedOperationException(
+            s"keyword '$k0' unsupported inside a field subschema (column values are scalars/arrays)")
+        case k0 =>
+          throw new UnsupportedOperationException(
+            s"unknown keyword '$k0' — raising instead of silently dropping a possible applicator " +
+              "(custom keywords use the x- prefix + ConstraintCompiler.extensions)")
       }
     }
     cs.toList match {

@@ -25,28 +25,38 @@ class GoldenSuiteSpec extends SparkSpec {
     scala.io.Source.fromResource("golden/cases.json")(scala.io.Codec.UTF8).mkString)
 
   private def sparkType(ct: String): DataType = ct match {
-    case "int"        => IntegerType
-    case "long"       => LongType
-    case "double"     => DoubleType
-    case "string"     => StringType
-    case "bool"       => BooleanType
-    case "array<int>" => ArrayType(IntegerType, containsNull = false)
+    case "int"         => IntegerType
+    case "long"        => LongType
+    case "double"      => DoubleType
+    case "string"      => StringType
+    case "bool"        => BooleanType
+    case "array<int>"  => ArrayType(IntegerType, containsNull = false)
+    // null elements reachable: the JSON `null` instance inside an array
+    // (element keywords must type-gate it, ConstraintCompiler.elementPred)
+    case "array<int?>" => ArrayType(IntegerType, containsNull = true)
   }
 
   private def toValue(n: com.fasterxml.jackson.databind.JsonNode, ct: String): Any =
     if (n == null || n.isNull) null
     else ct match {
-      case "int"        => n.asInt()
-      case "long"       => n.asLong()
-      case "double"     => n.asDouble()
-      case "string"     => n.asText()
-      case "bool"       => n.asBoolean()
-      case "array<int>" => n.asScala.map(_.asInt()).toSeq
+      case "int"         => n.asInt()
+      case "long"        => n.asLong()
+      case "double"      => n.asDouble()
+      case "string"      => n.asText()
+      case "bool"        => n.asBoolean()
+      case "array<int>"  => n.asScala.map(_.asInt()).toSeq
+      case "array<int?>" => n.asScala.map(e => if (e.isNull) null else e.asInt()).toSeq
     }
 
   corpus.asScala.foreach { group =>
     val desc = group.get("description").asText()
     val ct = group.get("ctype").asText()
+    if (ct == "row") rowGroupTest(group, desc) else singleColumnTest(group, desc, ct)
+  }
+
+  /** Single-column groups: the schema constrains one value column `v`. */
+  private def singleColumnTest(group: com.fasterxml.jackson.databind.JsonNode,
+                               desc: String, ct: String): Unit =
     test(s"golden: $desc") {
       val constraint = SuiteLoader.toConstraint(group.get("schema"))
       val compiled = ConstraintCompiler.compile(FieldConstraint(desc, "v", constraint))
@@ -64,5 +74,39 @@ class GoldenSuiteSpec extends SparkSpec {
         s"\nparity failures in '$desc':\n" +
           bad.map(r => s"  [${r.getString(0)}] expected=${r.getBoolean(1)} got=${r.getBoolean(2)}").mkString("\n"))
     }
-  }
+
+  /** Row groups (round-2): the schema is a whole SUITE DOCUMENT (object
+    * level — properties/required/dependentRequired/dependentSchemas/
+    * allOf/$defs/$ref), instances are JSON objects mapped onto one row
+    * via the group's `columns` type declaration (missing key → NULL,
+    * the engine's documented absent≙null reinterpretation). The verdict
+    * is the conjunction of every parsed FieldConstraint — exactly how
+    * the reference's iter_errors empty⇔valid works at document level.
+    * check_golden_vs_reference.py validates the same (schema, object)
+    * pairs with the reference validator directly.
+    */
+  private def rowGroupTest(group: com.fasterxml.jackson.databind.JsonNode, desc: String): Unit =
+    test(s"golden: $desc") {
+      val columns = group.get("columns").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toSeq
+      val suite = SuiteLoader.parseSuiteDocument(group.get("schema").toString)
+      val compiled = suite.resolved.constraints.map(ConstraintCompiler.compile(_, Set.empty))
+      val tests = group.get("tests").asScala.toSeq
+      val schema = StructType(
+        columns.map { case (f, ct) => StructField(f, sparkType(ct), nullable = true) } ++
+          Seq(StructField("expected", BooleanType, nullable = false),
+            StructField("tdesc", StringType, nullable = false)))
+      val rows = tests.map { t =>
+        val data = t.get("data")
+        Row.fromSeq(columns.map { case (f, ct) => toValue(data.get(f), ct) } ++
+          Seq(t.get("valid").asBoolean(), t.get("description").asText()))
+      }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val verdict = compiled.map(_.pass).reduce(_ && _)
+      val got = df.select(col("tdesc"), col("expected"), verdict.as("got")).collect()
+      val bad = got.filter(r => r.getBoolean(1) != r.getBoolean(2))
+      assert(bad.isEmpty,
+        s"\nparity failures in '$desc' (ids=${suite.constraints.map(_.id)}):\n" +
+          bad.map(r => s"  [${r.getString(0)}] expected=${r.getBoolean(1)} got=${r.getBoolean(2)}").mkString("\n"))
+    }
 }

@@ -53,6 +53,65 @@ class ValidateJobSpec extends SparkSpec {
     assert(v2 == parts.toSet, "resumed output must equal original")
   }
 
+  test("partition discovery reads directory names, not table data") {
+    val table = tmp("disc")
+    new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
+    // ground truth straight from the filesystem layout
+    val dirs = new java.io.File(table).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("source=")).map(_.stripPrefix("source=")).toSet
+    assert(dirs.nonEmpty)
+    assert(ValidateJob.listPartitions(spark, table, "source").toSet == dirs)
+    // flat (non-partitioned) layout falls back to a distinct scan
+    val flat = tmp("flat")
+    TokenData.tokenTable(spark, 500, 2).write.parquet(flat)
+    val viaScan = spark.read.parquet(flat).select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ValidateJob.listPartitions(spark, flat, "source").toSet == viaScan)
+  }
+
+  test("validatePartition runs exactly ONE job (observe metrics, no second scan)") {
+    val table = tmp("onescan"); val out = tmp("oneout")
+    new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 3000, 4), table)
+    val slice = spark.read.parquet(table).filter(col("source") === "web")
+    val expectRows = slice.count()
+    def jobCount: Int = {
+      // status store updates are async behind the listener bus — settle
+      var last = -1; var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      while (cur != last) { last = cur; Thread.sleep(200)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length }
+      cur
+    }
+    val before = jobCount
+    val (rows, viol) = ValidateJob.validatePartition(slice, NorthStar.suite, out, "web")
+    val ran = jobCount - before
+    assert(rows == expectRows)
+    assert(viol > 0, "generator injects violations into every partition")
+    assert(ran == 1, s"expected one scan job, saw $ran")
+    // and the violations parquet agrees with the observed metric
+    val written = spark.read.parquet(s"$out/violations/partition=web")
+    assert(written.select("doc_id").distinct().count() <= viol)
+  }
+
+  test("topViolations: two-phase top-k matches single-window truth; no global sort of all violations") {
+    import org.apache.spark.sql.expressions.Window
+    TokenData.ensure(spark, "/root/testdata/sf0.001")
+    val twoPhase = ValidationQueries.topViolations(spark, "/root/testdata/sf0.001")
+    val plan = twoPhase.queryExecution.executedPlan.toString()
+    assert(plan.contains("_salt"), s"phase-1 window must partition by (source, _salt):\n$plan")
+    // truth: the naive single window
+    val sev = ValidationQueries.Severity.foldLeft(lit(0)) { case (acc, (cid, w)) =>
+      when(col("constraint_id") === cid, lit(w)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("severity").desc, col("doc_id").asc, col("constraint_id").asc)
+    val truth = ValidationQueries.violations(spark, "/root/testdata/sf0.001")
+      .withColumn("severity", sev)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 5)
+    assert(twoPhase.collect().map(_.toString).sorted.toSeq ==
+      truth.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("suite change invalidates checkpoint (hash mismatch forces revalidation)") {
     val table = tmp("t2"); val out = tmp("o3"); val ckpt = tmp("c2")
     new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 1000, 2), table)
