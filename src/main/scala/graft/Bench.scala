@@ -66,7 +66,7 @@ object Bench {
       "--master", master,
       "--class", "graft.ScaleRunner",
       "--driver-memory", "3g",
-      "--conf", "spark.executor.memory=7g",
+      "--conf", "spark.executor.memory=5g",
       "--conf", s"spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=$coresPer",
       "--conf", "spark.sql.shuffle.partitions=32",
       "--conf", "spark.sql.session.timeZone=UTC",
@@ -153,19 +153,28 @@ object Bench {
     val thr32 = rows / threadRounds.map(_._2).min
     val effThreads = (thr32 / thr8) / 4.0
 
-    // ---- process scaling: N=1 vs 4N=4 executor JVMs, 8 cores each ----
+    // ---- process scaling: N=1 vs 4N=4 executor JVMs, 4 cores each ----
     // Each measurement is its OWN spark-submit (the north-rule's literal
-    // wording) at local-cluster[N,8,…]: executors are real separate
-    // processes with separate heaps/GC/JIT. The remaining shared
-    // resource is the host's memory bandwidth, which a real cluster
-    // scales WITH node count — reported raw + CPU-calibrated below.
-    // Alternating submit order, min per config (same noise logic).
+    // wording) at local-cluster[N,4,…]: executors are real separate
+    // processes with separate heaps/GC/JIT. Executor SHAPE is fixed
+    // (4 cores, ActiveProcessorCount-pinned) and only the COUNT varies —
+    // the cluster experiment — and 4x4=16 cores keeps the 32-core host
+    // under-subscribed, so the shared memory bus doesn't confound the
+    // executor-count signal (full 4x8 subscription measured 10x noisier
+    // on this shared VM). A real cluster adds memory bandwidth WITH
+    // node count; one box cannot — reported raw + CPU-calibrated below.
+    // 16M rows (not 4M) so per-job constant overhead (<0.5s scheduling)
+    // stays <5% of the shortest measurement. Alternating submit order,
+    // min per config (same noise logic).
+    val scale16 = s"${TokenData.dataRoot}/scaling16/token_seqs"
+    if (!new java.io.File(s"$scale16/_SUCCESS").exists())
+      TokenData.writeTokens(TokenData.tokenTable(spark, 16000000L), scale16)
     val jar = classesJar()
     val (rowsEx, thrEx1, thrEx4, effProcs) = jar match {
       case None => (0L, 0.0, 0.0, -1.0) // no classes dir (shouldn't happen under sbt)
       case Some(j) =>
-        val m1 = "local-cluster[1,8,8192]"; val m4 = "local-cluster[4,8,8192]"
-        val subs = Seq(m1, m4, m4, m1).flatMap(m => sparkSubmit(m, j, scalePath).map(m -> _))
+        val m1 = "local-cluster[1,4,6144]"; val m4 = "local-cluster[4,4,6144]"
+        val subs = Seq(m1, m4, m4, m1).flatMap(m => sparkSubmit(m, j, scale16).map(m -> _))
         val by = subs.groupBy(_._1).view.mapValues(v => (v.head._2._1, v.map(_._2._2).min)).toMap
         (by.get(m1), by.get(m4)) match {
           case (Some((r1, t1)), Some((_, t4))) =>

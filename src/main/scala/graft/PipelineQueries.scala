@@ -224,9 +224,11 @@ object PipelineQueries {
         count(lit(1)).as("n_neighbors"))
   }
 
-  /** IVF ANN (scale path) with recall vs brute force — Spark-only
-    * (rows-only driver check; the recall NUMBER is itself the oracle
-    * against the exact search).
+  /** IVF ANN (scale path) with recall vs brute force. Every stage is
+    * deterministic (first-16 centroids, cosine rounded to 4, lowest-id
+    * tie-breaks), so DuckDB recomputes the ENTIRE pipeline —
+    * assignment argmax, probe selection, bucket-pruned search, exact
+    * search, recall — and the driver gate hash-checks the recall row.
     */
   def ivfAnn(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ann.ivfSearchWithRecall(emb(s, dir), nQueries = 20)
@@ -279,6 +281,16 @@ object PipelineQueries {
        list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
        (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)"""
+
+  /** COS with explicit operand expressions (same IEEE op order as
+    * [[graft.functions.CosineSim]], proven bit-equal by
+    * e_ann_cosine_top5).
+    */
+  private def cosF(ae: String, be: String) =
+    s"""round(
+       list_sum(list_transform(list_zip($ae, $be), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+       (sqrt(list_sum(list_transform($ae, x -> x::DOUBLE * x::DOUBLE))) *
+        sqrt(list_sum(list_transform($be, x -> x::DOUBLE * x::DOUBLE)))), 4)"""
 
   private val docSuiteOracle: String = {
     val checks: Seq[(String, String)] = Seq(
@@ -388,6 +400,31 @@ object PipelineQueries {
       s"""SELECT doc_id, octet_length(encode(text))::INT AS n_bytes, md5(text) AS digest,
          round((${H("text || '|f0'")} % 1000)::DOUBLE / 1000.0, 3) AS feat0
          FROM documents""".replaceAll("\\s+", " "),
+
+    "e_ivf_ann_recall" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         asn AS (SELECT vec_id, embedding, cid AS bucket FROM (
+           SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosF("e.embedding", "c.cv")} DESC, c.cid ASC) AS rk
+           FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         probes AS (SELECT qid, qv, cid AS bucket FROM (
+           SELECT q.qid, q.qv, c.cid,
+             row_number() OVER (PARTITION BY q.qid ORDER BY ${cosF("q.qv", "c.cv")} DESC, c.cid ASC) AS rk
+           FROM q CROSS JOIN cent c) WHERE rk <= 4),
+         approx AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, a.vec_id,
+             row_number() OVER (PARTITION BY p.qid ORDER BY ${cosF("p.qv", "a.embedding")} DESC, a.vec_id ASC) AS rk
+           FROM probes p JOIN asn a ON p.bucket = a.bucket AND a.vec_id <> p.qid) WHERE rk <= 5),
+         exact AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY ${cosF("q.qv", "e.embedding")} DESC, e.vec_id ASC) AS rk
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) WHERE rk <= 5),
+         hits AS (SELECT a.qid, count(*)::BIGINT AS n_hits
+           FROM approx a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id GROUP BY a.qid)
+         SELECT count(*)::BIGINT AS n_queries,
+           round(avg(n_hits::DOUBLE / 5), 6) AS recall_at_k,
+           16::INT AS k_buckets, 4::INT AS n_probe FROM hits""".replaceAll("\\s+", " "),
 
     "e_ann_cosine_top5" ->
       s"""SELECT qid, vec_id, cos, rk FROM (

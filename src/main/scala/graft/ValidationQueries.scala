@@ -192,18 +192,31 @@ object ValidationQueries {
     ("source.enum", s"NOT coalesce(source IN $ENUM, false)", "source")
   )
 
+  /** Violation-fidelity columns (json_path, schema_path, message)
+    * mirroring ConstraintCompiler.violations exactly: field =
+    * `<cid up to first dot>`, schema_path = keyword path under
+    * `#/properties/<field>/`, message built from the lateral `observed`
+    * alias (DuckDB resolves same-SELECT aliases left-to-right).
+    */
+  private def fidelityCols(cid: String): String = {
+    val field = cid.takeWhile(_ != '.')
+    val schemaPath = s"#/properties/$field/${cid.stripPrefix(field + ".").replace('.', '/')}"
+    s"'$$.$field' AS json_path, '$schemaPath' AS schema_path, " +
+      s"'$cid failed at $$.$field: observed ' || observed AS message"
+  }
+
   val oracles: Map[String, String] = Map(
     "v_row_checks" -> duckChecks.map { case (cid, failp, _) =>
       s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM $T"
     }.mkString(" UNION ALL "),
 
     "v_violations" -> duckChecks.map { case (cid, failp, obs) =>
-      s"SELECT doc_id, '$cid' AS constraint_id, $obs AS observed, source FROM $T WHERE $failp"
+      s"SELECT doc_id, '$cid' AS constraint_id, $obs AS observed, source, ${fidelityCols(cid)} FROM $T WHERE $failp"
     }.mkString(" UNION ALL "),
 
     "v_top_violations" -> {
       val viols = duckChecks.map { case (cid, failp, obs) =>
-        s"SELECT doc_id, '$cid' AS constraint_id, $obs AS observed, source FROM $T WHERE $failp"
+        s"SELECT doc_id, '$cid' AS constraint_id, $obs AS observed, source, ${fidelityCols(cid)} FROM $T WHERE $failp"
       }.mkString(" UNION ALL ")
       val sev = "CASE constraint_id " + Severity.toSeq.sortBy(_._1).map { case (cid, w) =>
         s"WHEN '$cid' THEN $w"
@@ -212,7 +225,7 @@ object ValidationQueries {
          ranked AS (SELECT *, $sev AS severity,
            row_number() OVER (PARTITION BY source ORDER BY $sev DESC, doc_id ASC, constraint_id ASC) AS rk
          FROM viols)
-         SELECT doc_id, constraint_id, observed, source, severity, rk
+         SELECT doc_id, constraint_id, observed, source, json_path, schema_path, message, severity, rk
          FROM ranked WHERE rk <= 5""".replaceAll("\\s+", " ")
     },
 

@@ -142,12 +142,13 @@ object ConstraintCompiler {
       case "relative-json-pointer" =>
         f.rlike("^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$")
       // idn-hostname: documented approximation of the reference's idna
-      // encode (unicode letters/digits in 1-63-char labels, no edge
-      // hyphens, lowercase only — idna rejects uppercase); the full
-      // UTS-46 bidi/contextual rules are out of regex reach, mirroring
+      // encode with UTS-46 remapping (unicode letters/digits in
+      // 1-63-char labels, no edge hyphens; uppercase accepted — the
+      // remap lowercases, verified against the reference checker); the
+      // full bidi/contextual rules are out of regex reach, mirroring
       // the reference's own declared-skip precedent
       case "idn-hostname" =>
-        f.rlike("^(?=.{1,253}$)([\\p{Ll}\\p{Lo}\\p{N}]([\\p{Ll}\\p{Lo}\\p{N}-]{0,61}[\\p{Ll}\\p{Lo}\\p{N}])?\\.)*[\\p{Ll}\\p{Lo}\\p{N}]([\\p{Ll}\\p{Lo}\\p{N}-]{0,61}[\\p{Ll}\\p{Lo}\\p{N}])?$")
+        f.rlike("^(?=.{1,253}$)([\\p{L}\\p{N}]([\\p{L}\\p{N}-]{0,61}[\\p{L}\\p{N}])?\\.)*[\\p{L}\\p{N}]([\\p{L}\\p{N}-]{0,61}[\\p{L}\\p{N}])?$")
       // ISO 8601 duration (RFC 3339 appendix A): week form XOR
       // date/time components, integer fields (the reference env lacks
       // the isoduration package, so this checker is spec-derived and
@@ -161,6 +162,29 @@ object ConstraintCompiler {
       case "uri-reference" =>
         val pct = "%[0-9A-Fa-f]{2}"
         f.rlike(s"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://(?:(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:]|$pct)*@)?(?:\\[[0-9A-Fa-f:.]+\\]|(?:[A-Za-z0-9\\-._~!$$&'()*+,;=]|$pct)*)(?::[0-9]*)?)?(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/]|$pct)*(?:\\?(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/?]|$pct)*)?(?:#(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/?]|$pct)*)?$$")
+      // idn-email: the reference parses with email.headerregistry
+      // (PJS:_format.py is_email with allow_smtputf8) — approximation:
+      // the ASCII email shape with unicode letters/digits admitted in
+      // both local part and domain labels; golden cases are chosen
+      // where this agrees with the reference parser (cross-checked)
+      case "idn-email" =>
+        f.rlike("^[\\p{L}\\p{N}._%+-]+@[\\p{L}\\p{N}.-]+\\.[\\p{L}]{2,}$")
+      // iri / iri-reference (RFC 3987): the URI grammars with the
+      // unreserved class widened to unicode (ucschar). The reference
+      // env lacks rfc3987, so these are spec-derived + spec-tested,
+      // like duration/uri
+      case "iri" =>
+        f.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^\\s]+$")
+      case "iri-reference" =>
+        val pct = "%[0-9A-Fa-f]{2}"
+        val c = s"[\\p{L}\\p{N}\\-._~!$$&'()*+,;=:@/]|$pct"
+        f.rlike(s"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://(?:$c|@)*)?(?:$c)*(?:\\?(?:$c|\\?)*)?(?:#(?:$c|\\?)*)?$$")
+      // uri-template (RFC 6570): literals interleaved with
+      // {op? varname(:maxlen|*)? (, ...)*} expressions; reference env
+      // lacks uri-template, spec-derived + spec-tested
+      case "uri-template" =>
+        val varspec = "[A-Za-z0-9_](?:[A-Za-z0-9_.]|%[0-9A-Fa-f]{2})*(?::[1-9][0-9]{0,3}|\\*)?"
+        f.rlike(s"^(?:[^{}]|\\{[+#./;?&=,!@|]?$varspec(?:,$varspec)*\\})*$$")
       // unknown format: annotation-only no-op, like the reference with
       // assertion disabled
       case _ => lit(true)
@@ -380,9 +404,29 @@ object ConstraintCompiler {
     withCols.withColumn("row_valid", cs.map(c => col(s"`${c.id}`")).reduce(_ && _))
   }
 
+  /** Keyword path of a constraint in the suite document, JSON-pointer
+    * style (≙ ValidationError.schema_path, PJS:exceptions.py:153-163's
+    * absolute path joined): ids follow `<field>.<kw...>`, so
+    * `tokens.items.minimum` → `#/properties/tokens/items/minimum`.
+    * Ids not rooted at their field (custom/extension constraints) map
+    * under `#/` directly.
+    */
+  def schemaPathOf(fc: FieldConstraint): String =
+    if (fc.id.startsWith(fc.field + "."))
+      s"#/properties/${fc.field}/${fc.id.stripPrefix(fc.field + ".").replace('.', '/')}"
+    else s"#/${fc.id.replace('.', '/')}"
+
   /** Violation rows: filter failing rows, explode only their failures —
     * the iter_errors stream (PJS:validators.py:349-394) at table scale.
-    * Output: (doc_id, constraint_id, observed, source).
+    * Output: (doc_id, constraint_id, observed, source, json_path,
+    * schema_path, message) — the last three mirror ValidationError's
+    * debugging fields (PJS:exceptions.py:55-91): `json_path` is the
+    * instance path of the offending FIELD (element index intentionally
+    * not tracked — `observed` already carries the first offending
+    * element), `schema_path` the keyword path, `message` a
+    * deterministic human-readable line. The path columns are derived
+    * AFTER the explode from constraint_id via a linear coalesce-of-when
+    * (constant per cid, so the per-row verdict struct stays small).
     *
     * `observe`: optional [[Observation]] collecting `(rows, viol)` —
     * total input rows and rows with ≥1 failure — as accumulator metrics
@@ -401,6 +445,11 @@ object ConstraintCompiler {
       else base.observe(observe,
         count(lit(1)).as("rows"),
         sum(when(size(col("_fails")) > 0, 1L).otherwise(0L)).as("viol"))
+    val fcs = suite.resolved.constraints
+    // linear per-cid constant lookup (a when/otherwise FOLD would double
+    // the tree per constraint — same codegen blowup as Ann.ivfAssign)
+    def byCid(v: FieldConstraint => String): Column =
+      coalesce(fcs.map(fc => when(col("constraint_id") === fc.id, lit(v(fc)))): _*)
     observed
       .select(col(keyField), col(partField), explode(col("_fails")).as("v"))
       .select(
@@ -408,5 +457,10 @@ object ConstraintCompiler {
         col("v.cid").as("constraint_id"),
         col("v.observed").as("observed"),
         col(partField).as("source"))
+      .withColumn("json_path", byCid(fc => s"$$.${fc.field}"))
+      .withColumn("schema_path", byCid(schemaPathOf))
+      .withColumn("message",
+        concat(col("constraint_id"), lit(" failed at "), col("json_path"),
+          lit(": observed "), col("observed")))
   }
 }
