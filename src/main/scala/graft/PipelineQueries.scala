@@ -247,9 +247,29 @@ object PipelineQueries {
       .groupBy(col("sig")).agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
 
+  /** Embedding near-dup END-TO-END (the e_ counterpart of d_lsh_pairs):
+    * candidate pairs = vectors sharing the full 8-bit hyperplane
+    * signature — the shuffle key is the signature, NEVER all pairs —
+    * verified with the exact fused cosine and flagged at 0.35. At 100 TB
+    * the verification join touches only bucket collisions; tightening
+    * recall is adding bands (repeat with rotated plane sets), same
+    * banding trade as MinHash LSH.
+    */
+  def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = emb(s, dir).select(col("vec_id"), col("embedding"),
+      graft.pipeline.Ann.hyperplaneSig(col("embedding"), LshPlanes).as("sig"))
+    val a = sig.select(col("sig"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = sig.select(col("sig"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.pipeline.Ann.cosineCol(col("emb_a"), col("emb_b")).as("cos"))
+      .withColumn("is_dup", col("cos") >= 0.35)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ivf_ann_recall" -> (ivfAnn _),
     "e_lsh_hyperplane_hist" -> (lshHyperplaneHist _),
+    "e_neardup_pairs" -> (neardupPairs _),
     "d_doc_suite" -> (docSuiteChecks _),
     "d_dedup_exact" -> (dedupExact _),
     "d_quality" -> (quality _),
@@ -316,9 +336,22 @@ object PipelineQueries {
        SELECT bucket_size, count(*)::BIGINT AS n_buckets FROM b GROUP BY bucket_size""".replaceAll("\\s+", " ")
   }
 
+  private val neardupOracle: String = {
+    val bits = LshPlanes.zipWithIndex.map { case (w, i) =>
+      val arr = w.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $arr::DOUBLE[]), p -> p[1]::DOUBLE * p[2])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sigs AS (SELECT vec_id, embedding, ($bits) AS sig FROM embeddings)
+       SELECT id_a, id_b, cos, (cos >= 0.35) AS is_dup FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ${cosF("a.embedding", "b.embedding")} AS cos
+         FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)""".replaceAll("\\s+", " ")
+  }
+
   val oracles: Map[String, String] = Map(
     "d_doc_suite" -> docSuiteOracle,
     "e_lsh_hyperplane_hist" -> lshOracle,
+    "e_neardup_pairs" -> neardupOracle,
     "d_dedup_exact" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
          count(DISTINCT md5(text))::BIGINT AS n_distinct,
