@@ -32,11 +32,35 @@ import graft.suite.Constraint._
 object SuiteLoader {
   private val mapper = new ObjectMapper()
 
-  /** Annotation keywords: legal to ignore (no assertion semantics). */
+  /** Annotation keywords: legal to ignore (no assertion semantics).
+    * `definitions` is the pre-2019 reserved location — ignored as a
+    * keyword (spec-legal in every draft) but merged into the $defs
+    * scope so `#/definitions/...` refs resolve.
+    */
   private val Annotations = Set(
     "$id", "$schema", "$anchor", "$comment", "$vocabulary", "$defs",
-    "title", "description", "default", "examples", "deprecated",
-    "readOnly", "writeOnly", "contentMediaType", "contentEncoding")
+    "definitions", "title", "description", "default", "examples",
+    "deprecated", "readOnly", "writeOnly", "contentMediaType",
+    "contentEncoding")
+
+  /** Dialect resolution (≙ validator_for, PJS:validators.py:1335-1410):
+    * `$schema` naming draft-3/4/6/7 or 2019-09 selects LEGACY keyword
+    * semantics — `items` array form + `additionalItems` (prefixItems'
+    * predecessors, PJS:_legacy_keywords.py:41-113), object-level
+    * `dependencies` (split into dependentRequired/dependentSchemas,
+    * `_legacy_keywords.py:24-38`), `$ref` overriding its siblings
+    * (`ignore_ref_siblings`, `_legacy_keywords.py:9-21`), and the
+    * draft-4 boolean `exclusiveMinimum`/`exclusiveMaximum` forms.
+    * Like the reference, the dialect can switch at any subschema
+    * carrying its own `$schema`.
+    */
+  private def isLegacy(n: JsonNode, inherited: Boolean): Boolean =
+    Option(n.get("$schema")).filter(_.isTextual).map(_.asText()) match {
+      case Some(uri) => uri.contains("draft-0") || uri.contains("draft-3") ||
+        uri.contains("draft-4") || uri.contains("draft-6") || uri.contains("draft-7") ||
+        uri.contains("2019-09")
+      case None => inherited
+    }
 
   /** Applicators / assertions the engine does not support INSIDE a field
     * subschema (object-shaped instances never occur: a field value is a
@@ -53,13 +77,13 @@ object SuiteLoader {
   /** Parse one JSON Schema (subset) document into a Constraint. */
   def parseSchema(json: String): Constraint = {
     val n = mapper.readTree(json)
-    toConstraint(n, Map.empty, n, Set.empty)
+    toConstraint(n, Map.empty, n, Set.empty, isLegacy(n, inherited = false))
   }
 
   private def nodeDefs(n: JsonNode): Map[String, JsonNode] =
-    Option(n.get("$defs"))
-      .map(d => d.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
-      .getOrElse(Map.empty)
+    Seq("$defs", "definitions").flatMap(k =>
+      Option(n.get(k)).toSeq.flatMap(d =>
+        d.properties().asScala.map(e => e.getKey -> e.getValue))).toMap
 
   /** Parse a whole SUITE document — a JSON Schema object whose
     * `properties` map the table's columns (≙ the reference's root-schema
@@ -82,7 +106,8 @@ object SuiteLoader {
     require(root.isObject, "suite document must be a JSON object")
     val name = Option(root.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
     val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
-    parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs)
+    parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
+      isLegacy(root, inherited = false))
     // keep ids unique when allOf branches repeat a (field, keyword) pair
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val uniq = cs.toSeq.map { fc =>
@@ -100,8 +125,24 @@ object SuiteLoader {
   private def parseObjectLevel(n: JsonNode, scope: Map[String, JsonNode], root: JsonNode,
                                prefix: String, wrap: Constraint => Constraint,
                                activeRefs: Set[String],
-                               out: scala.collection.mutable.ArrayBuffer[FieldConstraint]): Unit = {
+                               out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
+                               inheritedLegacy: Boolean = false): Unit = {
     val localScope = scope ++ nodeDefs(n)
+    val legacy = isLegacy(n, inheritedLegacy)
+
+    // shared by dependentSchemas (2019-09+) and the schema-valued arm of
+    // legacy `dependencies` (PJS:_legacy_keywords.py:24-38)
+    def dependentSchemaEntry(trigger: String, sub: JsonNode, kw: String): Unit =
+      if (sub.isBoolean) {
+        if (!sub.asBoolean()) // {trigger: false}: trigger must be absent
+          out += FieldConstraint(s"$prefix$trigger.$kw", trigger,
+            wrap(WhenPresent(trigger, Always(false))))
+      } else {
+        require(sub.isObject, s"$kw['$trigger'] must be a schema")
+        parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
+          s"$prefix$trigger.$kw.",
+          c => wrap(WhenPresent(trigger, c)), activeRefs, out, legacy)
+      }
 
     n.properties().asScala.foreach { entry =>
       entry.getKey match {
@@ -115,32 +156,32 @@ object SuiteLoader {
           }
         case "dependentSchemas" =>
           entry.getValue.properties().asScala.foreach { e =>
-            val (trigger, sub) = (e.getKey, e.getValue)
-            if (sub.isBoolean) {
-              if (!sub.asBoolean()) // {trigger: false}: trigger must be absent
-                out += FieldConstraint(s"$prefix$trigger.dependentSchemas", trigger,
-                  wrap(WhenPresent(trigger, Always(false))))
-            } else {
-              require(sub.isObject, s"dependentSchemas['$trigger'] must be a schema")
-              parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
-                s"$prefix$trigger.dependentSchemas.",
-                c => wrap(WhenPresent(trigger, c)), activeRefs, out)
-            }
+            dependentSchemaEntry(e.getKey, e.getValue, "dependentSchemas")
+          }
+        case "dependencies" if legacy =>
+          // pre-2019 combined keyword: array value = dependentRequired,
+          // schema value = dependentSchemas (PJS:_legacy_keywords.py:24-38)
+          entry.getValue.properties().asScala.foreach { e =>
+            val (trigger, dv) = (e.getKey, e.getValue)
+            if (dv.isArray)
+              out += FieldConstraint(s"$prefix$trigger.dependencies", trigger,
+                wrap(DependentRequired(dv.asScala.map(_.asText()).toSeq)))
+            else dependentSchemaEntry(trigger, dv, "dependencies")
           }
         case "allOf" =>
           entry.getValue.asScala.zipWithIndex.foreach { case (branch, i) =>
             require(branch.isObject, s"doc-level allOf[$i] must be an object schema")
             parseObjectLevel(branch, localScope ++ nodeDefs(branch), root,
-              s"${prefix}allOf[$i].", wrap, activeRefs, out)
+              s"${prefix}allOf[$i].", wrap, activeRefs, out, legacy)
           }
         case "$ref" =>
           val ref = entry.getValue.asText()
           require(!activeRefs.contains(ref), s"circular doc-level $$ref '$ref'")
           val target = resolveFragment(ref, root, localScope)
           require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
-          parseObjectLevel(target, localScope, root, prefix, wrap, activeRefs + ref, out)
+          parseObjectLevel(target, localScope, root, prefix, wrap, activeRefs + ref, out, legacy)
         case "properties" =>
-          parseProperties(entry.getValue, localScope, root, prefix, wrap, out)
+          parseProperties(entry.getValue, localScope, root, prefix, wrap, out, legacy)
         case "type" =>
           val t = entry.getValue
           require(t.isTextual && t.asText() == "object",
@@ -161,15 +202,24 @@ object SuiteLoader {
   /** `properties`: one FieldConstraint per (field, keyword) slice. */
   private def parseProperties(props: JsonNode, scope: Map[String, JsonNode], root: JsonNode,
                               prefix: String, wrap: Constraint => Constraint,
-                              out: scala.collection.mutable.ArrayBuffer[FieldConstraint]): Unit = {
-    // keywords that are consumed by a sibling anchor keyword, never alone
-    val anchored = Set("minContains", "maxContains", "then", "else", "$defs")
+                              out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
+                              legacy: Boolean): Unit = {
     props.properties().asScala.foreach { p =>
       val (field, sub) = (p.getKey, p.getValue)
       require(sub.isObject || sub.isBoolean, s"field '$field' subschema must be object or boolean")
       if (sub.isBoolean) {
         out += FieldConstraint(s"$prefix$field.schema", field, wrap(Always(sub.asBoolean())))
       } else {
+        // keywords consumed by a sibling anchor keyword, never alone;
+        // the legacy dialect adds additionalItems (consumed by the
+        // items-array slice) and the draft-4 BOOLEAN exclusive-bound
+        // forms (consumed by their minimum/maximum slices — the NUMERIC
+        // forms stay standalone keywords)
+        val anchored = Set("minContains", "maxContains", "then", "else", "$defs") ++
+          (if (legacy) Set("additionalItems") else Set.empty) ++
+          Seq("exclusiveMinimum", "exclusiveMaximum")
+            .filter(k => legacy && Option(sub.get(k)).exists(_.isBoolean))
+        val subLegacy = isLegacy(sub, legacy)
         sub.properties().asScala.foreach { e =>
           val k = e.getKey
           if (!anchored.contains(k) && !Annotations.contains(k)) {
@@ -180,19 +230,23 @@ object SuiteLoader {
             val carry = Map(
               "contains" -> Seq("minContains", "maxContains"),
               "if"       -> Seq("then", "else"),
-              "items"    -> Seq("prefixItems"))
+              "items"    -> Seq("prefixItems", "additionalItems"),
+              "minimum"  -> Seq("exclusiveMinimum").filter(_ => anchored("exclusiveMinimum")),
+              "maximum"  -> Seq("exclusiveMaximum").filter(_ => anchored("exclusiveMaximum")))
             carry.getOrElse(k, Nil)
               .foreach(s => Option(sub.get(s)).foreach(slice.set[JsonNode](s, _)))
-            val c = toConstraint(slice, scope ++ nodeDefs(sub), root, Set.empty)
-            // the prefixItems slice inside an items-slice is only there
-            // to offset items; it emits its own constraint from its own
-            // keyword iteration, so drop it from the items slice result.
-            // Plain Items is matched too: an EMPTY prefixItems array
-            // compiles items without offset, and the extraction must not
-            // fall through to the AllOf carrying the redundant
-            // PrefixItems (round-1 ADVICE, low).
+            val c = toConstraint(slice, scope ++ nodeDefs(sub), root, Set.empty, subLegacy)
+            // the prefixItems slice inside a MODERN items-slice is only
+            // there to offset items; it emits its own constraint from
+            // its own keyword iteration, so drop it from the items slice
+            // result. Plain Items is matched too: an EMPTY prefixItems
+            // array compiles items without offset, and the extraction
+            // must not fall through to the AllOf carrying the redundant
+            // PrefixItems (round-1 ADVICE, low). The LEGACY items-array
+            // slice is exempt: there its PrefixItems IS the items
+            // semantic, not a sibling duplicate.
             val cleaned = c match {
-              case Constraint.AllOf(xs) if k == "items" =>
+              case Constraint.AllOf(xs) if k == "items" && sub.has("prefixItems") =>
                 xs.find(x => x.isInstanceOf[Constraint.ItemsFrom] || x.isInstanceOf[Constraint.Items])
                   .getOrElse(c)
               case other => other
@@ -204,7 +258,9 @@ object SuiteLoader {
     }
   }
 
-  def toConstraint(n: JsonNode): Constraint = toConstraint(n, Map.empty, n, Set.empty)
+  def toConstraint(n: JsonNode): Constraint =
+    toConstraint(n, Map.empty, n, Set.empty,
+      if (n.isObject) isLegacy(n, inherited = false) else false)
 
   private def anyVal(n: JsonNode): Any =
     if (n.isIntegralNumber) n.asLong()
@@ -274,19 +330,31 @@ object SuiteLoader {
     * `activeRefs` guards against circular inlining.
     */
   private def toConstraint(n: JsonNode, scope: Map[String, JsonNode],
-                           root: JsonNode, activeRefs: Set[String]): Constraint = {
+                           root: JsonNode, activeRefs: Set[String],
+                           inheritedLegacy: Boolean = false): Constraint = {
     if (n.isBoolean) return Always(n.asBoolean())
     require(n.isObject, s"schema must be object or boolean, got $n")
+    val legacy = isLegacy(n, inheritedLegacy)
     val cs = scala.collection.mutable.ArrayBuffer.empty[Constraint]
     val defs: Map[String, JsonNode] = scope ++ nodeDefs(n)
 
     def resolveRef(ref: String): Constraint = {
       if (activeRefs.contains(ref))
         throw new IllegalArgumentException(s"circular $$ref '$ref' — compile-time inlining cannot represent cycles")
-      toConstraint(resolveFragment(ref, root, defs), defs, root, activeRefs + ref)
+      toConstraint(resolveFragment(ref, root, defs), defs, root, activeRefs + ref, legacy)
     }
 
-    def sub(v: JsonNode): Constraint = toConstraint(v, defs, root, activeRefs)
+    // pre-2019 drafts: $ref OVERRIDES its siblings — everything else in
+    // this object is discarded (ignore_ref_siblings,
+    // PJS:_legacy_keywords.py:9-21)
+    if (legacy && n.has("$ref")) return resolveRef(n.get("$ref").asText())
+
+    def sub(v: JsonNode): Constraint = toConstraint(v, defs, root, activeRefs, legacy)
+
+    // draft-4 boolean exclusive-bound forms: `exclusiveMinimum: true`
+    // modifies the sibling `minimum` (PJS:_legacy_keywords.py:124-149)
+    def boolExcl(key: String): Boolean =
+      legacy && Option(n.get(key)).exists(b => b.isBoolean && b.asBoolean())
 
     n.properties().asScala.foreach { e =>
       val (k, v) = (e.getKey, e.getValue)
@@ -296,8 +364,12 @@ object SuiteLoader {
           cs += (if (ts.length == 1) TypeIs(ts.head) else AnyOf(ts.map(TypeIs(_))))
         case "enum"  => cs += Enum(v.asScala.map(anyVal).toSeq)
         case "const" => cs += Const(anyVal(v))
-        case "minimum" => cs += Minimum(v.asDouble())
-        case "maximum" => cs += Maximum(v.asDouble())
+        case "minimum" => cs += Minimum(v.asDouble(), exclusive = boolExcl("exclusiveMinimum"))
+        case "maximum" => cs += Maximum(v.asDouble(), exclusive = boolExcl("exclusiveMaximum"))
+        case "exclusiveMinimum" if v.isBoolean =>
+          require(legacy, "boolean exclusiveMinimum is a draft-4 form; modern dialects need a number")
+        case "exclusiveMaximum" if v.isBoolean =>
+          require(legacy, "boolean exclusiveMaximum is a draft-4 form; modern dialects need a number")
         case "exclusiveMinimum" => cs += Minimum(v.asDouble(), exclusive = true)
         case "exclusiveMaximum" => cs += Maximum(v.asDouble(), exclusive = true)
         case "multipleOf" => cs += MultipleOf(v.asDouble())
@@ -309,11 +381,21 @@ object SuiteLoader {
         case "minItems" => cs += MinItems(v.asInt())
         case "maxItems" => cs += MaxItems(v.asInt())
         case "uniqueItems" => if (v.asBoolean()) cs += UniqueItems()
+        case "items" if legacy && v.isArray =>
+          // pre-2020-12 positional form: `items: [s0, s1, …]` ≙
+          // prefixItems, with sibling `additionalItems` constraining the
+          // rest (PJS:_legacy_keywords.py:41-77)
+          cs += PrefixItems(v.asScala.map(sub).toSeq)
+          Option(n.get("additionalItems")).foreach(ai => cs += ItemsFrom(v.size(), sub(ai)))
         case "items" =>
           // 2020-12: with sibling prefixItems, items starts after the
           // prefix positions (PJS:_keywords.py:59-82)
           val prefixLen = Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
           cs += (if (prefixLen == 0) Items(sub(v)) else ItemsFrom(prefixLen, sub(v)))
+        case "additionalItems" =>
+          // consumed by the legacy items-array case; the spec IGNORES it
+          // when `items` is absent or a single schema
+          require(legacy, "additionalItems is a pre-2020-12 keyword; use prefixItems+items")
         case "contains" =>
           val mn = Option(n.get("minContains")).map(_.asInt()).getOrElse(1)
           val mx = Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue)

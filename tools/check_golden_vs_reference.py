@@ -33,11 +33,17 @@ for group in cases:
     if ctype.startswith("engine:"):
         skipped += len(group["tests"])
         continue
-    # the draft-bound checker registry (a bare FormatChecker() serves
-    # draft-3-era checkers, e.g. strptime-based `time`)
-    validator = jsonschema.Draft202012Validator(
-        schema, format_checker=jsonschema.Draft202012Validator.FORMAT_CHECKER
+    # dialect-aware: $schema picks the validator class exactly like the
+    # reference's validator_for (PJS:validators.py:1335-1410) — legacy
+    # golden groups (draft-4/7 items-array, dependencies, boolean
+    # exclusive bounds, $ref-overrides-siblings) run under their own
+    # draft's validator. The checker registry stays draft-bound (a bare
+    # FormatChecker() would serve draft-3-era checkers, e.g.
+    # strptime-based `time`).
+    cls = jsonschema.validators.validator_for(
+        schema, default=jsonschema.Draft202012Validator
     )
+    validator = cls(schema, format_checker=cls.FORMAT_CHECKER)
     for t in group["tests"]:
         checked += 1
         ref_valid = validator.is_valid(t["data"])
