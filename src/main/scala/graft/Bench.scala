@@ -71,7 +71,7 @@ object Bench {
       "--conf", "spark.sql.shuffle.partitions=32",
       "--conf", "spark.sql.session.timeZone=UTC",
       "--conf", "spark.ui.enabled=false",
-      jar, path, "3")
+      jar, path, "2")
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
@@ -145,7 +145,7 @@ object Bench {
     // (host load spikes last seconds-to-minutes, so neither config may
     // systematically follow the other; min over rounds finds a quiet
     // window per config)
-    val threadRounds = (1 to 3).map { r =>
+    val threadRounds = (1 to 2).map { r =>
       if (r % 2 == 1) { val a = measureOn("local[8]", 3); val b = measureOn("local[32]", 3); (a, b) }
       else { val b = measureOn("local[32]", 3); val a = measureOn("local[8]", 3); (a, b) }
     }

@@ -69,13 +69,22 @@ object Ann {
     * 2^K blowup that OOMs codegen at K=16. The array form mentions each
     * cosine exactly once: linear code size in K.
     */
-  def ivfAssign(emb: DataFrame, k: Int): DataFrame = {
-    val centroids: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") < k)
+  def ivfAssign(emb: DataFrame, k: Int): DataFrame =
+    ivfAssign(emb, seedCentroids(emb, k))
+
+  /** Deterministic seed centroids: the first K vec_ids. */
+  def seedCentroids(emb: DataFrame, k: Int): Array[(Long, Seq[Double])] =
+    emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
+
+  def ivfAssign(emb: DataFrame, centroids: Array[(Long, Seq[Double])]): DataFrame = {
+    // centroids are doubles (k-means emits means); widen the float
+    // embedding exactly — CosineSim requires matching element types
+    val ed = col("embedding").cast("array<double>")
     val cands = array(centroids.map { case (cid, cv) =>
-      struct(cosineCol(col("embedding"), typedlit(cv)).as("sim"),
+      struct(cosineCol(ed, typedlit(cv)).as("sim"),
         lit(-cid).as("ncid"))
     }: _*)
     val best = array_max(cands)
@@ -83,24 +92,61 @@ object Ann {
       (-best("ncid")).as("bucket"))
   }
 
+  /** Lloyd (k-means) refinement of the seed centroids — the quality
+    * drop-in the IVF scaladoc promises. Each iteration is ONE scan
+    * (the same argmax-assignment projection) plus one K-row aggregate
+    * of per-dimension means: only K x dim doubles cross the shuffle,
+    * never vectors. Deterministic: fixed seeds, fixed iteration count,
+    * lowest-cid tie-break; per-dimension `avg` is order-insensitive at
+    * the 4-decimal cosine rounding used everywhere downstream. An empty
+    * bucket keeps its previous centroid.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, nIter: Int): Array[(Long, Seq[Double])] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    var cents = seedCentroids(emb, k)
+    (1 to nIter).foreach { _ =>
+      val means = ivfAssign(emb, cents)
+        .groupBy(col("bucket"))
+        .agg(array((0 until dim).map(i =>
+          avg(col("embedding").getItem(i).cast("double"))): _*).as("mean"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
   /** IVF query: for each query vector, probe its nProbe nearest buckets,
     * brute-force within them, return top-k. Also reports recall@k vs the
     * exact brute-force answer — the quality/throughput tradeoff metric.
+    *
+    * `refineIters` > 0 switches the index to Lloyd-refined centroids
+    * ([[kmeansCentroids]]); 0 keeps the deterministic seed index that
+    * e_ivf_ann_recall's DuckDB oracle mirrors.
     */
   def ivfSearchWithRecall(emb: DataFrame, nQueries: Int, k: Int = 16,
-                          nProbe: Int = 4, topK: Int = 5): DataFrame = {
-    val assigned = ivfAssign(emb, k).cache()
-    val centroids = assigned.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+                          nProbe: Int = 4, topK: Int = 5,
+                          refineIters: Int = 0): DataFrame = {
+    val cents =
+      if (refineIters > 0) kmeansCentroids(emb, k, refineIters)
+      else seedCentroids(emb, k)
+    val assigned = ivfAssign(emb, cents).cache()
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
-    // probe set: nProbe nearest centroids per query
-    val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("cid"), cosineCol(col("qv"), col("cv")).as("qsim"))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nProbe)
-      .select(col("qid"), col("qv"), col("cid").as("bucket"))
+    // probe set: nProbe nearest centroids per query — like ivfAssign,
+    // a single projection over the broadcast centroid literals (sort
+    // the (sim, -cid) structs, take nProbe): no crossJoin row blowup,
+    // no per-query window shuffle. reverse(array_sort) orders sim DESC
+    // then -cid DESC = cid ASC, the same tie-break as the old window.
+    val cands = array(cents.map { case (cid, cv) =>
+      struct(cosineCol(col("qv").cast("array<double>"), typedlit(cv)).as("sim"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val probes = queries
+      .select(col("qid"), col("qv"),
+        explode(slice(reverse(array_sort(cands)), 1, nProbe)).as("p"))
+      .select(col("qid"), col("qv"), (-col("p.ncid")).as("bucket"))
 
     // candidate scan: only probed buckets (bucket-pruned at scale)
     val wc = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)

@@ -25,6 +25,18 @@ class PipelineSpec extends SparkSpec {
     assert(r8 >= recall)
   }
 
+  test("IVF k-means refinement: deterministic centroids, sane recall") {
+    val refined = Ann.kmeansCentroids(emb, 16, 2)
+    val again = Ann.kmeansCentroids(emb, 16, 2)
+    assert(refined.map(_._2).toSeq == again.map(_._2).toSeq,
+      "Lloyd refinement must be bit-stable across runs")
+    assert(refined.map(_._2.length).distinct.toSeq == Seq(64))
+    val r = Ann.ivfSearchWithRecall(emb, 20, 16, 4, 5, refineIters = 2).head()
+    assert(r.getAs[Long]("n_queries") == 20)
+    val rec = r.getAs[Double]("recall_at_k")
+    assert(rec >= 0.5 && rec <= 1.0, s"refined recall=$rec")
+  }
+
   test("multimodal: typed mapPartitions feature extraction is deterministic and batched") {
     val media = Multimodal.asMediaTable(docs)
     val feats = Multimodal.extractFeatures(spark, media)
