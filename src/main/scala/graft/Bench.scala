@@ -74,8 +74,16 @@ object Bench {
       jar, path, "2")
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    // drain stdout on a daemon thread so waitFor's timeout can actually
+    // fire: readAllBytes() on the calling thread blocks until the child
+    // closes stdout, i.e. a hung spark-submit would hang Bench forever
+    // instead of degrading to None
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => try p.getInputStream.transferTo(buf) catch { case _: Exception => () })
+    drain.setDaemon(true); drain.start()
     if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) { p.destroyForcibly(); return None }
+    drain.join(10000)
+    val out = buf.toString("UTF-8")
     "GRAFT_SCALE rows=(\\d+) best=([0-9.Ee+-]+)".r.findFirstMatchIn(out)
       .map(m => (m.group(1).toLong, m.group(2).toDouble))
   }
@@ -91,6 +99,7 @@ object Bench {
     val classes = new java.io.File("target/scala-2.13/classes")
     if (!classes.isDirectory) return None
     val jar = java.nio.file.Files.createTempFile("graft-classes", ".jar").toFile
+    jar.deleteOnExit()
     val jos = new java.util.jar.JarOutputStream(new java.io.FileOutputStream(jar))
     def add(f: java.io.File, base: String): Unit =
       if (f.isDirectory) f.listFiles().foreach(c => add(c, s"$base${c.getName}${if (c.isDirectory) "/" else ""}"))

@@ -70,7 +70,12 @@ object ValidationQueries {
     val sev = Severity.foldLeft(lit(0)) { case (acc, (cid, w)) =>
       when(col("constraint_id") === cid, lit(w)).otherwise(acc)
     }
-    val ord = Seq(col("severity").desc, col("doc_id").asc, col("constraint_id").asc)
+    // NULL doc_ids are real (doc_id.required violations); pin their sort
+    // position EXPLICITLY — Spark's bare asc is NULLS FIRST but DuckDB's
+    // bare ASC is NULLS LAST, and an implicit mismatch would let the two
+    // engines pick different top-5 rows whenever a cut lands inside a
+    // severity stratum mixing null and non-null doc_ids
+    val ord = Seq(col("severity").desc, col("doc_id").asc_nulls_first, col("constraint_id").asc)
     val w1 = Window.partitionBy(col("source"), col("_salt")).orderBy(ord: _*)
     val w2 = Window.partitionBy(col("source")).orderBy(ord: _*)
     violations(s, dir)
@@ -223,7 +228,7 @@ object ValidationQueries {
       }.mkString(" ") + " ELSE 0 END"
       s"""WITH viols AS ($viols),
          ranked AS (SELECT *, $sev AS severity,
-           row_number() OVER (PARTITION BY source ORDER BY $sev DESC, doc_id ASC, constraint_id ASC) AS rk
+           row_number() OVER (PARTITION BY source ORDER BY $sev DESC, doc_id ASC NULLS FIRST, constraint_id ASC) AS rk
          FROM viols)
          SELECT doc_id, constraint_id, observed, source, json_path, schema_path, message, severity, rk
          FROM ranked WHERE rk <= 5""".replaceAll("\\s+", " ")

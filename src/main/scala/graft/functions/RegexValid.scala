@@ -18,7 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object RegexValidUtil {
   def ok(s: UTF8String): Boolean =
     try { java.util.regex.Pattern.compile(s.toString); true }
-    catch { case _: Exception => false }
+    catch {
+      case _: Exception => false
+      // Pattern's recursive-descent parser blows the stack on deeply
+      // nested groups ("(((((…"); arbitrary table data reaches this
+      // predicate, and one pathological row must mark itself invalid,
+      // not kill the task (and after retries, the whole job)
+      case _: StackOverflowError => false
+    }
 }
 
 case class RegexValid(child: Expression) extends UnaryExpression {

@@ -102,8 +102,8 @@ object Ann {
     * bucket keeps its previous centroid.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, nIter: Int): Array[(Long, Seq[Double])] = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     var cents = seedCentroids(emb, k)
+    val dim = cents.head._2.length // no extra job: the collected seeds carry it
     (1 to nIter).foreach { _ =>
       val means = ivfAssign(emb, cents)
         .groupBy(col("bucket"))

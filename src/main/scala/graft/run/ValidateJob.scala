@@ -72,6 +72,26 @@ object ValidateJob {
     * milliseconds and hours). Falls back to a distinct() scan only for
     * non-partitioned layouts, where directory names carry no values.
     */
+  /** Hive-layout %XX unescaping ONLY (Spark's
+    * ExternalCatalogUtils.unescapePathName semantics). NOT URLDecoder:
+    * that is application/x-www-form-urlencoded, which also turns a
+    * literal '+' into a space — Spark never escapes '+', so a partition
+    * value like "a+b" would decode to "a b", match zero rows, and be
+    * checkpointed as validated-empty (a silent hole).
+    */
+  private[graft] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def listPartitions(spark: SparkSession, tablePath: String, partitionCol: String): Seq[String] = {
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,7 +102,7 @@ object ValidateJob {
           .filter(_.isDirectory)
           .map(_.getPath.getName)
           .filter(_.startsWith(prefix))
-          .map(n => java.net.URLDecoder.decode(n.stripPrefix(prefix), "UTF-8"))
+          .map(n => unescapePathName(n.stripPrefix(prefix)))
       else Seq.empty
     if (fromDirs.nonEmpty) fromDirs.sorted
     else spark.read.parquet(tablePath)

@@ -44,23 +44,38 @@ object SuiteLoader {
     "contentEncoding")
 
   /** Dialect resolution (≙ validator_for, PJS:validators.py:1335-1410):
-    * `$schema` naming draft-3/4/6/7 or 2019-09 selects LEGACY keyword
-    * semantics — `items` array form + `additionalItems` (prefixItems'
-    * predecessors, PJS:_legacy_keywords.py:41-113), object-level
-    * `dependencies` (split into dependentRequired/dependentSchemas,
-    * `_legacy_keywords.py:24-38`), `$ref` overriding its siblings
-    * (`ignore_ref_siblings`, `_legacy_keywords.py:9-21`), and the
-    * draft-4 boolean `exclusiveMinimum`/`exclusiveMaximum` forms.
+    * the `$schema` URI picks per-draft keyword semantics, carried as the
+    * draft NUMBER (3/4/6/7/2019/2020) because the legacy behaviors
+    * retired at DIFFERENT drafts:
+    *  - `items` array form + `additionalItems` — drafts ≤ 2019-09
+    *    (prefixItems arrived in 2020-12; PJS:_legacy_keywords.py:41-113)
+    *  - `$ref` overrides its siblings — drafts ≤ 7 ONLY (2019-09 starts
+    *    evaluating keywords alongside $ref; `ignore_ref_siblings`,
+    *    PJS:_legacy_keywords.py:9-21)
+    *  - object-level `dependencies` — drafts ≤ 7 (split into
+    *    dependentRequired/dependentSchemas in 2019-09;
+    *    `_legacy_keywords.py:24-38`)
+    *  - boolean `exclusiveMinimum`/`exclusiveMaximum` — drafts ≤ 4
+    *    (draft-6 made them numeric)
     * Like the reference, the dialect can switch at any subschema
     * carrying its own `$schema`.
     */
-  private def isLegacy(n: JsonNode, inherited: Boolean): Boolean =
+  private def draftOf(n: JsonNode, inherited: Int): Int =
     Option(n.get("$schema")).filter(_.isTextual).map(_.asText()) match {
-      case Some(uri) => uri.contains("draft-0") || uri.contains("draft-3") ||
-        uri.contains("draft-4") || uri.contains("draft-6") || uri.contains("draft-7") ||
-        uri.contains("2019-09")
+      case Some(uri) =>
+        if (uri.contains("draft-03")) 3
+        else if (uri.contains("draft-04")) 4
+        else if (uri.contains("draft-06")) 6
+        else if (uri.contains("draft-07")) 7
+        else if (uri.contains("2019-09")) 2019
+        else 2020
       case None => inherited
     }
+  private val ModernDraft = 2020
+  private def legacyItems(draft: Int): Boolean = draft <= 2019
+  private def refOverridesSiblings(draft: Int): Boolean = draft <= 7
+  private def legacyDependencies(draft: Int): Boolean = draft <= 7
+  private def booleanExclusive(draft: Int): Boolean = draft <= 4
 
   /** Applicators / assertions the engine does not support INSIDE a field
     * subschema (object-shaped instances never occur: a field value is a
@@ -77,7 +92,7 @@ object SuiteLoader {
   /** Parse one JSON Schema (subset) document into a Constraint. */
   def parseSchema(json: String): Constraint = {
     val n = mapper.readTree(json)
-    toConstraint(n, Map.empty, n, Set.empty, isLegacy(n, inherited = false))
+    toConstraint(n, Map.empty, n, Set.empty, draftOf(n, ModernDraft))
   }
 
   private def nodeDefs(n: JsonNode): Map[String, JsonNode] =
@@ -107,7 +122,7 @@ object SuiteLoader {
     val name = Option(root.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
     val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
     parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
-      isLegacy(root, inherited = false))
+      draftOf(root, ModernDraft))
     // keep ids unique when allOf branches repeat a (field, keyword) pair
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val uniq = cs.toSeq.map { fc =>
@@ -126,9 +141,20 @@ object SuiteLoader {
                                prefix: String, wrap: Constraint => Constraint,
                                activeRefs: Set[String],
                                out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
-                               inheritedLegacy: Boolean = false): Unit = {
+                               inheritedDraft: Int = ModernDraft): Unit = {
     val localScope = scope ++ nodeDefs(n)
-    val legacy = isLegacy(n, inheritedLegacy)
+    val draft = draftOf(n, inheritedDraft)
+
+    // pre-2019 drafts: a document-level $ref overrides its siblings too
+    // (same ignore_ref_siblings rule as the field-level path)
+    if (refOverridesSiblings(draft) && n.has("$ref")) {
+      val ref = n.get("$ref").asText()
+      require(!activeRefs.contains(ref), s"circular doc-level $$ref '$ref'")
+      val target = resolveFragment(ref, root, localScope)
+      require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
+      parseObjectLevel(target, localScope, root, prefix, wrap, activeRefs + ref, out, draft)
+      return
+    }
 
     // shared by dependentSchemas (2019-09+) and the schema-valued arm of
     // legacy `dependencies` (PJS:_legacy_keywords.py:24-38)
@@ -141,7 +167,7 @@ object SuiteLoader {
         require(sub.isObject, s"$kw['$trigger'] must be a schema")
         parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
           s"$prefix$trigger.$kw.",
-          c => wrap(WhenPresent(trigger, c)), activeRefs, out, legacy)
+          c => wrap(WhenPresent(trigger, c)), activeRefs, out, draft)
       }
 
     n.properties().asScala.foreach { entry =>
@@ -158,7 +184,7 @@ object SuiteLoader {
           entry.getValue.properties().asScala.foreach { e =>
             dependentSchemaEntry(e.getKey, e.getValue, "dependentSchemas")
           }
-        case "dependencies" if legacy =>
+        case "dependencies" if legacyDependencies(draft) =>
           // pre-2019 combined keyword: array value = dependentRequired,
           // schema value = dependentSchemas (PJS:_legacy_keywords.py:24-38)
           entry.getValue.properties().asScala.foreach { e =>
@@ -172,16 +198,16 @@ object SuiteLoader {
           entry.getValue.asScala.zipWithIndex.foreach { case (branch, i) =>
             require(branch.isObject, s"doc-level allOf[$i] must be an object schema")
             parseObjectLevel(branch, localScope ++ nodeDefs(branch), root,
-              s"${prefix}allOf[$i].", wrap, activeRefs, out, legacy)
+              s"${prefix}allOf[$i].", wrap, activeRefs, out, draft)
           }
         case "$ref" =>
           val ref = entry.getValue.asText()
           require(!activeRefs.contains(ref), s"circular doc-level $$ref '$ref'")
           val target = resolveFragment(ref, root, localScope)
           require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
-          parseObjectLevel(target, localScope, root, prefix, wrap, activeRefs + ref, out, legacy)
+          parseObjectLevel(target, localScope, root, prefix, wrap, activeRefs + ref, out, draft)
         case "properties" =>
-          parseProperties(entry.getValue, localScope, root, prefix, wrap, out, legacy)
+          parseProperties(entry.getValue, localScope, root, prefix, wrap, out, draft)
         case "type" =>
           val t = entry.getValue
           require(t.isTextual && t.asText() == "object",
@@ -203,7 +229,7 @@ object SuiteLoader {
   private def parseProperties(props: JsonNode, scope: Map[String, JsonNode], root: JsonNode,
                               prefix: String, wrap: Constraint => Constraint,
                               out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
-                              legacy: Boolean): Unit = {
+                              draft: Int): Unit = {
     props.properties().asScala.foreach { p =>
       val (field, sub) = (p.getKey, p.getValue)
       require(sub.isObject || sub.isBoolean, s"field '$field' subschema must be object or boolean")
@@ -216,10 +242,10 @@ object SuiteLoader {
         // forms (consumed by their minimum/maximum slices — the NUMERIC
         // forms stay standalone keywords)
         val anchored = Set("minContains", "maxContains", "then", "else", "$defs") ++
-          (if (legacy) Set("additionalItems") else Set.empty) ++
+          (if (legacyItems(draft)) Set("additionalItems") else Set.empty) ++
           Seq("exclusiveMinimum", "exclusiveMaximum")
-            .filter(k => legacy && Option(sub.get(k)).exists(_.isBoolean))
-        val subLegacy = isLegacy(sub, legacy)
+            .filter(k => booleanExclusive(draft) && Option(sub.get(k)).exists(_.isBoolean))
+        val subDraft = draftOf(sub, draft)
         sub.properties().asScala.foreach { e =>
           val k = e.getKey
           if (!anchored.contains(k) && !Annotations.contains(k)) {
@@ -235,7 +261,7 @@ object SuiteLoader {
               "maximum"  -> Seq("exclusiveMaximum").filter(_ => anchored("exclusiveMaximum")))
             carry.getOrElse(k, Nil)
               .foreach(s => Option(sub.get(s)).foreach(slice.set[JsonNode](s, _)))
-            val c = toConstraint(slice, scope ++ nodeDefs(sub), root, Set.empty, subLegacy)
+            val c = toConstraint(slice, scope ++ nodeDefs(sub), root, Set.empty, subDraft)
             // the prefixItems slice inside a MODERN items-slice is only
             // there to offset items; it emits its own constraint from
             // its own keyword iteration, so drop it from the items slice
@@ -260,7 +286,7 @@ object SuiteLoader {
 
   def toConstraint(n: JsonNode): Constraint =
     toConstraint(n, Map.empty, n, Set.empty,
-      if (n.isObject) isLegacy(n, inherited = false) else false)
+      if (n.isObject) draftOf(n, ModernDraft) else ModernDraft)
 
   private def anyVal(n: JsonNode): Any =
     if (n.isIntegralNumber) n.asLong()
@@ -331,30 +357,30 @@ object SuiteLoader {
     */
   private def toConstraint(n: JsonNode, scope: Map[String, JsonNode],
                            root: JsonNode, activeRefs: Set[String],
-                           inheritedLegacy: Boolean = false): Constraint = {
+                           inheritedDraft: Int = ModernDraft): Constraint = {
     if (n.isBoolean) return Always(n.asBoolean())
     require(n.isObject, s"schema must be object or boolean, got $n")
-    val legacy = isLegacy(n, inheritedLegacy)
+    val draft = draftOf(n, inheritedDraft)
     val cs = scala.collection.mutable.ArrayBuffer.empty[Constraint]
     val defs: Map[String, JsonNode] = scope ++ nodeDefs(n)
 
     def resolveRef(ref: String): Constraint = {
       if (activeRefs.contains(ref))
         throw new IllegalArgumentException(s"circular $$ref '$ref' — compile-time inlining cannot represent cycles")
-      toConstraint(resolveFragment(ref, root, defs), defs, root, activeRefs + ref, legacy)
+      toConstraint(resolveFragment(ref, root, defs), defs, root, activeRefs + ref, draft)
     }
 
     // pre-2019 drafts: $ref OVERRIDES its siblings — everything else in
     // this object is discarded (ignore_ref_siblings,
     // PJS:_legacy_keywords.py:9-21)
-    if (legacy && n.has("$ref")) return resolveRef(n.get("$ref").asText())
+    if (refOverridesSiblings(draft) && n.has("$ref")) return resolveRef(n.get("$ref").asText())
 
-    def sub(v: JsonNode): Constraint = toConstraint(v, defs, root, activeRefs, legacy)
+    def sub(v: JsonNode): Constraint = toConstraint(v, defs, root, activeRefs, draft)
 
     // draft-4 boolean exclusive-bound forms: `exclusiveMinimum: true`
     // modifies the sibling `minimum` (PJS:_legacy_keywords.py:124-149)
     def boolExcl(key: String): Boolean =
-      legacy && Option(n.get(key)).exists(b => b.isBoolean && b.asBoolean())
+      booleanExclusive(draft) && Option(n.get(key)).exists(b => b.isBoolean && b.asBoolean())
 
     n.properties().asScala.foreach { e =>
       val (k, v) = (e.getKey, e.getValue)
@@ -367,9 +393,9 @@ object SuiteLoader {
         case "minimum" => cs += Minimum(v.asDouble(), exclusive = boolExcl("exclusiveMinimum"))
         case "maximum" => cs += Maximum(v.asDouble(), exclusive = boolExcl("exclusiveMaximum"))
         case "exclusiveMinimum" if v.isBoolean =>
-          require(legacy, "boolean exclusiveMinimum is a draft-4 form; modern dialects need a number")
+          require(booleanExclusive(draft), "boolean exclusiveMinimum is a draft-3/4 form; later drafts need a number")
         case "exclusiveMaximum" if v.isBoolean =>
-          require(legacy, "boolean exclusiveMaximum is a draft-4 form; modern dialects need a number")
+          require(booleanExclusive(draft), "boolean exclusiveMaximum is a draft-3/4 form; later drafts need a number")
         case "exclusiveMinimum" => cs += Minimum(v.asDouble(), exclusive = true)
         case "exclusiveMaximum" => cs += Maximum(v.asDouble(), exclusive = true)
         case "multipleOf" => cs += MultipleOf(v.asDouble())
@@ -381,7 +407,7 @@ object SuiteLoader {
         case "minItems" => cs += MinItems(v.asInt())
         case "maxItems" => cs += MaxItems(v.asInt())
         case "uniqueItems" => if (v.asBoolean()) cs += UniqueItems()
-        case "items" if legacy && v.isArray =>
+        case "items" if legacyItems(draft) && v.isArray =>
           // pre-2020-12 positional form: `items: [s0, s1, …]` ≙
           // prefixItems, with sibling `additionalItems` constraining the
           // rest (PJS:_legacy_keywords.py:41-77)
@@ -395,7 +421,7 @@ object SuiteLoader {
         case "additionalItems" =>
           // consumed by the legacy items-array case; the spec IGNORES it
           // when `items` is absent or a single schema
-          require(legacy, "additionalItems is a pre-2020-12 keyword; use prefixItems+items")
+          require(legacyItems(draft), "additionalItems is a pre-2020-12 keyword; use prefixItems+items")
         case "contains" =>
           val mn = Option(n.get("minContains")).map(_.asInt()).getOrElse(1)
           val mx = Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue)

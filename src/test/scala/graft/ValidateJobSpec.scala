@@ -112,6 +112,14 @@ class ValidateJobSpec extends SparkSpec {
       truth.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("partition dir names unescape %XX only — literal '+' survives") {
+    assert(ValidateJob.unescapePathName("a+b") == "a+b")
+    assert(ValidateJob.unescapePathName("a%3Db") == "a=b")
+    assert(ValidateJob.unescapePathName("sp%20ace") == "sp ace")
+    assert(ValidateJob.unescapePathName("pct%") == "pct%")
+    assert(ValidateJob.unescapePathName("%2") == "%2")
+  }
+
   test("suite change invalidates checkpoint (hash mismatch forces revalidation)") {
     val table = tmp("t2"); val out = tmp("o3"); val ckpt = tmp("c2")
     new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 1000, 2), table)
