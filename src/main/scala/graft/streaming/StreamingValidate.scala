@@ -48,6 +48,38 @@ object StreamingValidate {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates("doc_id")
 
+  /** Per-window source-mix PSI vs a baseline snapshot — the streaming
+    * face of [[graft.checks.Drift.psiSourceMix]]. The snapshot's
+    * per-source shares are collected ONCE on the driver (it is a
+    * #sources-row frame) and folded into the aggregation as literals,
+    * so each window costs exactly ONE stateful aggregation: per-source
+    * conditional counts plus the ε-smoothed PSI arithmetic in the same
+    * select — no chained streaming aggs, no join against the stream.
+    * Baseline keys define the mix universe; a source absent from the
+    * baseline is already a referential violation and is counted in
+    * `rows` but not in any share (mirroring the batch ε-floor).
+    */
+  def driftStream(stream: DataFrame, snapshot: DataFrame, tsCol: String,
+                  watermark: String, windowLen: String, eps: Double = 1e-6): DataFrame = {
+    val base = snapshot.filter(col("kind") === "source_mix")
+      .select(col("key"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = base.map(_._2).sum.toDouble
+    val shares = base.map { case (k, c) => k -> (c / total) }.sortBy(_._1)
+    val counts = shares.map { case (s, _) =>
+      sum(when(col("source") === s, 1L).otherwise(0L)).as(s"__n_$s")
+    }
+    val agg = stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("rows"), counts: _*)
+    val psi = shares.map { case (s, q) =>
+      val p = greatest(col(s"__n_$s").cast("double") / col("rows"), lit(eps))
+      val ql = greatest(lit(q), lit(eps))
+      (p - ql) * log(p / ql)
+    }.reduce(_ + _)
+    agg.select(col("window"), col("rows"), round(psi, 6).as("psi"))
+  }
+
   /** Lifetime running verdict per source via custom state
     * (mapGroupsWithState): each micro-batch folds its rows into the
     * per-source state and emits the updated totals — the streaming

@@ -89,4 +89,34 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq("a", "b", "c"))
     } finally q.stop()
   }
+
+  test("drift stream: per-window PSI matches the batch formula") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // baseline: 50/50 web/books
+    val snapshot = Seq(("source_mix", "web", 50L), ("source_mix", "books", 50L))
+      .toDF("kind", "key", "cnt")
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("source", "ingest_ts")
+    val q = StreamingValidate.driftStream(df, snapshot, "ingest_ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("drift").outputMode("complete").start()
+    try {
+      // window 1 (10:00-10:05): 3 web / 1 books — skewed vs 50/50
+      // window 2 (10:05-10:10): 1 web / 1 books — matches baseline
+      mem.addData(("web", ts(0)), ("web", ts(1)), ("web", ts(2)), ("books", ts(3)),
+        ("web", ts(6)), ("books", ts(7)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT rows, psi FROM drift ORDER BY window.start").collect()
+      assert(rows.length == 2)
+      def psiOf(shares: Seq[(Double, Double)]) = // (p, q) pairs, eps-floored
+        BigDecimal(shares.map { case (p, q) =>
+          val pf = math.max(p, 1e-6); val qf = math.max(q, 1e-6)
+          (pf - qf) * math.log(pf / qf)
+        }.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(0).getLong(0) == 4L)
+      assert(rows(0).getDouble(1) == psiOf(Seq((0.25, 0.5), (0.75, 0.5))))
+      assert(rows(1).getLong(0) == 2L)
+      assert(rows(1).getDouble(1) == psiOf(Seq((0.5, 0.5), (0.5, 0.5))))
+    } finally q.stop()
+  }
 }
