@@ -183,13 +183,29 @@ object Bench {
       case None => (0L, 0.0, 0.0, -1.0) // no classes dir (shouldn't happen under sbt)
       case Some(j) =>
         val m1 = "local-cluster[1,4,6144]"; val m4 = "local-cluster[4,4,6144]"
-        val subs = Seq(m1, m4, m4, m1).flatMap(m => sparkSubmit(m, j, scale16).map(m -> _))
-        val by = subs.groupBy(_._1).view.mapValues(v => (v.head._2._1, v.map(_._2._2).min)).toMap
-        (by.get(m1), by.get(m4)) match {
-          case (Some((r1, t1)), Some((_, t4))) =>
-            (r1, r1 / t1, r1 / t4, ((r1 / t4) / (r1 / t1)) / 4.0)
-          case _ => (0L, 0.0, 0.0, -1.0)
+        var subs = Seq(m1, m4, m4, m1).flatMap(m => sparkSubmit(m, j, scale16).map(m -> _))
+        def summarize: Option[(Long, Double, Double, Double)] = {
+          val by = subs.groupBy(_._1).view.mapValues(v => (v.head._2._1, v.map(_._2._2).min)).toMap
+          (by.get(m1), by.get(m4)) match {
+            case (Some((r1, t1)), Some((_, t4))) =>
+              Some((r1, r1 / t1, r1 / t4, ((r1 / t4) / (r1 / t1)) / 4.0))
+            case _ => None
+          }
         }
+        // Host phantom-load spikes last minutes and can span BOTH
+        // submits of one config, wrecking that config's min (observed:
+        // a spike turned a measured-0.875 efficiency into 0.122 while
+        // the other config, run outside the spike, was unchanged).
+        // Adaptive retry: while the efficiency reads implausibly low
+        // for 4x hardware, add another alternating pair — mins across
+        // ALL submits per config find a quiet window per config. Cheap
+        // in good windows (no extra submits), bounded at 3 extra pairs.
+        var extra = 0
+        while (summarize.exists(_._4 < 0.6) && extra < 3) {
+          subs = subs ++ Seq(m4, m1).flatMap(m => sparkSubmit(m, j, scale16).map(m -> _))
+          extra += 1
+        }
+        summarize.getOrElse((0L, 0.0, 0.0, -1.0))
     }
 
     // Raw-CPU calibration: the same 8-vs-32-thread ratio for pure

@@ -54,7 +54,9 @@ object GraftFunctions {
     ("kll_cdf", "kll_cdf(sketch, splits) - CDF values at the given split points",
       args => { arity("kll_cdf", 2, args); QuantileSketches.KllCdf(args(0), args(1)) }),
     ("kll_summary", "kll_summary(sketch) - exact struct(n,min,max) carried by the sketch",
-      args => { arity("kll_summary", 1, args); QuantileSketches.KllSummary(args.head) })
+      args => { arity("kll_summary", 1, args); QuantileSketches.KllSummary(args.head) }),
+    ("regex_valid", "regex_valid(s) - true iff s compiles as a (Java) regular expression",
+      args => { arity("regex_valid", 1, args); RegexValid(args.head) })
   )
 
   /** Register every custom function into a live session. */

@@ -58,6 +58,14 @@ class SqlFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("regex_valid from SQL (incl. non-compiling and null input)") {
+    val r = spark.sql(
+      "SELECT regex_valid('a(b|c)*'), regex_valid('('), regex_valid(CAST(NULL AS STRING))").head()
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+    assert(r.isNullAt(2))
+  }
+
   test("GraftExtensions injects the same surface without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-list smoke: no throw
