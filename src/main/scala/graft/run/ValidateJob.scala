@@ -72,25 +72,23 @@ object ValidateJob {
     * milliseconds and hours). Falls back to a distinct() scan only for
     * non-partitioned layouts, where directory names carry no values.
     */
-  /** Hive-layout %XX unescaping ONLY (Spark's
-    * ExternalCatalogUtils.unescapePathName semantics). NOT URLDecoder:
-    * that is application/x-www-form-urlencoded, which also turns a
-    * literal '+' into a space — Spark never escapes '+', so a partition
-    * value like "a+b" would decode to "a b", match zero rows, and be
-    * checkpointed as validated-empty (a silent hole).
+  /** Hive-layout %XX unescaping ONLY — delegated to Spark's own
+    * ExternalCatalogUtils so decoding matches what Spark's writer
+    * escaped, byte for byte. NOT URLDecoder: that is
+    * application/x-www-form-urlencoded, which also turns a literal '+'
+    * into a space — Spark never escapes '+', so a partition value like
+    * "a+b" would decode to "a b", match zero rows, and be checkpointed
+    * as validated-empty (a silent hole).
     */
-  private[graft] def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private[graft] def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** Inverse, for embedding a DECODED partition value back into an
+    * output path: a raw ':' or '/' in a path component crashes or
+    * mis-nests the Hadoop write.
+    */
+  private[graft] def escapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
 
   def listPartitions(spark: SparkSession, tablePath: String, partitionCol: String): Seq[String] = {
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
@@ -120,7 +118,7 @@ object ValidateJob {
     val obs = Observation(s"validate-$partition-${System.nanoTime()}")
     ConstraintCompiler.violations(df, suite, fusedIntArrays = fusedIntArrays, observe = obs)
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/violations/partition=$partition")
+      .parquet(s"$outDir/violations/partition=${escapePathName(partition)}")
     val m = obs.get
     (m("rows").asInstanceOf[Long],
       Option(m("viol")).map(_.asInstanceOf[Long]).getOrElse(0L))

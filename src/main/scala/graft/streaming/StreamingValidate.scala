@@ -64,19 +64,32 @@ object StreamingValidate {
     val base = snapshot.filter(col("kind") === "source_mix")
       .select(col("key"), col("cnt")).collect()
       .map(r => r.getString(0) -> r.getLong(1))
+    require(base.nonEmpty, "driftStream: snapshot has no source_mix rows — wrong path or kind?")
     val total = base.map(_._2).sum.toDouble
+    require(total > 0, "driftStream: snapshot source_mix counts sum to zero")
     val shares = base.map { case (k, c) => k -> (c / total) }.sortBy(_._1)
-    val counts = shares.map { case (s, _) =>
-      sum(when(col("source") === s, 1L).otherwise(0L)).as(s"__n_$s")
-    }
+    // count columns aliased by INDEX, not by value: a source name with a
+    // '.' or '`' in it would break col() resolution (dots parse as
+    // struct-field access)
+    val counts = shares.zipWithIndex.map { case ((s, _), i) =>
+      sum(when(col("source") === s, 1L).otherwise(0L)).as(s"__n_$i")
+    } :+ sum(when(!col("source").isin(shares.map(_._1): _*), 1L).otherwise(0L)).as("__n_other")
     val agg = stream.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("rows"), counts: _*)
-    val psi = shares.map { case (s, q) =>
-      val p = greatest(col(s"__n_$s").cast("double") / col("rows"), lit(eps))
+    val knownTerms = shares.zipWithIndex.map { case ((_, q), i) =>
+      val p = greatest(col(s"__n_$i").cast("double") / col("rows"), lit(eps))
       val ql = greatest(lit(q), lit(eps))
       (p - ql) * log(p / ql)
-    }.reduce(_ + _)
+    }
+    // sources ABSENT from the baseline get the batch full_outer's
+    // dominant (p-eps)*ln(p/eps) contribution as one lumped term (the
+    // new-source drift signal must not vanish; batch emits one term per
+    // unknown source, the stream lumps them — equal when one unknown
+    // source appears, a lower bound when several do). When no unknown
+    // rows arrive, p floors to eps and the term is exactly zero.
+    val pOther = greatest(col("__n_other").cast("double") / col("rows"), lit(eps))
+    val psi = (knownTerms :+ (pOther - lit(eps)) * log(pOther / lit(eps))).reduce(_ + _)
     agg.select(col("window"), col("rows"), round(psi, 6).as("psi"))
   }
 

@@ -240,12 +240,16 @@ object SuiteLoader {
         // the legacy dialect adds additionalItems (consumed by the
         // items-array slice) and the draft-4 BOOLEAN exclusive-bound
         // forms (consumed by their minimum/maximum slices — the NUMERIC
-        // forms stay standalone keywords)
-        val anchored = Set("minContains", "maxContains", "then", "else", "$defs") ++
-          (if (legacyItems(draft)) Set("additionalItems") else Set.empty) ++
-          Seq("exclusiveMinimum", "exclusiveMaximum")
-            .filter(k => booleanExclusive(draft) && Option(sub.get(k)).exists(_.isBoolean))
+        // forms stay standalone keywords). The anchoring decisions MUST
+        // use the SUBSCHEMA's dialect — a field subschema can switch
+        // dialect via its own $schema, and judging its keywords by the
+        // parent's draft would silently drop e.g. a draft-4 boolean
+        // exclusiveMinimum inside a 2020-12 document.
         val subDraft = draftOf(sub, draft)
+        val anchored = Set("minContains", "maxContains", "then", "else", "$defs") ++
+          (if (legacyItems(subDraft)) Set("additionalItems") else Set.empty) ++
+          Seq("exclusiveMinimum", "exclusiveMaximum")
+            .filter(k => booleanExclusive(subDraft) && Option(sub.get(k)).exists(_.isBoolean))
         sub.properties().asScala.foreach { e =>
           val k = e.getKey
           if (!anchored.contains(k) && !Annotations.contains(k)) {

@@ -103,20 +103,27 @@ class StreamingSpec extends SparkSpec {
     try {
       // window 1 (10:00-10:05): 3 web / 1 books — skewed vs 50/50
       // window 2 (10:05-10:10): 1 web / 1 books — matches baseline
+      // window 3 (10:10-10:15): 1 web / 3 spam — source NOT in baseline
       mem.addData(("web", ts(0)), ("web", ts(1)), ("web", ts(2)), ("books", ts(3)),
-        ("web", ts(6)), ("books", ts(7)))
+        ("web", ts(6)), ("books", ts(7)),
+        ("web", ts(11)), ("spam", ts(12)), ("spam", ts(13)), ("spam", ts(14)))
       q.processAllAvailable()
       val rows = spark.sql("SELECT rows, psi FROM drift ORDER BY window.start").collect()
-      assert(rows.length == 2)
+      assert(rows.length == 3)
+      val eps = 1e-6
       def psiOf(shares: Seq[(Double, Double)]) = // (p, q) pairs, eps-floored
         BigDecimal(shares.map { case (p, q) =>
-          val pf = math.max(p, 1e-6); val qf = math.max(q, 1e-6)
+          val pf = math.max(p, eps); val qf = math.max(q, eps)
           (pf - qf) * math.log(pf / qf)
         }.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(rows(0).getLong(0) == 4L)
       assert(rows(0).getDouble(1) == psiOf(Seq((0.25, 0.5), (0.75, 0.5))))
       assert(rows(1).getLong(0) == 2L)
       assert(rows(1).getDouble(1) == psiOf(Seq((0.5, 0.5), (0.5, 0.5))))
+      // unknown source dominates, exactly like the batch full_outer term
+      assert(rows(2).getLong(0) == 4L)
+      assert(rows(2).getDouble(1) ==
+        psiOf(Seq((0.25, 0.5), (0.0, 0.5), (0.75, eps))))
     } finally q.stop()
   }
 }
