@@ -116,8 +116,30 @@ class ValidateJobSpec extends SparkSpec {
     assert(ValidateJob.unescapePathName("a+b") == "a+b")
     assert(ValidateJob.unescapePathName("a%3Db") == "a=b")
     assert(ValidateJob.unescapePathName("sp%20ace") == "sp ace")
-    assert(ValidateJob.unescapePathName("pct%") == "pct%")
     assert(ValidateJob.unescapePathName("%2") == "%2")
+  }
+
+  test("special characters in partition values survive the whole run (decode + re-escape)") {
+    import spark.implicits._
+    val table = tmp("esc"); val out = tmp("escout"); val ckpt = tmp("escckpt")
+    // ':' crashes a raw Hadoop path component; '+' is the URLDecoder trap
+    val sources = Seq("a:b", "a+b", "plain")
+    val df = sources.zipWithIndex.flatMap { case (s, i) =>
+      Seq((s"doc-$i-1", Seq(1, 2, 3), 3, s), (s"doc-$i-2", Seq(4, 5), 2, s))
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    new PartitionedParquetIO("source").write(df, table)
+    ValidateJob.run(spark, table, out, ckpt)
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every partition found by directory listing, decoded correctly,
+    // and validated against its actual (non-empty) slice
+    assert(verdicts.keySet == sources.toSet, s"got ${verdicts.keySet}")
+    assert(sources.forall(s => verdicts(s) == 2L), s"rows per partition: $verdicts")
+    // violations written under the RE-ESCAPED dir for each partition
+    sources.foreach { s =>
+      val dir = Paths.get(out, "violations", s"partition=${ValidateJob.escapePathName(s)}")
+      assert(Files.exists(dir), s"missing violations dir for '$s': $dir")
+    }
   }
 
   test("suite change invalidates checkpoint (hash mismatch forces revalidation)") {
