@@ -56,4 +56,18 @@ class SuiteDocumentSpec extends SparkSpec {
     val fails = ConstraintCompiler.failCounts(df, s).head()
     assert(fails.getLong(1) === 100L)
   }
+
+  test("legacy keyword forms RAISE under modern dialects instead of silently weakening") {
+    // 2020-12 (no $schema): additionalItems and boolean exclusiveMinimum
+    // are pre-2020 forms — loading them must error, not no-op
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema("""{"items": {"minimum": 0}, "additionalItems": false}"""))
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema("""{"minimum": 5, "exclusiveMinimum": true}"""))
+    // 2019-09: dependencies was split; the combined form must not load
+    intercept[UnsupportedOperationException](
+      SuiteLoader.parseSuiteDocument(
+        """{"$schema": "https://json-schema.org/draft/2019-09/schema",
+           "dependencies": {"a": ["b"]}}"""))
+  }
 }
