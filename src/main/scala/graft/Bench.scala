@@ -8,20 +8,59 @@ import graft.gen.TokenData
 
 /** Benchmark main — prints ONE JSON line consumed by the driver (and
   * writes the same line to bench_out.json so the result is parseable
-  * even if a log prefix mangles stdout — round-1 VERDICT item 5).
+  * even if a log prefix mangles stdout).
+  *
+  * Round-3 record design (round-2 VERDICT items 1-2 + ADVICE):
+  *  - INCREMENTAL record: bench_out.json (and a fresh stdout line) is
+  *    rewritten as a complete, valid JSON object after EVERY phase, so
+  *    an external timeout at any point still leaves a parseable record
+  *    of everything measured so far (round 2 lost all data to rc=124).
+  *  - GLOBAL wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
+  *    900 s): each phase checks remaining time before starting work;
+  *    spark-submit timeouts are capped at 5 min and further clamped to
+  *    the remaining budget.
+  *  - Scaling tables are pre-generated BEFORE any timed phase (cached
+  *    across rounds under data/), so generation cost never eats the
+  *    measurement window.
+  *  - The executor-scaling phase (the BASELINE.json criterion) runs
+  *    SECOND, right after per-query timings, so the criterion number
+  *    lands even if the budget squeezes later phases.
+  *  - SYMMETRIC stopping rule (round-2 ADVICE, low): a fixed base of 2
+  *    alternating submit pairs, then extra pairs only while the LAST
+  *    pair improved EITHER config's min — improvements that raise the
+  *    efficiency ratio and improvements that lower it trigger a retry
+  *    equally, so sampling allocation cannot bias the estimate toward
+  *    the 0.8 threshold. (Host noise is additive, so min-over-samples
+  *    converges to the true runtime for both configs.)
+  *  - BOTH efficiencies are reported and the CPU-ceiling ratio is
+  *    computed from the criterion experiment alone (executor scaling),
+  *    never max(threads, procs).
   *
   * Three measurements:
   *  1. per-query wall time for every SparkEntry query at SPARK_GRAFT_CPUS
-  *  2. thread scaling: the BASELINE.json headline metric — validated
-  *     sequences/sec on the full north-star suite — at local[8] vs
-  *     local[32] on the SAME input (shared-JVM stand-in for N→4N).
-  *  3. process scaling: the same job at local-cluster[1,8] vs
-  *     local-cluster[4,8] — REAL separate executor JVMs (own heaps, own
-  *     GC, own codegen caches), the in-sandbox measurement closest to
-  *     N→4N executors on a cluster (round-1 VERDICT item 2). Classes
-  *     ship to executors via an on-the-fly jar of target/classes.
+  *  2. process scaling: the same job via spark-submit at
+  *     local-cluster[1,4] vs local-cluster[4,4] — REAL separate executor
+  *     JVMs (own heaps, GC, codegen caches), the in-sandbox measurement
+  *     closest to N→4N executors on a cluster.
+  *  3. thread scaling: local[8] vs local[32] on the same input
+  *     (shared-JVM stand-in, memory-bandwidth-bound past ~16 threads).
   */
 object Bench {
+
+  // ---- incremental record ------------------------------------------------
+  private val rec = scala.collection.mutable.LinkedHashMap[String, String]()
+  private def put(kv: (String, String)*): Unit = {
+    kv.foreach { case (k, v) => rec(k) = v }
+    val json = rec.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    println(json)
+  }
+  private def q(s: String): String = "\"" + s + "\""
+
+  private val startNanos = System.nanoTime()
+  private def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
+  private var budgetSec: Double = 900.0
+  private def remaining: Double = budgetSec - elapsed
 
   private def newSession(master: String, shufflePartitions: Int): SparkSession = {
     SparkSession.getActiveSession.foreach(_.stop())
@@ -48,9 +87,10 @@ object Bench {
   /** One spark-submit at the given master (the north-rule's literal
     * "run via spark-submit … at two cluster sizes"). Returns
     * (rows, bestSeconds) parsed from ScaleRunner's marker line, or None
-    * on failure/timeout.
+    * on failure/timeout. `timeoutSec` is clamped by the caller to the
+    * remaining global budget.
     */
-  private def sparkSubmit(master: String, jar: String, path: String): Option[(Long, Double)] = {
+  private def sparkSubmit(master: String, jar: String, path: String, timeoutSec: Long): Option[(Long, Double)] = {
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     // Pin each executor JVM's ergonomics to ITS core share. Without
     // this, every executor on the host sizes GC/JIT/common-pool threads
@@ -71,7 +111,7 @@ object Bench {
       "--conf", "spark.sql.shuffle.partitions=32",
       "--conf", "spark.sql.session.timeZone=UTC",
       "--conf", "spark.ui.enabled=false",
-      jar, path, "2")
+      jar, path, "3")
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
     // drain stdout on a daemon thread so waitFor's timeout can actually
@@ -81,7 +121,7 @@ object Bench {
     val buf = new java.io.ByteArrayOutputStream()
     val drain = new Thread(() => try p.getInputStream.transferTo(buf) catch { case _: Exception => () })
     drain.setDaemon(true); drain.start()
-    if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) { p.destroyForcibly(); return None }
+    if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) { p.destroyForcibly(); return None }
     drain.join(10000)
     val out = buf.toString("UTF-8")
     "GRAFT_SCALE rows=(\\d+) best=([0-9.Ee+-]+)".r.findFirstMatchIn(out)
@@ -112,119 +152,14 @@ object Bench {
     Some(jar.getAbsolutePath)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-
-    // ---- per-query timings at the driver-requested parallelism ----
-    var spark = newSession(cpus)
-    val tokPath = TokenData.ensure(spark, sfDir) // generation excluded from timings
-    // force FULL materialization (a bare .count() lets Catalyst prune
-    // the aggregate values away) via the noop sink
-    def exec(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min over warm + 2 reps: this host shows phantom-load spikes that
-      // inflate single measurements up to 10x
-      val reps = (1 to 3).map(_ => time { exec(fn(spark, sfDir)) }._2)
-      name -> reps.min
-    }
-
-    // ---- scaling dataset: 4M rows (per-job fixed overhead is noise) ----
-    val scalePath = s"${TokenData.dataRoot}/scaling/token_seqs"
-    if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
-      TokenData.writeTokens(TokenData.tokenTable(spark, 4000000L), scalePath)
-
-    // Per-parallelism measurement EXCLUDES driver-side planning/codegen:
-    // the Dataset caches its QueryExecution, so repeated head() on the
-    // same instance re-executes without re-planning. Planning is a
-    // per-query constant (~seconds) that amortizes to zero at 10^12
-    // rows; counting it per-rep was measured to cap apparent scaling at
-    // ~0.3 regardless of executor count.
-    var rows = 0L
-    def measureOn(master: String, reps: Int): Double = {
-      spark = newSession(master, 32)
-      val df = ConstraintCompiler.withVerdicts(spark.read.parquet(scalePath), NorthStar.suite, Set("tokens"))
-        .agg(count(lit(1)).as("r"), sum(when(!col("row_valid"), 1L).otherwise(0L)).as("v"))
-      rows = df.head().getLong(0) // warm: plan + codegen + page cache
-      (1 to reps).map(_ => time { df.head() }._2).min
-    }
-
-    // ---- thread scaling: local[8] vs local[32], alternating rounds ----
-    // (host load spikes last seconds-to-minutes, so neither config may
-    // systematically follow the other; min over rounds finds a quiet
-    // window per config)
-    val threadRounds = (1 to 2).map { r =>
-      if (r % 2 == 1) { val a = measureOn("local[8]", 3); val b = measureOn("local[32]", 3); (a, b) }
-      else { val b = measureOn("local[32]", 3); val a = measureOn("local[8]", 3); (a, b) }
-    }
-    val thr8 = rows / threadRounds.map(_._1).min
-    val thr32 = rows / threadRounds.map(_._2).min
-    val effThreads = (thr32 / thr8) / 4.0
-
-    // ---- process scaling: N=1 vs 4N=4 executor JVMs, 4 cores each ----
-    // Each measurement is its OWN spark-submit (the north-rule's literal
-    // wording) at local-cluster[N,4,…]: executors are real separate
-    // processes with separate heaps/GC/JIT. Executor SHAPE is fixed
-    // (4 cores, ActiveProcessorCount-pinned) and only the COUNT varies —
-    // the cluster experiment — and 4x4=16 cores keeps the 32-core host
-    // under-subscribed, so the shared memory bus doesn't confound the
-    // executor-count signal (full 4x8 subscription measured 10x noisier
-    // on this shared VM). A real cluster adds memory bandwidth WITH
-    // node count; one box cannot — reported raw + CPU-calibrated below.
-    // 16M rows (not 4M) so per-job constant overhead (<0.5s scheduling)
-    // stays <5% of the shortest measurement. Alternating submit order,
-    // min per config (same noise logic).
-    val scale16 = s"${TokenData.dataRoot}/scaling16/token_seqs"
-    if (!new java.io.File(s"$scale16/_SUCCESS").exists())
-      TokenData.writeTokens(TokenData.tokenTable(spark, 16000000L), scale16)
-    val jar = classesJar()
-    val (rowsEx, thrEx1, thrEx4, effProcs, scalePairs) = jar match {
-      case None => (0L, 0.0, 0.0, -1.0, 0) // no classes dir (shouldn't happen under sbt)
-      case Some(j) =>
-        val m1 = "local-cluster[1,4,6144]"; val m4 = "local-cluster[4,4,6144]"
-        var subs = Seq(m1, m4, m4, m1).flatMap(m => sparkSubmit(m, j, scale16).map(m -> _))
-        def summarize: Option[(Long, Double, Double, Double)] = {
-          val by = subs.groupBy(_._1).view.mapValues(v => (v.head._2._1, v.map(_._2._2).min)).toMap
-          (by.get(m1), by.get(m4)) match {
-            case (Some((r1, t1)), Some((_, t4))) =>
-              Some((r1, r1 / t1, r1 / t4, ((r1 / t4) / (r1 / t1)) / 4.0))
-            case _ => None
-          }
-        }
-        // Host phantom-load spikes last minutes and can span BOTH
-        // submits of one config, wrecking that config's min (observed:
-        // a spike turned a measured-0.875 efficiency into 0.122 while
-        // the other config, run outside the spike, was unchanged).
-        // Adaptive retry: while the efficiency reads below the 0.8
-        // criterion, add another alternating PAIR. This is statistically
-        // sound, not threshold-gaming: host noise is strictly ADDITIVE
-        // (load can only slow a run), so min-over-samples is a
-        // consistent estimator of the true runtime for BOTH configs —
-        // extra pairs move each config's min toward its true value and
-        // the ratio converges to the true efficiency; sampling cannot
-        // manufacture scaling that does not exist. The one-sided
-        // stopping rule only allocates samples where they are needed;
-        // the JSON reports the pair count (scale_submit_pairs) so the
-        // allocation is visible. Cheap in quiet windows (no extra
-        // submits); bounded at 3 extra pairs.
-        var pairs = 2
-        while (summarize.exists(_._4 < 0.8) && pairs < 5) {
-          subs = subs ++ Seq(m4, m1).flatMap(m => sparkSubmit(m, j, scale16).map(m -> _))
-          pairs += 1
-        }
-        summarize match {
-          case Some((r, a, b, e)) => (r, a, b, e, pairs)
-          case None => (0L, 0.0, 0.0, -1.0, pairs)
-        }
-    }
-
-    // Raw-CPU calibration: the same 8-vs-32-thread ratio for pure
-    // compute (no Spark, no memory traffic). This box is a shared VM
-    // with phantom load; even pure CPU may scale below 1.0, which bounds
-    // any job's measurable efficiency here (a real N->4N cluster adds
-    // independent nodes — memory bandwidth and CPUs scale with N,
-    // unlike threads/processes on one box).
+  /** Raw-CPU calibration: the same 8-vs-32-thread ratio for pure
+    * compute (no Spark, no memory traffic). This box is a shared VM
+    * with phantom load; even pure CPU may scale below 1.0, which bounds
+    * any job's measurable efficiency here (a real N->4N cluster adds
+    * independent nodes — memory bandwidth and CPUs scale with N,
+    * unlike threads/processes on one box).
+    */
+  private def cpuCalibration(): Double = {
     def spin(threads: Int): Double = {
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val counts = new Array[Long](threads)
@@ -243,22 +178,142 @@ object Bench {
       Thread.sleep(2000); stop.set(true); ts.foreach(_.join())
       counts.sum.toDouble
     }
-    val cal = ((1 to 2).map(_ => spin(32)).max / (1 to 2).map(_ => spin(8)).max) / 4.0
+    ((1 to 2).map(_ => spin(32)).max / (1 to 2).map(_ => spin(8)).max) / 4.0
+  }
 
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    put("metric" -> q("total"), "value" -> "0", "unit" -> q("sec"),
+      "sf" -> q(sfDir), "bench_budget_sec" -> budgetSec.toLong.toString)
+
+    // ---- phase 0: pre-generate all inputs OUTSIDE the timed phases ----
+    var spark = newSession(cpus)
+    val tokPath = TokenData.ensure(spark, sfDir)
+    val scalePath = s"${TokenData.dataRoot}/scaling/token_seqs"
+    if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
+      TokenData.writeTokens(TokenData.tokenTable(spark, 4000000L), scalePath)
+    // 16M rows (not 4M) for the submit experiment so per-job constant
+    // overhead (<0.5s scheduling) stays <5% of the shortest measurement
+    val scale16 = s"${TokenData.dataRoot}/scaling16/token_seqs"
+    if (!new java.io.File(s"$scale16/_SUCCESS").exists())
+      TokenData.writeTokens(TokenData.tokenTable(spark, 16000000L), scale16)
+    put("gen_sec" -> f"$elapsed%.1f")
+
+    // ---- phase 1: per-query timings at the driver-requested parallelism ----
+    // force FULL materialization (a bare .count() lets Catalyst prune
+    // the aggregate values away) via the noop sink
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // min over warm + 2 reps: this host shows phantom-load spikes that
+      // inflate single measurements up to 10x
+      val reps = (1 to 3).map(_ => time { exec(fn(spark, sfDir)) }._2)
+      name -> reps.min
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val bestEff = math.max(effThreads, effProcs)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""suite_rows":$rows,"rows_per_sec_p8":${thr8.toLong},"rows_per_sec_p32":${thr32.toLong},""" +
-      s""""scaling_efficiency_8_to_32":${f"$effThreads%.3f"},""" +
-      s""""scale_rows":$rowsEx,"rows_per_sec_ex1":${thrEx1.toLong},"rows_per_sec_ex4":${thrEx4.toLong},""" +
-      s""""scaling_efficiency_executors_1_to_4":${f"$effProcs%.3f"},"scale_submit_pairs":$scalePairs,""" +
-      s""""cpu_calibration_eff_8_to_32":${f"$cal%.3f"},""" +
-      s""""scaling_efficiency_vs_cpu_ceiling":${f"${math.min(bestEff / cal, 1.0)}%.3f"}}"""
-    // file sink first (survives any stdout mangling), then the raw line
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    println(json)
+    put("value" -> results.map(_._2).sum.toString, "queries" -> qs,
+      "queries_phase_sec" -> f"$elapsed%.1f")
+
+    // cheap (8 s), and needed to contextualize the criterion number
+    val cal = cpuCalibration()
+    put("cpu_calibration_eff_8_to_32" -> f"$cal%.3f")
+
+    // ---- phase 2 (the BASELINE.json criterion): process scaling,
+    // N=1 vs 4N=4 executor JVMs, 4 cores each ----
+    // Each measurement is its OWN spark-submit (the north-rule's literal
+    // wording) at local-cluster[N,4,…]: executors are real separate
+    // processes with separate heaps/GC/JIT. Executor SHAPE is fixed
+    // (4 cores, ActiveProcessorCount-pinned) and only the COUNT varies —
+    // the cluster experiment — and 4x4=16 cores keeps the 32-core host
+    // under-subscribed, so the shared memory bus doesn't confound the
+    // executor-count signal (full 4x8 subscription measured 10x noisier
+    // on this shared VM). A real cluster adds memory bandwidth WITH
+    // node count; one box cannot — reported raw + CPU-calibrated below.
     spark.stop()
+    val jar = classesJar()
+    val m1 = "local-cluster[1,4,6144]"; val m4 = "local-cluster[4,4,6144]"
+    var rowsEx = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Double]
+    var pairs = 0
+    var lastPairSec = 0.0
+    def submitTimeout: Long = math.max(60L, math.min(300L, remaining.toLong))
+    def runPair(order: Seq[String]): Boolean = jar match {
+      case None => false
+      case Some(j) =>
+        var changed = false
+        val t0 = System.nanoTime()
+        order.foreach { m =>
+          sparkSubmit(m, j, scale16, submitTimeout).foreach { case (r, t) =>
+            rowsEx = r
+            if (mins.get(m).forall(t < _)) { mins(m) = t; changed = true }
+          }
+        }
+        lastPairSec = (System.nanoTime() - t0) / 1e9
+        pairs += 1
+        changed
+    }
+    def flushScaling(): Unit = (mins.get(m1), mins.get(m4)) match {
+      case (Some(t1), Some(t4)) =>
+        val (thr1, thr4) = (rowsEx / t1, rowsEx / t4)
+        val eff = (thr4 / thr1) / 4.0
+        put("scale_rows" -> rowsEx.toString,
+          "rows_per_sec_ex1" -> thr1.toLong.toString,
+          "rows_per_sec_ex4" -> thr4.toLong.toString,
+          "scaling_efficiency_executors_1_to_4" -> f"$eff%.3f",
+          "scale_submit_pairs" -> pairs.toString,
+          // ceiling ratio from the CRITERION experiment alone (no
+          // max(threads, procs) folding — round-2 ADVICE)
+          "scaling_efficiency_vs_cpu_ceiling" -> f"${math.min(eff / cal, 1.0)}%.3f")
+      case _ =>
+        put("scale_rows" -> "0", "scale_submit_pairs" -> pairs.toString,
+          "scaling_efficiency_executors_1_to_4" -> "-1.0")
+    }
+    // fixed base: 2 alternating pairs (order swapped so a load spike
+    // cannot bias one config)
+    runPair(Seq(m1, m4)); flushScaling()
+    var lastChanged = runPair(Seq(m4, m1)); flushScaling()
+    // symmetric refinement: keep sampling while the last pair moved
+    // EITHER config's min (both directions re-sampled equally), budget
+    // and a hard pair cap permitting; reserve ~150 s for thread scaling
+    while (lastChanged && pairs < 5 && remaining > lastPairSec * 1.2 + 150) {
+      lastChanged = runPair(Seq(if (pairs % 2 == 0) m1 else m4, if (pairs % 2 == 0) m4 else m1))
+      flushScaling()
+    }
+
+    // ---- phase 3: thread scaling local[8] vs local[32] ----
+    // Per-parallelism measurement EXCLUDES driver-side planning/codegen:
+    // the Dataset caches its QueryExecution, so repeated head() on the
+    // same instance re-executes without re-planning. Planning is a
+    // per-query constant (~seconds) that amortizes to zero at 10^12
+    // rows; counting it per-rep was measured to cap apparent scaling at
+    // ~0.3 regardless of executor count.
+    var rows = 0L
+    def measureOn(master: String, reps: Int): Double = {
+      spark = newSession(master, 32)
+      val df = ConstraintCompiler.withVerdicts(spark.read.parquet(scalePath), NorthStar.suite, Set("tokens"))
+        .agg(count(lit(1)).as("r"), sum(when(!col("row_valid"), 1L).otherwise(0L)).as("v"))
+      rows = df.head().getLong(0) // warm: plan + codegen + page cache
+      (1 to reps).map(_ => time { df.head() }._2).min
+    }
+    val threadRounds = math.max(1, math.min(2, (remaining / 90).toInt))
+    if (remaining > 45) {
+      val rounds = (1 to threadRounds).map { r =>
+        if (r % 2 == 1) { val a = measureOn("local[8]", 3); val b = measureOn("local[32]", 3); (a, b) }
+        else { val b = measureOn("local[32]", 3); val a = measureOn("local[8]", 3); (a, b) }
+      }
+      val thr8 = rows / rounds.map(_._1).min
+      val thr32 = rows / rounds.map(_._2).min
+      val effThreads = (thr32 / thr8) / 4.0
+      put("suite_rows" -> rows.toString,
+        "rows_per_sec_p8" -> thr8.toLong.toString,
+        "rows_per_sec_p32" -> thr32.toLong.toString,
+        "scaling_efficiency_8_to_32" -> f"$effThreads%.3f",
+        "scaling_efficiency_threads_vs_cpu_ceiling" -> f"${math.min(effThreads / cal, 1.0)}%.3f",
+        "thread_rounds" -> threadRounds.toString)
+      spark.stop()
+    }
+    put("bench_elapsed_sec" -> f"$elapsed%.1f")
   }
 }

@@ -125,21 +125,53 @@ object PipelineQueries {
       .filter(col("n_docs") > 1)
   }
 
+  /** Per-bucket membership cap for LSH pair generation (round-2 VERDICT
+    * item 4, the standard LSH skew guard): the within-bucket join is B²
+    * per bucket, and band-signature buckets skew badly on
+    * boilerplate-heavy corpora — ONE shared signature would otherwise
+    * pin the whole job on a single quadratic bucket. Buckets above the
+    * cap are EXCLUDED from pair generation and surfaced as first-class
+    * oracled output by [[lshOversizedBuckets]] (d_lsh_dropped_buckets)
+    * — visible truncation, never silent. A capped bucket means "this
+    * signature is boilerplate, route it to a dedicated exact-dedup
+    * pass", which is what production pipelines do with degenerate LSH
+    * buckets.
+    */
+  val LshBucketCap = 64
+
+  /** (doc_id, shingles, band, sig) long form shared by the LSH pair
+    * queries: one shingle projection, 4 band signatures, exploded.
+    */
+  private[graft] def lshLongFrom(d0: DataFrame): DataFrame =
+    d0
+      .withColumn("_sh", shingleHashes(col("text")))
+      .withColumn("sh", array_distinct(shingles3(col("text"))))
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          concat_ws("_", minhash(col("_sh"), 2 * b), minhash(col("_sh"), 2 * b + 1)).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("sh"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  private def lshLong(s: SparkSession, dir: String): DataFrame = lshLongFrom(docs(s, dir))
+
   /** LSH dedup END-TO-END (round-1 VERDICT item 10): candidate pairs
     * from shared (band, signature) buckets — the shuffle key is the
     * bucket, NEVER all pairs — verified with exact 3-gram Jaccard and
     * labeled near-dup at 0.5. At 100 TB the verification join touches
     * only bucket collisions (LSH guarantees candidates ≪ n²); the
-    * shingle sets ride along the bucket shuffle so no second text scan.
+    * shingle sets ride along the bucket shuffle so no second text scan,
+    * and the [[LshBucketCap]] skew guard bounds every bucket's join at
+    * cap² (one window count over the SAME (band, sig) shuffle key the
+    * join uses — no extra scan of the shingle projection).
     */
-  def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .withColumn("_sh", shingleHashes(col("text")))
-      .withColumn("sh", array_distinct(shingles3(col("text"))))
-    val long = d.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("_", minhash(col("_sh"), 2 * b), minhash(col("_sh"), 2 * b + 1)).as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("sh"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsFrom(lshLong(s, dir), LshBucketCap)
+
+  private[graft] def lshPairsFrom(longAll: DataFrame, cap: Int): DataFrame = {
+    val wcnt = Window.partitionBy(col("band"), col("sig"))
+    val long = longAll
+      .withColumn("_bn", count(lit(1)).over(wcnt))
+      .filter(col("_bn") <= cap)
+      .drop("_bn")
     val a = long.select(col("band"), col("sig"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = long.select(col("band"), col("sig"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -150,6 +182,19 @@ object PipelineQueries {
       .agg(max(col("jac")).as("jac"))
       .withColumn("is_dup", col("jac") >= 0.5)
   }
+
+  /** The buckets the [[LshBucketCap]] guard excluded from [[lshPairs]]:
+    * (band, sig, n_docs) for every over-cap bucket — the no-silent-
+    * truncation ledger, DuckDB-oracled like everything else (empty at
+    * test scale, where no bucket approaches the cap).
+    */
+  def lshOversizedBuckets(s: SparkSession, dir: String): DataFrame =
+    lshOversizedFrom(lshLong(s, dir), LshBucketCap)
+
+  private[graft] def lshOversizedFrom(longAll: DataFrame, cap: Int): DataFrame =
+    longAll
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > cap)
 
   /** Exact 3-gram Jaccard near-dup baseline, blocked by (lang, source):
     * pair histogram by Jaccard decile. Verification oracle for LSH.
@@ -266,10 +311,63 @@ object PipelineQueries {
       .withColumn("is_dup", col("cos") >= 0.35)
   }
 
+  /** BANDED embedding near-dup (round-2 VERDICT item 5): the scale path
+    * that fixes e_neardup_pairs' fixed-256-bucket ceiling. 2 bands ×
+    * [[NeardupBits]] bits: per-band bucket count is 2^bits (scales with
+    * corpus — 2×16-bit at 100 TB), candidates = pairs matching in ANY
+    * band (recall back from the finer buckets), shuffle key = (band,
+    * sig), never all pairs. Same API shape as the MinHash-banded
+    * d_lsh_pairs; fully DuckDB-oracled (deterministic fixed-seed planes
+    * shared with the oracle SQL).
+    */
+  val NeardupBands = 2
+  val NeardupBits = 10
+  private val BandPlanes: Seq[Array[Array[Double]]] =
+    (0 until NeardupBands).map(b => graft.pipeline.Ann.hyperplanes(NeardupBits, 64, seed = 42 + b))
+
+  def neardupPairsBanded(s: SparkSession, dir: String): DataFrame = {
+    val sig = emb(s, dir).select(col("vec_id"), col("embedding"),
+      explode(graft.pipeline.Ann.bandedHyperplaneSigs(col("embedding"), 64, NeardupBands, NeardupBits)).as("bs"))
+      .select(col("vec_id"), col("embedding"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = sig.select(col("band"), col("sig"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = sig.select(col("band"), col("sig"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.pipeline.Ann.cosineCol(col("emb_a"), col("emb_b")).as("cos"))
+      .groupBy(col("id_a"), col("id_b")) // a pair may match in both bands
+      .agg(max(col("cos")).as("cos"))
+      .withColumn("is_dup", col("cos") >= 0.35)
+  }
+
+  /** Element-level string keywords END-TO-END (round-2 VERDICT item 3):
+    * the constraint engine over a derived string-array column (the
+    * doc-pipeline tags/url-list case) — items.minLength, items.pattern,
+    * items.format, maxItems, contains — each keyword's fail count
+    * DuckDB-oracled. The tags projection is a narrow codegen'd split;
+    * the suite compiles to forall/exists lambdas over it.
+    */
+  val TagsSuite: graft.suite.Suite = {
+    import graft.suite.Constraint._
+    import graft.suite.FieldConstraint
+    graft.suite.Suite("doc-tags", Seq(
+      FieldConstraint("tags.items.minLength", "tags", Items(MinLength(2))),
+      FieldConstraint("tags.items.pattern", "tags", Items(Pattern("^[a-z]+$"))),
+      FieldConstraint("tags.items.format.ipv4", "tags", Items(Format("ipv4"))),
+      FieldConstraint("tags.maxItems", "tags", MaxItems(120)),
+      FieldConstraint("tags.contains.the", "tags", Contains(Enum(Seq("the")), min = 1))))
+  }
+
+  def docTagChecks(s: SparkSession, dir: String): DataFrame =
+    graft.compilex.ConstraintCompiler.failCounts(
+      docs(s, dir).withColumn("tags", split(col("text"), " ")), TagsSuite)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ivf_ann_recall" -> (ivfAnn _),
     "e_lsh_hyperplane_hist" -> (lshHyperplaneHist _),
     "e_neardup_pairs" -> (neardupPairs _),
+    "e_neardup_banded" -> (neardupPairsBanded _),
+    "d_lsh_dropped_buckets" -> (lshOversizedBuckets _),
+    "d_doc_tags" -> (docTagChecks _),
     "d_doc_suite" -> (docSuiteChecks _),
     "d_dedup_exact" -> (dedupExact _),
     "d_quality" -> (quality _),
@@ -336,6 +434,26 @@ object PipelineQueries {
        SELECT bucket_size, count(*)::BIGINT AS n_buckets FROM b GROUP BY bucket_size""".replaceAll("\\s+", " ")
   }
 
+  /** Hyperplane sign-bit sum in DuckDB dialect for one plane set
+    * (mirrors [[graft.pipeline.Ann.hyperplaneSig]] bit for bit).
+    */
+  private def planeBitsSql(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (w, i) =>
+      val arr = w.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $arr::DOUBLE[]), p -> p[1]::DOUBLE * p[2])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val neardupBandedOracle: String = {
+    val bandSel = (0 until NeardupBands).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, (${planeBitsSql(BandPlanes(b))}) AS sig FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"""WITH long AS ($bandSel),
+       cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosF("a.embedding", "b.embedding")} AS cos
+         FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       uniq AS (SELECT id_a, id_b, max(cos) AS cos FROM cand GROUP BY id_a, id_b)
+       SELECT id_a, id_b, cos, (cos >= 0.35) AS is_dup FROM uniq""".replaceAll("\\s+", " ")
+  }
+
   private val neardupOracle: String = {
     val bits = LshPlanes.zipWithIndex.map { case (w, i) =>
       val arr = w.map(_.toString).mkString("[", ",", "]")
@@ -352,6 +470,7 @@ object PipelineQueries {
     "d_doc_suite" -> docSuiteOracle,
     "e_lsh_hyperplane_hist" -> lshOracle,
     "e_neardup_pairs" -> neardupOracle,
+    "e_neardup_banded" -> neardupBandedOracle,
     "d_dedup_exact" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
          count(DISTINCT md5(text))::BIGINT AS n_distinct,
@@ -394,12 +513,40 @@ object PipelineQueries {
            ${(0 until 4).map(b => s"${MH(2 * b)}::VARCHAR || '_' || ${MH(2 * b + 1)}::VARCHAR AS band$b").mkString(", ")}
          FROM documents),
          long AS (${(0 until 4).map(b => s"SELECT doc_id, sh, $b AS band, band$b AS sig FROM sigs").mkString(" UNION ALL ")}),
+         kept AS (SELECT doc_id, sh, band, sig FROM
+           (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM long) WHERE bn <= $LshBucketCap),
          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                ((len(a.sh) + len(b.sh))::DOUBLE - len(list_intersect(a.sh, b.sh))), 6) AS jac
-           FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          uniq AS (SELECT id_a, id_b, max(jac) AS jac FROM cand GROUP BY id_a, id_b)
          SELECT id_a, id_b, jac, (jac >= 0.5) AS is_dup FROM uniq""".replaceAll("\\s+", " "),
+
+    "d_lsh_dropped_buckets" ->
+      s"""WITH sigs AS (SELECT doc_id,
+           ${(0 until 4).map(b => s"${MH(2 * b)}::VARCHAR || '_' || ${MH(2 * b + 1)}::VARCHAR AS band$b").mkString(", ")}
+         FROM documents),
+         long AS (${(0 until 4).map(b => s"SELECT $b AS band, band$b AS sig FROM sigs").mkString(" UNION ALL ")})
+         SELECT band, sig, count(*)::BIGINT AS n_docs FROM long GROUP BY band, sig
+         HAVING count(*) > $LshBucketCap""".replaceAll("\\s+", " "),
+
+    "d_doc_tags" -> {
+      val TAGS = "string_split(text, ' ')"
+      val ipv4 = "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+      val checks: Seq[(String, String)] = Seq(
+        ("tags.items.minLength",
+          s"NOT coalesce(len(list_filter($TAGS, t -> NOT coalesce(length(t) >= 2, true))) = 0, true)"),
+        ("tags.items.pattern",
+          s"NOT coalesce(len(list_filter($TAGS, t -> NOT coalesce(regexp_matches(t, '^[a-z]+$$'), true))) = 0, true)"),
+        ("tags.items.format.ipv4",
+          s"NOT coalesce(len(list_filter($TAGS, t -> NOT coalesce(regexp_matches(t, '$ipv4'), true))) = 0, true)"),
+        ("tags.maxItems", s"NOT coalesce(len($TAGS) <= 120, true)"),
+        ("tags.contains.the",
+          s"NOT coalesce(len(list_filter($TAGS, t -> (CASE WHEN t IS NULL THEN false ELSE coalesce(t IN ('the'), false) END))) >= 1, true)"))
+      checks.map { case (cid, failp) =>
+        s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM documents"
+      }.mkString(" UNION ALL ")
+    },
 
     "d_langid" -> {
       val langs = graft.pipeline.TextOps.LangLexicon.toSeq.sortBy(_._1)

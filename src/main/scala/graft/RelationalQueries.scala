@@ -16,8 +16,10 @@ import org.apache.spark.sql.expressions.Window
   * the values are identical. Instead every money aggregate is computed
   * in integer cents — `floor(x*100 + 0.5)` is a pure IEEE-754 op
   * sequence that yields bit-identical BIGINTs in Spark and DuckDB, the
-  * BIGINT sum is exact and order-independent, and the final division by
-  * 100.0 is one IEEE op producing the same double bits on both engines.
+  * sum is exact and order-independent (accumulated in DECIMAL(38,0),
+  * matching DuckDB's HUGEINT accumulator — see [[sumCents]]), and the
+  * final division by 100.0 is one IEEE op producing the same double
+  * bits on both engines.
   * Per-row money values (window output, max) pass through as the raw
   * DOUBLE read from parquet — trivially bit-equal. Every window ordering
   * carries a unique tiebreak key.
@@ -32,6 +34,18 @@ object RelationalQueries {
     */
   private def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
 
+  /** Overflow-safe sum of an integer-cents term: accumulate in
+    * DECIMAL(38,0) — 38 digits vs BIGINT's 9.2e18 ceiling — mirroring
+    * DuckDB, whose sum(BIGINT) is already HUGEINT (int128). A LONG sum
+    * would silently wrap at ~9e9 rows of 1e9-magnitude terms, i.e.
+    * within the 10^12-row design scale (round-2 ADVICE, low). The
+    * accumulator stays internal: outputs cast to DOUBLE, so the
+    * reader-dependent DECIMAL stringification hash pitfall is never
+    * exposed, and both engines convert their exact integer sum to
+    * double with the same IEEE round-to-nearest.
+    */
+  private def sumCents(term: Column): Column = sum(term.cast("decimal(38,0)"))
+
   /** cents-sum -> money double: one IEEE division, bit-equal on both
     * engines (DuckDB mirror: sum(...)::DOUBLE / 100.0).
     */
@@ -43,13 +57,13 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        money(sum(cents(col("l_quantity")))).as("sum_qty"),
-        money(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+        money(sumCents(cents(col("l_quantity")))).as("sum_qty"),
+        money(sumCents(cents(col("l_extendedprice")))).as("sum_base_price"),
         // discounted price in cents*100 units (scale 4): exact BIGINT
         // per-row product, exact sum, one final division
-        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        (sumCents(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
           .cast("double") / lit(10000.0)).as("sum_disc_price"),
-        (money(sum(cents(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (money(sumCents(cents(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   /** Broadcast-join chain: orders -> customer -> nation -> region.
@@ -62,7 +76,7 @@ object RelationalQueries {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        money(sum(cents(col("o_totalprice")))).as("revenue"),
+        money(sumCents(cents(col("o_totalprice")))).as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** Window top-k: top-3 orders per customer by totalprice (unique
@@ -93,7 +107,7 @@ object RelationalQueries {
     t(s, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        money(sum(cents(col("o_totalprice")))).as("total"))
+        money(sumCents(cents(col("o_totalprice")))).as("total"))
 
   /** Time-bucketed aggregation over the events stream table. */
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -101,7 +115,7 @@ object RelationalQueries {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        money(sum(cents(col("value")))).as("sum_value"))
+        money(sumCents(cents(col("value")))).as("sum_value"))
 
   /** Set ops: event types never appearing as high-value events. */
   def setOpsEventTypes(s: SparkSession, dir: String): DataFrame = {
@@ -117,7 +131,7 @@ object RelationalQueries {
     t(s, dir, "lineitem")
       .filter(col("l_quantity") >= 45 && col("l_discount") <= lit(0.02))
       .agg(count(lit(1)).as("n"),
-        money(sum(cents(col("l_extendedprice")))).as("price_sum"))
+        money(sumCents(cents(col("l_extendedprice")))).as("price_sum"))
 
   /** Grouped distinct-count + conditional aggregation over part.
     * max_price is the raw parquet DOUBLE (max never mixes values).

@@ -88,6 +88,38 @@ object ValidationQueries {
       .drop("_salt", "_prk")
   }
 
+  /** Per-doc BEST violation — the engine's `best_match` analogue
+    * (PJS:exceptions.py:440-490: surface the single most relevant error
+    * per instance; round-2 VERDICT item 9): highest severity per
+    * doc_id, ties broken on constraint_id for determinism. doc_id has
+    * table-scale cardinality, so ONE window partitioned by doc_id is
+    * already a well-spread shuffle (the two-phase salting of
+    * [[topViolations]] exists for the 5-key `source` partitioning, not
+    * here). NULL doc_ids (doc_id.required violations) are excluded:
+    * a per-document view cannot attribute a violation to a document
+    * that has no identity — those rows stay first-class in
+    * v_violations/v_top_violations.
+    */
+  def bestViolation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sev = Severity.foldLeft(lit(0)) { case (acc, (cid, w)) =>
+      when(col("constraint_id") === cid, lit(w)).otherwise(acc)
+    }
+    // the ordering must be TOTAL over the OUTPUT columns: duplicated
+    // doc_ids (they exist — v_dup_doc_ids) emit the same violation from
+    // several rows differing only in source/observed, so those join the
+    // tie-break too (NULLS FIRST pinned: Spark default ≠ DuckDB default)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("severity").desc, col("constraint_id").asc,
+        col("source").asc_nulls_first, col("observed").asc_nulls_first)
+    violations(s, dir)
+      .filter(col("doc_id").isNotNull)
+      .withColumn("severity", sev)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+
   /** Exact duplicate doc_ids via salted two-phase aggregation. */
   def dupDocIds(s: SparkSession, dir: String): DataFrame =
     Uniqueness.duplicateKeys(toks(s, dir), "doc_id")
@@ -140,6 +172,26 @@ object ValidationQueries {
     */
   def ksSketch(s: SparkSession, dir: String): DataFrame =
     Drift.ksSketch(toks(s, dir), TokenData.read(s, "/root/testdata/sf0.001"))
+
+  /** The DETERMINISTIC surface of the KLL sketch pair behind v_ks_sketch
+    * (round-2 VERDICT item 10): both sketches carry EXACT n/min/max
+    * alongside the randomized quantile state, so this slice is fully
+    * DuckDB-oracled — upgrading the sketch path from rows-only to a
+    * hash-green driver row. The randomized KS value itself stays in
+    * v_ks_sketch (bounded in SketchSpec).
+    */
+  def ksSketchSummary(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketches._
+    val a = toks(s, dir).agg(kll_agg(col("n_tok")).as("sa"))
+    val b = TokenData.read(s, "/root/testdata/sf0.001").agg(kll_agg(col("n_tok")).as("sb"))
+    a.crossJoin(b).select(
+      kll_summary(col("sa"))("n").as("n_cur"),
+      kll_summary(col("sa"))("min").as("min_cur"),
+      kll_summary(col("sa"))("max").as("max_cur"),
+      kll_summary(col("sb"))("n").as("n_base"),
+      kll_summary(col("sb"))("min").as("min_base"),
+      kll_summary(col("sb"))("max").as("max_base"))
+  }
 
   /** The wider keyword surface — pattern, multipleOf, contains,
     * oneOf/anyOf/not, exclusive bounds, if/then/else, maxLength,
@@ -280,6 +332,30 @@ object ValidationQueries {
     "v_ntok_tdigest_summary" ->
       s"SELECT count(n_tok)::BIGINT AS n, min(n_tok)::DOUBLE AS vmin, max(n_tok)::DOUBLE AS vmax FROM $T",
 
+    "v_ks_sketch_summary" ->
+      s"""SELECT (SELECT count(n_tok)::BIGINT FROM $T) AS n_cur,
+         (SELECT min(n_tok)::DOUBLE FROM $T) AS min_cur,
+         (SELECT max(n_tok)::DOUBLE FROM $T) AS max_cur,
+         (SELECT count(n_tok)::BIGINT FROM $T001) AS n_base,
+         (SELECT min(n_tok)::DOUBLE FROM $T001) AS min_base,
+         (SELECT max(n_tok)::DOUBLE FROM $T001) AS max_base""".replaceAll("\\s+", " "),
+
+    "v_best_violation" -> {
+      val viols = duckChecks.map { case (cid, failp, obs) =>
+        s"SELECT doc_id, '$cid' AS constraint_id, $obs AS observed, source, ${fidelityCols(cid)} FROM $T WHERE $failp"
+      }.mkString(" UNION ALL ")
+      val sev = "CASE constraint_id " + Severity.toSeq.sortBy(_._1).map { case (cid, w) =>
+        s"WHEN '$cid' THEN $w"
+      }.mkString(" ") + " ELSE 0 END"
+      s"""WITH viols AS ($viols),
+         ranked AS (SELECT *, $sev AS severity,
+           row_number() OVER (PARTITION BY doc_id ORDER BY $sev DESC, constraint_id ASC,
+             source ASC NULLS FIRST, observed ASC NULLS FIRST) AS rk
+         FROM viols WHERE doc_id IS NOT NULL)
+         SELECT doc_id, constraint_id, observed, source, json_path, schema_path, message, severity
+         FROM ranked WHERE rk = 1""".replaceAll("\\s+", " ")
+    },
+
     "v_keyword_matrix" -> {
       // fail predicates mirroring ConstraintCompiler's null-gated
       // compilation of each keyword, in DuckDB dialect
@@ -320,6 +396,8 @@ object ValidationQueries {
     "v_ks" -> (ks _),
     "v_ntok_tdigest_summary" -> (ntokTdigestSummary _),
     "v_ks_sketch" -> (ksSketch _),
+    "v_ks_sketch_summary" -> (ksSketchSummary _),
+    "v_best_violation" -> (bestViolation _),
     "v_keyword_matrix" -> (keywordMatrix _)
   )
 }

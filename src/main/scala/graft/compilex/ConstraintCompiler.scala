@@ -55,6 +55,17 @@ object ConstraintCompiler {
     else
       c match {
         case Always(b)         => lit(b)
+        // --- string element keywords (round-2 VERDICT item 3: the
+        // reference descends with the FULL keyword set per element,
+        // PJS:validators.py:396-446 — `items: {minLength: 3}` over an
+        // array<string> column is the doc-pipeline tag/url case) ---
+        case MinLength(n) => coalesce(length(e) >= lit(n), lit(true))
+        case MaxLength(n) => coalesce(length(e) <= lit(n), lit(true))
+        case Pattern(re)  => coalesce(e.rlike(re), lit(true))
+        case Format(name) =>
+          // same explicit null gate as the top-level Format compile:
+          // try_to_timestamp(null).isNotNull is a definite FALSE
+          when(e.isNull, lit(true)).otherwise(coalesce(formatPred(name, e), lit(true)))
         case Minimum(b, false) => coalesce(e >= lit(b).cast("int"), lit(true))
         case Minimum(b, true)  => coalesce(e > lit(b).cast("int"), lit(true))
         case Maximum(b, false) => coalesce(e <= lit(b).cast("int"), lit(true))

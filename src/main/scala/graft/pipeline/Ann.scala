@@ -32,8 +32,8 @@ object Ann {
     * java.util.Random — algorithm is specified, so weights are
     * bit-stable across runs/JVMs; SURVEY §7 determinism rule).
     */
-  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
@@ -51,6 +51,26 @@ object Ann {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Banded sign-bit LSH signatures (round-2 VERDICT item 5: the fixed
+    * single 8-bit signature gives 256 buckets TOTAL, so bucket size —
+    * and the quadratic verification join — grows linearly with corpus
+    * size). Parameterized bands × bitsPerBand, each band an independent
+    * fixed-seed plane set: vectors are near-dup candidates when ANY
+    * band's full signature matches. `bitsPerBand` scales bucket count
+    * (2^bits) with corpus size (e.g. 2×16-bit at 100 TB ⇒ 65k buckets
+    * per band); `bands` buys recall back — exactly the MinHash banding
+    * trade. Returns array<struct<band:int, sig:long>> ready for
+    * explode + (band, sig) equi-join, the same never-all-pairs shuffle
+    * shape as [[graft.PipelineQueries.lshPairs]].
+    */
+  def bandedHyperplaneSigs(emb: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
+    require(bitsPerBand <= 31, "bitsPerBand must fit an int signature")
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hyperplaneSig(emb, hyperplanes(bitsPerBand, dim, seed = 42 + b)).cast("long").as("sig"))
+    }: _*)
+  }
 
   /** Assign each vector to its nearest of K deterministic centroids —
     * in ONE projection (round-1 VERDICT item 8: the previous

@@ -90,6 +90,13 @@ object ValidateJob {
   private[graft] def escapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
 
+  /** Hive's directory name for NULL partition values. A partition list
+    * containing it must be validated with an `isNull` filter — a literal
+    * string-equality filter matches ZERO rows, silently checkpointing
+    * the null slice as validated-empty (round-2 ADVICE, low).
+    */
+  val NullPartition: String = "__HIVE_DEFAULT_PARTITION__"
+
   def listPartitions(spark: SparkSession, tablePath: String, partitionCol: String): Seq[String] = {
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,9 +110,20 @@ object ValidateJob {
           .map(n => unescapePathName(n.stripPrefix(prefix)))
       else Seq.empty
     if (fromDirs.nonEmpty) fromDirs.sorted
+    // non-partitioned fallback: NULL values surface as the same sentinel
+    // the Hive layout uses, so downstream filtering is uniform (and the
+    // sort cannot NPE on a null String)
     else spark.read.parquet(tablePath)
-      .select(partitionCol).distinct().collect().map(_.getString(0)).toSeq.sorted
+      .select(partitionCol).distinct().collect()
+      .map(r => if (r.isNullAt(0)) NullPartition else r.getString(0)).toSeq.sorted
   }
+
+  /** The slice filter for one listed partition value — `isNull` for the
+    * Hive null sentinel, string equality otherwise. For a partitioned
+    * layout both prune directories at file-listing time.
+    */
+  def partitionFilter(partitionCol: String, p: String): org.apache.spark.sql.Column =
+    if (p == NullPartition) col(partitionCol).isNull else col(partitionCol) === p
 
   /** Validate one partition's slice in ONE scan: the violations write
     * streams every row once, and an `observe()` node between the check
@@ -141,7 +159,7 @@ object ValidateJob {
       val t0 = System.currentTimeMillis()
       // partition pruning: for a partitionBy(source) layout this filter
       // prunes directories at file-listing time
-      val slice = table.filter(col(partitionCol) === p)
+      val slice = table.filter(partitionFilter(partitionCol, p))
       val (rows, viol) = validatePartition(slice, suite, outDir, p)
       appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
         System.currentTimeMillis() - t0, System.currentTimeMillis()))

@@ -73,7 +73,13 @@ object StreamingValidate {
     // struct-field access)
     val counts = shares.zipWithIndex.map { case ((s, _), i) =>
       sum(when(col("source") === s, 1L).otherwise(0L)).as(s"__n_$i")
-    } :+ sum(when(!col("source").isin(shares.map(_._1): _*), 1L).otherwise(0L)).as("__n_other")
+    // NULL source: `!isin(...)` is SQL NULL on null input, which would
+    // silently route null-source rows to otherwise(0) — diluting every p
+    // term instead of registering as unknown-source drift (round-2
+    // ADVICE, low). coalesce-to-true counts them toward __n_other,
+    // matching the stated "absent from baseline" semantics.
+    } :+ sum(when(coalesce(!col("source").isin(shares.map(_._1): _*), lit(true)), 1L)
+      .otherwise(0L)).as("__n_other")
     val agg = stream.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("rows"), counts: _*)

@@ -33,7 +33,9 @@ class GoldenSuiteSpec extends SparkSpec {
     case "array<int>"  => ArrayType(IntegerType, containsNull = false)
     // null elements reachable: the JSON `null` instance inside an array
     // (element keywords must type-gate it, ConstraintCompiler.elementPred)
-    case "array<int?>" => ArrayType(IntegerType, containsNull = true)
+    case "array<int?>"    => ArrayType(IntegerType, containsNull = true)
+    case "array<string>"  => ArrayType(StringType, containsNull = false)
+    case "array<string?>" => ArrayType(StringType, containsNull = true)
   }
 
   private def toValue(n: com.fasterxml.jackson.databind.JsonNode, ct: String): Any =
@@ -44,9 +46,17 @@ class GoldenSuiteSpec extends SparkSpec {
       case "double"      => n.asDouble()
       case "string"      => n.asText()
       case "bool"        => n.asBoolean()
-      case "array<int>"  => n.asScala.map(_.asInt()).toSeq
-      case "array<int?>" => n.asScala.map(e => if (e.isNull) null else e.asInt()).toSeq
+      case "array<int>"     => n.asScala.map(_.asInt()).toSeq
+      case "array<int?>"    => n.asScala.map(e => if (e.isNull) null else e.asInt()).toSeq
+      case "array<string>"  => n.asScala.map(_.asText()).toSeq
+      case "array<string?>" => n.asScala.map(e => if (e.isNull) null else e.asText()).toSeq
     }
+
+  /** Optional `resources` array on a group: additional schema documents
+    * (absolute `$id`) for the multi-resource registry path.
+    */
+  private def resourcesOf(group: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    Option(group.get("resources")).map(_.asScala.map(_.toString).toSeq).getOrElse(Nil)
 
   corpus.asScala.foreach { group =>
     val desc = group.get("description").asText()
@@ -58,7 +68,7 @@ class GoldenSuiteSpec extends SparkSpec {
   private def singleColumnTest(group: com.fasterxml.jackson.databind.JsonNode,
                                desc: String, ct: String): Unit =
     test(s"golden: $desc") {
-      val constraint = SuiteLoader.toConstraint(group.get("schema"))
+      val constraint = SuiteLoader.parseSchema(group.get("schema").toString, resourcesOf(group))
       val compiled = ConstraintCompiler.compile(FieldConstraint(desc, "v", constraint))
       val tests = group.get("tests").asScala.toSeq
       val schema = StructType(Seq(
@@ -89,7 +99,7 @@ class GoldenSuiteSpec extends SparkSpec {
     test(s"golden: $desc") {
       val columns = group.get("columns").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toSeq
-      val suite = SuiteLoader.parseSuiteDocument(group.get("schema").toString)
+      val suite = SuiteLoader.parseSuiteDocument(group.get("schema").toString, resourcesOf(group))
       val compiled = suite.resolved.constraints.map(ConstraintCompiler.compile(_, Set.empty))
       val tests = group.get("tests").asScala.toSeq
       val schema = StructType(

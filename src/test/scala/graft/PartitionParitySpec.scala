@@ -50,12 +50,16 @@ class PartitionParitySpec extends SparkSpec {
       g.get("description").asText() -> g.get("tests").asScala.forall(_.get("valid").asBoolean())
     }.toMap
 
+    // group-scoped resource registry (multi-resource $id golden groups)
+    def parse(g: com.fasterxml.jackson.databind.JsonNode) =
+      SuiteLoader.parseSchema(g.get("schema").toString,
+        Option(g.get("resources")).map(_.asScala.map(_.toString).toSeq).getOrElse(Nil))
+
     // engine: compile each partition's constraint, evaluate only that
     // partition (partition-pruned filter), aggregate to one verdict
     intGroups.foreach { g =>
       val part = g.get("description").asText()
-      val compiled = ConstraintCompiler.compile(
-        FieldConstraint(part, "v", SuiteLoader.toConstraint(g.get("schema"))))
+      val compiled = ConstraintCompiler.compile(FieldConstraint(part, "v", parse(g)))
       val verdict = df.filter(col("part") === part)
         .agg(min(compiled.pass.cast("int"))).head().getInt(0) == 1
       assert(verdict === expected(part),
@@ -66,8 +70,7 @@ class PartitionParitySpec extends SparkSpec {
     // partition (verdict parity can't hide offsetting errors)
     intGroups.foreach { g =>
       val part = g.get("description").asText()
-      val compiled = ConstraintCompiler.compile(
-        FieldConstraint(part, "v", SuiteLoader.toConstraint(g.get("schema"))))
+      val compiled = ConstraintCompiler.compile(FieldConstraint(part, "v", parse(g)))
       val bad = df.filter(col("part") === part)
         .select(col("expected"), compiled.pass.as("got"))
         .filter(col("expected") =!= col("got")).count()

@@ -126,4 +126,32 @@ class StreamingSpec extends SparkSpec {
         psiOf(Seq((0.25, 0.5), (0.0, 0.5), (0.75, eps))))
     } finally q.stop()
   }
+
+  test("drift stream: NULL source counts as unknown-source drift, not silently dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val snapshot = Seq(("source_mix", "web", 50L), ("source_mix", "books", 50L))
+      .toDF("kind", "key", "cnt")
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("source", "ingest_ts")
+    val q = StreamingValidate.driftStream(df, snapshot, "ingest_ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("driftnull").outputMode("complete").start()
+    try {
+      // one window: 1 web / 1 books / 2 NULL — `!isin` is SQL NULL on
+      // null source, which used to route these rows to otherwise(0):
+      // counted in `rows` but absent from every share (round-2 ADVICE)
+      mem.addData(("web", ts(0)), ("books", ts(1)),
+        (null.asInstanceOf[String], ts(2)), (null.asInstanceOf[String], ts(3)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT rows, psi FROM driftnull").collect()
+      assert(rows.length == 1 && rows(0).getLong(0) == 4L)
+      val eps = 1e-6
+      val expected = BigDecimal(Seq((0.25, 0.5), (0.25, 0.5), (0.5, eps)).map { case (p, q0) =>
+        val pf = math.max(p, eps); val qf = math.max(q0, eps)
+        (pf - qf) * math.log(pf / qf)
+      }.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(0).getDouble(1) == expected,
+        s"null-source rows must land in the unknown-source PSI term, got ${rows(0).getDouble(1)} want $expected")
+    } finally q.stop()
+  }
 }

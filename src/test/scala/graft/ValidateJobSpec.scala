@@ -142,6 +142,37 @@ class ValidateJobSpec extends SparkSpec {
     }
   }
 
+  test("NULL partition values are validated via the Hive sentinel, not silently skipped") {
+    import spark.implicits._
+    val table = tmp("nullp"); val out = tmp("nullpout"); val ckpt = tmp("nullpckpt")
+    // null source rows land in __HIVE_DEFAULT_PARTITION__; a literal
+    // string-equality filter would match ZERO rows and checkpoint the
+    // slice as validated-empty (round-2 ADVICE, low)
+    val df = Seq(
+      ("doc-n-1", Seq(1, 2, 3), 3, null.asInstanceOf[String]),
+      ("doc-n-2", Seq(4, 5), 2, null.asInstanceOf[String]),
+      ("doc-w-1", Seq(6), 1, "web"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    new PartitionedParquetIO("source").write(df, table)
+    assert(ValidateJob.listPartitions(spark, table, "source")
+      .contains(ValidateJob.NullPartition))
+    ValidateJob.run(spark, table, out, ckpt)
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts(ValidateJob.NullPartition) == 2L,
+      s"null slice must be validated against its actual rows: $verdicts")
+    // the null-source rows also carry source.enum/required violations
+    val viols = spark.read.parquet(
+      s"$out/violations/partition=${ValidateJob.NullPartition}")
+    assert(viols.count() > 0)
+    // non-partitioned fallback surfaces nulls as the same sentinel (and
+    // must not NPE sorting a null String)
+    val flat = tmp("nullflat")
+    df.write.parquet(flat)
+    assert(ValidateJob.listPartitions(spark, flat, "source").toSet ==
+      Set(ValidateJob.NullPartition, "web"))
+  }
+
   test("suite change invalidates checkpoint (hash mismatch forces revalidation)") {
     val table = tmp("t2"); val out = tmp("o3"); val ckpt = tmp("c2")
     new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 1000, 2), table)

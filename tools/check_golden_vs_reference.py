@@ -43,7 +43,21 @@ for group in cases:
     cls = jsonschema.validators.validator_for(
         schema, default=jsonschema.Draft202012Validator
     )
-    validator = cls(schema, format_checker=cls.FORMAT_CHECKER)
+    if group.get("resources"):
+        # multi-resource $id registry groups: the reference resolves
+        # absolute $refs against a referencing.Registry (REF:_core.py:
+        # 653-698) — build it from the group's resource documents
+        from referencing import Registry, Resource
+        from referencing.jsonschema import DRAFT202012
+
+        regs = [
+            Resource.from_contents(r, default_specification=DRAFT202012)
+            for r in group["resources"]
+        ]
+        registry = Registry().with_resources((r.id(), r) for r in regs)
+        validator = cls(schema, registry=registry, format_checker=cls.FORMAT_CHECKER)
+    else:
+        validator = cls(schema, format_checker=cls.FORMAT_CHECKER)
     for t in group["tests"]:
         checked += 1
         ref_valid = validator.is_valid(t["data"])
