@@ -173,6 +173,18 @@ class ValidateJobSpec extends SparkSpec {
       Set(ValidateJob.NullPartition, "web"))
   }
 
+  test("formatSummary renders the pretty console sink (PJS:cli.py:76-118 analogue)") {
+    val s = ValidateJob.formatSummary(
+      Seq(("web", 100L, 0L, true), ("spam", 50L, 3L, false)), dupDocIds = 2L, referentialBad = 5L)
+    assert(s.contains("partitions: 2   rows: 150   violating rows: 3"))
+    assert(s.contains("verdict: FAIL (1/2 partitions violated)"))
+    assert(s.contains("FAIL  spam"))
+    assert(s.linesIterator.exists(l => l.trim.startsWith("ok") && l.contains("web")))
+    assert(s.contains("duplicate doc_ids=2  referential violations=5"))
+    val pass = ValidateJob.formatSummary(Seq(("web", 10L, 0L, true)), 0L, 0L)
+    assert(pass.contains("verdict: PASS (all partitions clean)"))
+  }
+
   test("suite change invalidates checkpoint (hash mismatch forces revalidation)") {
     val table = tmp("t2"); val out = tmp("o3"); val ckpt = tmp("c2")
     new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 1000, 2), table)
