@@ -150,6 +150,14 @@ object ValidateJob {
           suite: Suite = NorthStar.suite, partitionCol: String = "source", salt: Int = 64): Unit = {
     val hash = suiteHash(suite)
     val table = spark.read.parquet(tablePath)
+    // fuse the single-pass TokenStats profile for every array<int>
+    // column the table carries (generalizes the hardcoded "tokens" —
+    // a --suite over a different table must not assume that column)
+    val fused = table.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSet
     val parts = listPartitions(spark, tablePath, partitionCol)
     val done = completed(checkpointDir, hash)
     val todo = parts.filterNot(done)
@@ -160,7 +168,7 @@ object ValidateJob {
       // partition pruning: for a partitionBy(source) layout this filter
       // prunes directories at file-listing time
       val slice = table.filter(partitionFilter(partitionCol, p))
-      val (rows, viol) = validatePartition(slice, suite, outDir, p)
+      val (rows, viol) = validatePartition(slice, suite, outDir, p, fused)
       appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
         System.currentTimeMillis() - t0, System.currentTimeMillis()))
     }
@@ -234,6 +242,20 @@ object ValidateJob {
     sb.result()
   }
 
+  /** Load a suite for a table: `--suite` JSON document (plus optional
+    * sibling resource files via `--suite-resources a.json,b.json`)
+    * parsed against the table's OWN columns, so the name-driven
+    * applicators (patternProperties / additionalProperties /
+    * propertyNames) resolve — the CLI analogue of the reference's
+    * schema-file argument (PJS:cli.py:49-61).
+    */
+  def loadSuite(spark: SparkSession, tablePath: String,
+                suitePath: String, resourcePaths: Seq[String]): Suite = {
+    def slurp(p: String) = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+    graft.suite.SuiteLoader.parseSuiteDocument(slurp(suitePath),
+      resourcePaths.map(slurp), spark.read.parquet(tablePath).columns.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val table = a.getOrElse("--table", throw new IllegalArgumentException("--table required"))
@@ -248,7 +270,11 @@ object ValidateJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, table, out, ckpt,
+    val suite = a.get("--suite")
+      .map(p => loadSuite(spark, table, p,
+        a.get("--suite-resources").map(_.split(",").toSeq).getOrElse(Nil)))
+      .getOrElse(NorthStar.suite)
+    run(spark, table, out, ckpt, suite = suite,
       partitionCol = a.getOrElse("--partition-col", "source"),
       salt = a.getOrElse("--salt", "64").toInt)
     spark.stop()

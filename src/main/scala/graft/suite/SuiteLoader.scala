@@ -124,6 +124,54 @@ object SuiteLoader {
   def parseSuiteDocument(json: String, resources: Seq[String]): Suite =
     registryVar.withValue(buildRegistry(resources)) { parseSuiteDocument(json) }
 
+  /** Declared table columns, needed by the name-driven applicators
+    * (patternProperties / schema-form additionalProperties /
+    * propertyNames): over a fixed relational schema the key universe is
+    * the column list, so these applicators resolve to concrete columns
+    * at COMPILE time — the relational reading of the reference's
+    * per-instance key iteration (PJS:_keywords.py:16-56,28-33).
+    */
+  private val tableColumnsVar = new scala.util.DynamicVariable[Seq[String]](Nil)
+
+  /** The declared (non-internal) columns, or raise with a usage hint —
+    * a name-driven applicator without the key universe would have to be
+    * silently dropped, which the loader never does.
+    */
+  private def declaredColumns(kw: String): Seq[String] = {
+    val cols = tableColumnsVar.value.filterNot(_.startsWith("__"))
+    require(cols.nonEmpty,
+      s"'$kw' needs the declared table columns — parse with parseSuiteDocument(json, resources, tableColumns)")
+    cols
+  }
+
+  /** Compile-time evaluation of a string constraint against a literal —
+    * used by propertyNames, whose instances (the key names) are all
+    * known at compile time over a relational schema
+    * (PJS:_keywords.py:28-33 descends per key; here the keys are the
+    * column list). Keywords outside the string surface raise.
+    */
+  private[suite] def evalString(c: Constraint, s: String): Boolean = c match {
+    case Always(b)    => b
+    case TypeIs(t)    => t == "string"
+    case MinLength(n) => s.codePointCount(0, s.length) >= n
+    case MaxLength(n) => s.codePointCount(0, s.length) <= n
+    case Pattern(re)  => re.r.findFirstIn(s).isDefined
+    case Enum(vs)     => vs.contains(s)
+    case Const(v)     => v == s
+    case AllOf(cs)    => cs.forall(evalString(_, s))
+    case AnyOf(cs)    => cs.exists(evalString(_, s))
+    case OneOf(cs)    => cs.count(evalString(_, s)) == 1
+    case Not(x)       => !evalString(x, s)
+    case IfThenElse(i, t, e) =>
+      if (evalString(i, s)) t.forall(evalString(_, s)) else e.forall(evalString(_, s))
+    case other => throw new UnsupportedOperationException(
+      s"propertyNames supports string keywords only, got $other")
+  }
+
+  /** Full parse entry: resources registry + declared table columns. */
+  def parseSuiteDocument(json: String, resources: Seq[String], tableColumns: Seq[String]): Suite =
+    tableColumnsVar.withValue(tableColumns) { parseSuiteDocument(json, resources) }
+
   private def nodeDefs(n: JsonNode): Map[String, JsonNode] =
     Seq("$defs", "definitions").flatMap(k =>
       Option(n.get(k)).toSeq.flatMap(d =>
@@ -282,11 +330,52 @@ object SuiteLoader {
           val t = entry.getValue
           require(t.isTextual && t.asText() == "object",
             s"suite document type must be 'object', got $t")
-        case "additionalProperties" | "propertyNames" =>
-          // strict-schema mode is compile-time column checking
-          // (Suite.checkSchema); only the boolean form is meaningful here
-          require(entry.getValue.isBoolean,
-            s"doc-level ${entry.getKey} supports only the boolean form (strict mode = Suite.checkSchema)")
+        case "patternProperties" =>
+          // name-driven applicator over a FIXED key universe (the table
+          // columns): each regex resolves to concrete columns at compile
+          // time, then the subschema applies per column exactly like
+          // `properties` (PJS:_keywords.py:16-25; re.search semantics
+          // like the reference's pattern keyword)
+          val cols = declaredColumns("patternProperties")
+          entry.getValue.properties().asScala.foreach { pp =>
+            val re = pp.getKey.r
+            val matched = cols.filter(c => re.findFirstIn(c).isDefined)
+            val props = mapper.createObjectNode()
+            matched.foreach(c => props.set[JsonNode](c, pp.getValue))
+            parseProperties(props, localScope, root, s"${prefix}patternProperties.", wrap, out, draft)
+          }
+        case "additionalProperties" if !entry.getValue.isBoolean =>
+          // schema form: applies to every column matched by NEITHER
+          // `properties` nor any `patternProperties` regex
+          // (find_additional_properties, PJS:_utils.py:69-84) — the key
+          // universe is the declared column list
+          val cols = declaredColumns("additionalProperties")
+          val named = Option(n.get("properties"))
+            .map(_.properties().asScala.map(_.getKey).toSet).getOrElse(Set.empty[String])
+          val ppRes = Option(n.get("patternProperties"))
+            .map(_.properties().asScala.map(_.getKey.r).toSeq).getOrElse(Nil)
+          val rest = cols.filterNot(c => named(c) || ppRes.exists(_.findFirstIn(c).isDefined))
+          val props = mapper.createObjectNode()
+          rest.foreach(c => props.set[JsonNode](c, entry.getValue))
+          parseProperties(props, localScope, root, s"${prefix}additionalProperties.", wrap, out, draft)
+        case "additionalProperties" =>
+          // boolean form: strict-schema mode is compile-time column
+          // checking (Suite.checkSchema) — nothing to assert per row
+          ()
+        case "propertyNames" =>
+          // the subschema validates the KEYS themselves; every key (=
+          // column name) is known at compile time, so evaluate the name
+          // constraint NOW (PJS:_keywords.py:28-33) — a failing name
+          // means rows where that column is PRESENT are invalid (the
+          // key only exists on rows where the column is non-null)
+          val pv = entry.getValue
+          val cols = declaredColumns("propertyNames")
+          val nameFails: String => Boolean =
+            if (pv.isBoolean) { _ => !pv.asBoolean() }
+            else { val c = toConstraint(pv, localScope, root, activeRefs, draft); s => !evalString(c, s) }
+          cols.filter(nameFails).foreach(c =>
+            out += FieldConstraint(s"$prefix$c.propertyNames", c,
+              wrap(WhenPresent(c, Always(false)))))
         case k if Annotations.contains(k) => ()
         case k =>
           throw new UnsupportedOperationException(
@@ -304,7 +393,12 @@ object SuiteLoader {
       val (field, sub) = (p.getKey, p.getValue)
       require(sub.isObject || sub.isBoolean, s"field '$field' subschema must be object or boolean")
       if (sub.isBoolean) {
-        out += FieldConstraint(s"$prefix$field.schema", field, wrap(Always(sub.asBoolean())))
+        // a boolean subschema applies only when the key is PRESENT
+        // (PJS:_keywords.py:290-301 descends only for keys in the
+        // instance): `false` rejects rows where the column is non-null
+        // and vacuously passes rows where it is absent (null)
+        val c = if (sub.asBoolean()) Always(true) else WhenPresent(field, Always(false))
+        out += FieldConstraint(s"$prefix$field.schema", field, wrap(c))
       } else {
         // keywords consumed by a sibling anchor keyword, never alone;
         // the legacy dialect adds additionalItems (consumed by the

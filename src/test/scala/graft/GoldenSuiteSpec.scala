@@ -99,7 +99,8 @@ class GoldenSuiteSpec extends SparkSpec {
     test(s"golden: $desc") {
       val columns = group.get("columns").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toSeq
-      val suite = SuiteLoader.parseSuiteDocument(group.get("schema").toString, resourcesOf(group))
+      val suite = SuiteLoader.parseSuiteDocument(group.get("schema").toString,
+        resourcesOf(group), columns.map(_._1))
       val compiled = suite.resolved.constraints.map(ConstraintCompiler.compile(_, Set.empty))
       val tests = group.get("tests").asScala.toSeq
       val schema = StructType(

@@ -173,6 +173,29 @@ class ValidateJobSpec extends SparkSpec {
       Set(ValidateJob.NullPartition, "web"))
   }
 
+  test("--suite JSON file drives a full run (CLI schema-file analogue, column-aware applicators)") {
+    val table = tmp("suitefile"); val out = tmp("suitefileout"); val ckpt = tmp("suitefileckpt")
+    new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
+    val suiteJson = tmp("suite") + ".json"
+    // patternProperties resolves against the TABLE's columns (n_tok);
+    // doc_id/minLength via plain properties; name-driven + named mixed
+    Files.writeString(Paths.get(suiteJson),
+      """{"$id": "file-suite",
+          "properties": {"doc_id": {"minLength": 5}},
+          "patternProperties": {"^n_": {"minimum": 0}},
+          "propertyNames": {"maxLength": 10}}""")
+    val suite = ValidateJob.loadSuite(spark, table, suiteJson, Nil)
+    assert(suite.constraints.exists(_.field == "n_tok"),
+      s"patternProperties must resolve to n_tok: ${suite.constraints.map(_.id)}")
+    assert(!suite.constraints.exists(_.id.contains("propertyNames")),
+      "all column names pass maxLength 10 — no propertyNames constraint expected")
+    ValidateJob.run(spark, table, out, ckpt, suite = suite)
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the generator injects doc_id="x" rows (minLength violations)
+    assert(verdicts.values.sum > 0, s"expected violations from the file suite: $verdicts")
+  }
+
   test("formatSummary renders the pretty console sink (PJS:cli.py:76-118 analogue)") {
     val s = ValidateJob.formatSummary(
       Seq(("web", 100L, 0L, true), ("spam", 50L, 3L, false)), dupDocIds = 2L, referentialBad = 5L)
