@@ -216,10 +216,17 @@ object ConstraintCompiler {
   /** Add the single-pass TokenStats profile columns for the given
     * array<int> fields. Must be applied to the DataFrame before
     * evaluating columns compiled with the same `fusedIntArrays`.
+    *
+    * A field whose profile column ALREADY EXISTS is left untouched —
+    * that is how alternative storage layouts plug in: e.g. the
+    * packed-binary layout pre-materializes `__prof_tokens` from
+    * token_stats_packed(tokens_bin) and every fused constraint compiles
+    * against it unchanged, no array column required (PackedProbe).
     */
   def withProfiles(df: DataFrame, fusedIntArrays: Set[String]): DataFrame =
     fusedIntArrays.foldLeft(df)((d, f) =>
-      d.withColumn(profCol(f), graft.functions.TokenStats.token_stats(col(f))))
+      if (d.columns.contains(profCol(f))) d
+      else d.withColumn(profCol(f), graft.functions.TokenStats.token_stats(col(f))))
 
   def compile(fc: FieldConstraint, fusedIntArrays: Set[String]): Compiled = {
     val f = col(fc.field)
