@@ -22,9 +22,14 @@ import graft.suite.Constraint._
   *
   * Unknown keywords (round-2, VERDICT item 5): ANNOTATIONS (title,
   * description, default, examples, …) are ignored like the reference
-  * ignores non-assertion keywords; unsupported APPLICATORS
-  * (unevaluatedItems, patternProperties, $dynamicRef, …) RAISE — a
-  * silently dropped applicator would silently weaken the suite.
+  * ignores non-assertion keywords; unsupported APPLICATORS ($dynamicRef,
+  * object keywords inside field subschemas, the data-dependent cases of
+  * unevaluated*) RAISE — a silently dropped applicator would silently
+  * weaken the suite. patternProperties / schema-form
+  * additionalProperties / propertyNames resolve against the declared
+  * column list (round 3), and unevaluatedItems/unevaluatedProperties
+  * are supported in their STATIC subset (unconditional evaluation
+  * only).
   *
   * Boolean schemas: `true` → always-pass, `false` → always-fail
   * (PJS:validators.py:290-291,369-379).
@@ -84,10 +89,25 @@ object SuiteLoader {
     */
   private val UnsupportedInField = Set(
     "properties", "patternProperties", "additionalProperties",
-    "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+    "propertyNames", "unevaluatedProperties",
     "dependentSchemas", "dependentRequired", "required",
     "minProperties", "maxProperties", "dependencies",
     "$dynamicRef", "$dynamicAnchor", "$recursiveRef", "$recursiveAnchor")
+
+  /** Per-document parse state for the STATIC-subset `unevaluated*`
+    * support: which fields the name-driven applicators evaluated, and
+    * whether any CONDITIONAL evaluation (doc-level anyOf/oneOf/not,
+    * dependentSchemas) occurred — annotation flow through those is
+    * data-dependent, which compile-time decomposition cannot represent,
+    * so unevaluatedProperties RAISES in their presence (never silently
+    * weakens). Scoped to one parseSuiteDocument call.
+    */
+  private final class DocParseState {
+    val evaluated = scala.collection.mutable.Set.empty[String]
+    var conditionalEval = false
+    var unevaluatedProps: Option[JsonNode] = None
+  }
+  private val docStateVar = new scala.util.DynamicVariable[Option[DocParseState]](None)
 
   /** Parse one JSON Schema (subset) document into a Constraint. */
   def parseSchema(json: String): Constraint = {
@@ -198,8 +218,36 @@ object SuiteLoader {
     require(root.isObject, "suite document must be a JSON object")
     val name = Option(root.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
     val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
-    parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
-      draftOf(root, ModernDraft))
+    val state = new DocParseState
+    docStateVar.withValue(Some(state)) {
+      parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
+        draftOf(root, ModernDraft))
+      // STATIC unevaluatedProperties (2020-12 annotation semantics,
+      // PJS:_keywords.py:407-436, restricted to the decidable subset):
+      // evaluation here flows only from properties / patternProperties /
+      // additionalProperties — including through allOf branches and
+      // inlined $refs, which is exactly what distinguishes it from
+      // additionalProperties — and is UNCONDITIONAL by the
+      // conditionalEval guard, so the evaluated-key set is a
+      // compile-time constant and the leftover columns get the
+      // subschema like any other name-driven applicator.
+      state.unevaluatedProps.foreach { up =>
+        require(!state.conditionalEval,
+          "unevaluatedProperties supports only unconditional evaluation " +
+            "(no doc-level anyOf/oneOf/not/dependentSchemas) — raising instead of silently weakening")
+        val rest = declaredColumns("unevaluatedProperties").filterNot(state.evaluated)
+        if (up.isBoolean) {
+          if (!up.asBoolean())
+            rest.foreach(c => cs += FieldConstraint(s"$c.unevaluatedProperties", c,
+              WhenPresent(c, Always(false))))
+        } else {
+          val props = mapper.createObjectNode()
+          rest.foreach(c => props.set[JsonNode](c, up))
+          parseProperties(props, nodeDefs(root), root, "unevaluatedProperties.",
+            identity, cs, draftOf(root, ModernDraft))
+        }
+      }
+    }
     // keep ids unique when allOf branches repeat a (field, keyword) pair
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val uniq = cs.toSeq.map { fc =>
@@ -244,6 +292,9 @@ object SuiteLoader {
             wrap(WhenPresent(trigger, Always(false))))
       } else {
         require(sub.isObject, s"$kw['$trigger'] must be a schema")
+        // evaluation under dependentSchemas is CONDITIONAL on the
+        // trigger's presence — outside the unevaluated* static subset
+        docStateVar.value.foreach(_.conditionalEval = true)
         parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
           s"$prefix$trigger.$kw.",
           c => wrap(WhenPresent(trigger, c)), activeRefs, out, draft)
@@ -293,6 +344,10 @@ object SuiteLoader {
           // Branches touching different fields cannot decompose into
           // independent per-field constraints and keep RAISING — never
           // silently dropped.
+          // branch evaluation is data-dependent (a branch's annotations
+          // apply only when it succeeds) — outside the unevaluated*
+          // static subset
+          docStateVar.value.foreach(_.conditionalEval = true)
           val branchNodes =
             if (kw == "not") Seq(entry.getValue) else entry.getValue.asScala.toSeq
           val branches = branchNodes.zipWithIndex.map { case (branch, i) =>
@@ -360,8 +415,23 @@ object SuiteLoader {
           parseProperties(props, localScope, root, s"${prefix}additionalProperties.", wrap, out, draft)
         case "additionalProperties" =>
           // boolean form: strict-schema mode is compile-time column
-          // checking (Suite.checkSchema) — nothing to assert per row
-          ()
+          // checking (Suite.checkSchema) — nothing to assert per row,
+          // but in annotation terms additionalProperties (any form)
+          // evaluates every remaining key, so unevaluatedProperties
+          // downstream sees nothing
+          docStateVar.value.foreach(_.evaluated ++= tableColumnsVar.value)
+        case "unevaluatedProperties" =>
+          // deferred to parseSuiteDocument's post-pass (the evaluated-key
+          // set must be complete first); only meaningful at the document
+          // ROOT — annotation flow INTO branches is out of the static
+          // subset
+          require(prefix.isEmpty,
+            "unevaluatedProperties is supported at the document root only (static subset)")
+          docStateVar.value match {
+            case Some(st) => st.unevaluatedProps = Some(entry.getValue)
+            case None => throw new UnsupportedOperationException(
+              "unevaluatedProperties requires parseSuiteDocument with declared table columns")
+          }
         case "propertyNames" =>
           // the subschema validates the KEYS themselves; every key (=
           // column name) is known at compile time, so evaluate the name
@@ -392,6 +462,10 @@ object SuiteLoader {
     props.properties().asScala.foreach { p =>
       val (field, sub) = (p.getKey, p.getValue)
       require(sub.isObject || sub.isBoolean, s"field '$field' subschema must be object or boolean")
+      // properties/patternProperties/additionalProperties all funnel
+      // through here: record the field as EVALUATED for the
+      // unevaluatedProperties static subset
+      docStateVar.value.foreach(_.evaluated += field)
       if (sub.isBoolean) {
         // a boolean subschema applies only when the key is PRESENT
         // (PJS:_keywords.py:290-301 descends only for keys in the
@@ -437,6 +511,10 @@ object SuiteLoader {
               "contains" -> Seq("minContains", "maxContains"),
               "if"       -> Seq("then", "else"),
               "items"    -> Seq("prefixItems", "additionalItems"),
+              // unevaluatedItems must SEE its sibling element applicators
+              // (they define the evaluated-index set; contains carried so
+              // the static-subset guard can raise on it)
+              "unevaluatedItems" -> Seq("prefixItems", "items", "contains"),
               "minimum"  -> Seq("exclusiveMinimum").filter(_ => anchored("exclusiveMinimum")),
               "maximum"  -> Seq("exclusiveMaximum").filter(_ => anchored("exclusiveMaximum")))
             carry.getOrElse(k, Nil)
@@ -455,6 +533,14 @@ object SuiteLoader {
               case Constraint.AllOf(xs) if k == "items" && sub.has("prefixItems") =>
                 xs.find(x => x.isInstanceOf[Constraint.ItemsFrom] || x.isInstanceOf[Constraint.Items])
                   .getOrElse(c)
+              // the unevaluatedItems slice carries prefixItems/items for
+              // CONTEXT only — they emit their own constraints from their
+              // own slices; keep just what unevaluatedItems contributed
+              // (nothing when items evaluates everything)
+              case _ if k == "unevaluatedItems" && sub.has("items") => Constraint.Always(true)
+              case Constraint.AllOf(xs) if k == "unevaluatedItems" =>
+                xs.collectFirst { case x: Constraint.ItemsFrom => x }
+                  .getOrElse(Constraint.Always(true))
               case other => other
             }
             out += FieldConstraint(s"$prefix$field.$k", field, wrap(cleaned))
@@ -632,6 +718,24 @@ object SuiteLoader {
           // consumed by the legacy items-array case; the spec IGNORES it
           // when `items` is absent or a single schema
           require(legacyItems(draft), "additionalItems is a pre-2020-12 keyword; use prefixItems+items")
+        case "unevaluatedItems" =>
+          // STATIC subset of the annotation semantics
+          // (PJS:_keywords.py:392-404): with only prefixItems/items as
+          // sibling element applicators the evaluated-index set is a
+          // compile-time constant — `items` evaluates everything
+          // (unevaluatedItems vacuous), else elements past the
+          // prefixItems length are unevaluated. `contains` (marks
+          // MATCHING elements) and combinator/$ref siblings (branch-
+          // dependent annotations) are data-dependent and RAISE.
+          val dyn = Seq("contains", "allOf", "anyOf", "oneOf", "not", "if", "$ref")
+            .filter(n.has(_))
+          require(dyn.isEmpty,
+            s"unevaluatedItems static subset: sibling $dyn makes the evaluated-index set " +
+              "data-dependent — raising instead of silently dropping")
+          if (!n.has("items")) {
+            val plen = Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
+            cs += ItemsFrom(plen, sub(v))
+          } // items present: every element already evaluated — vacuous
         case "contains" =>
           val mn = Option(n.get("minContains")).map(_.asInt()).getOrElse(1)
           val mx = Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue)
