@@ -353,6 +353,15 @@ object ConstraintCompiler {
           concat_ws("!=", coalesce(f.cast("string"), lit("null")), length(col(sf)).cast("string")))
       case DependentRequired(fields) =>
         (!f.isNotNull || fields.map(col(_).isNotNull).reduce(_ && _), obsSelf)
+      case PresentCount(mn, mx, cols) =>
+        // min/maxProperties: present keys = non-null columns
+        // (PJS:_keywords.py:312-329 over the fixed column universe)
+        val cnt = cols.map(col(_).isNotNull.cast("int")).reduce(_ + _)
+        val pass =
+          if (mx == Int.MaxValue) cnt >= lit(mn)
+          else if (mn <= 0) cnt <= lit(mx)
+          else cnt >= lit(mn) && cnt <= lit(mx)
+        (pass, cnt.cast("string"))
       case WhenPresent(trigger, inner) =>
         // dependentSchemas implication (PJS:_keywords.py:257-266):
         // inner applies to THIS field only when `trigger` is present

@@ -110,6 +110,13 @@ object Constraint {
   final case class EqLengthOf(strField: String) extends Constraint
   /** `dependentRequired`: if this field is non-null, `fields` must be. */
   final case class DependentRequired(fields: Seq[String]) extends Constraint
+  /** `minProperties`/`maxProperties` (PJS:_keywords.py:312-329) under
+    * the absent≙null convention: the number of PRESENT keys on a row is
+    * the count of its non-null columns, bounded inclusively. Produced by
+    * the suite loader from the document level with the declared column
+    * list.
+    */
+  final case class PresentCount(min: Int, max: Int, cols: Seq[String]) extends Constraint
   /** `dependentSchemas` implication (PJS:_keywords.py:257-266): the inner
     * constraint (on this FieldConstraint's own field) applies only when
     * the `trigger` column is present (non-null). Produced by the suite

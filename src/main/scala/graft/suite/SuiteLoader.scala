@@ -381,6 +381,19 @@ object SuiteLoader {
           parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + ref, out, tDraft)
         case "properties" =>
           parseProperties(entry.getValue, localScope, root, prefix, wrap, out, draft)
+        case "minProperties" =>
+          // present keys = non-null columns over the declared universe
+          // (PJS:_keywords.py:312-318); sibling maxProperties folds into
+          // the same counted constraint
+          val cols = declaredColumns("minProperties")
+          val mx = Option(n.get("maxProperties")).map(_.asInt()).getOrElse(Int.MaxValue)
+          out += FieldConstraint(s"${prefix}minProperties", cols.head,
+            wrap(PresentCount(entry.getValue.asInt(), mx, cols)))
+        case "maxProperties" if !n.has("minProperties") =>
+          val cols = declaredColumns("maxProperties")
+          out += FieldConstraint(s"${prefix}maxProperties", cols.head,
+            wrap(PresentCount(0, entry.getValue.asInt(), cols)))
+        case "maxProperties" => () // consumed by the minProperties case
         case "type" =>
           val t = entry.getValue
           require(t.isTextual && t.asText() == "object",
