@@ -527,7 +527,7 @@ object SuiteLoader {
               // unevaluatedItems must SEE its sibling element applicators
               // (they define the evaluated-index set; contains carried so
               // the static-subset guard can raise on it)
-              "unevaluatedItems" -> Seq("prefixItems", "items", "contains"),
+              "unevaluatedItems" -> Seq("prefixItems", "items", "additionalItems", "contains"),
               "minimum"  -> Seq("exclusiveMinimum").filter(_ => anchored("exclusiveMinimum")),
               "maximum"  -> Seq("exclusiveMaximum").filter(_ => anchored("exclusiveMaximum")))
             carry.getOrElse(k, Nil)
@@ -546,12 +546,19 @@ object SuiteLoader {
               case Constraint.AllOf(xs) if k == "items" && sub.has("prefixItems") =>
                 xs.find(x => x.isInstanceOf[Constraint.ItemsFrom] || x.isInstanceOf[Constraint.Items])
                   .getOrElse(c)
-              // the unevaluatedItems slice carries prefixItems/items for
-              // CONTEXT only — they emit their own constraints from their
-              // own slices; keep just what unevaluatedItems contributed
-              // (nothing when items evaluates everything)
-              case _ if k == "unevaluatedItems" && sub.has("items") => Constraint.Always(true)
+              // the unevaluatedItems slice carries its sibling element
+              // applicators for CONTEXT only — they emit their own
+              // constraints from their own slices; keep just what
+              // unevaluatedItems contributed. Vacuity mirrors the
+              // toConstraint branch: 2020-12 items evaluates everything,
+              // the legacy ARRAY form only with additionalItems.
+              case _ if k == "unevaluatedItems" &&
+                (Option(sub.get("items")).exists(!_.isArray) ||
+                  (Option(sub.get("items")).exists(_.isArray) && sub.has("additionalItems"))) =>
+                Constraint.Always(true)
               case Constraint.AllOf(xs) if k == "unevaluatedItems" =>
+                // unevaluatedItems' own ItemsFrom is appended FIRST
+                // (slice insertion order), before any additionalItems one
                 xs.collectFirst { case x: Constraint.ItemsFrom => x }
                   .getOrElse(Constraint.Always(true))
               case other => other
@@ -745,10 +752,18 @@ object SuiteLoader {
           require(dyn.isEmpty,
             s"unevaluatedItems static subset: sibling $dyn makes the evaluated-index set " +
               "data-dependent — raising instead of silently dropping")
-          if (!n.has("items")) {
-            val plen = Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
+          val itemsNode = Option(n.get("items"))
+          val legacyArray = itemsNode.exists(_.isArray) // 2019-09 positional form
+          // vacuous when every element is already evaluated: 2020-12
+          // `items` covers everything; the legacy ARRAY form covers only
+          // its positions, so unevaluatedItems still applies past it —
+          // unless sibling additionalItems already evaluates the rest
+          if (itemsNode.isEmpty || (legacyArray && !n.has("additionalItems"))) {
+            val plen =
+              if (legacyArray) itemsNode.get.size()
+              else Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
             cs += ItemsFrom(plen, sub(v))
-          } // items present: every element already evaluated — vacuous
+          }
         case "contains" =>
           val mn = Option(n.get("minContains")).map(_.asInt()).getOrElse(1)
           val mx = Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue)
