@@ -50,6 +50,14 @@ object ConstraintCompiler {
     * previously the exists fast path resolved a null predicate to PASS
     * while the counted path resolved it to non-match.
     */
+  /** Numeric bound literal: keep the int fast path for integral bounds
+    * (identical plans to round-2), but NEVER truncate a fractional
+    * bound — `minimum: 2.5` must compare at 2.5, not 2 (round-3
+    * review: the int cast silently weakened fractional bounds).
+    */
+  private def numLit(b: Double): Column =
+    if (b.isWhole && math.abs(b) <= Int.MaxValue) lit(b.toInt) else lit(b)
+
   def elementPred(c: Constraint)(e: Column): Column =
     if (extensions.isDefinedAt(c)) extensions(c)(e)
     else
@@ -66,11 +74,13 @@ object ConstraintCompiler {
           // same explicit null gate as the top-level Format compile:
           // try_to_timestamp(null).isNotNull is a definite FALSE
           when(e.isNull, lit(true)).otherwise(coalesce(formatPred(name, e), lit(true)))
-        case Minimum(b, false) => coalesce(e >= lit(b).cast("int"), lit(true))
-        case Minimum(b, true)  => coalesce(e > lit(b).cast("int"), lit(true))
-        case Maximum(b, false) => coalesce(e <= lit(b).cast("int"), lit(true))
-        case Maximum(b, true)  => coalesce(e < lit(b).cast("int"), lit(true))
-        case MultipleOf(k)     => coalesce(pmod(e, lit(k).cast("int")) === lit(0), lit(true))
+        case Minimum(b, false) => coalesce(e >= numLit(b), lit(true))
+        case Minimum(b, true)  => coalesce(e > numLit(b), lit(true))
+        case Maximum(b, false) => coalesce(e <= numLit(b), lit(true))
+        case Maximum(b, true)  => coalesce(e < numLit(b), lit(true))
+        // same double-pmod form as the top-level compile: an int cast
+        // would turn multipleOf 0.5 into pmod-by-zero = always-pass
+        case MultipleOf(k)     => coalesce(pmod(e.cast("double"), lit(k)) === lit(0.0), lit(true))
         case Enum(vs) =>
           val nonNull = vs.filter(_ != null)
           val base = if (nonNull.isEmpty) lit(false) else e.isin(nonNull: _*)
@@ -237,10 +247,10 @@ object ConstraintCompiler {
 
     def goFused: PartialFunction[Constraint, (Column, Column)] = {
       case Items(Minimum(b, excl)) =>
-        val p = if (excl) prof("tmin") > lit(b.toInt) else prof("tmin") >= lit(b.toInt)
+        val p = if (excl) prof("tmin") > numLit(b) else prof("tmin") >= numLit(b)
         (gated(prof("n") === 0 || p), coalesce(prof("tmin").cast("string"), lit("null")))
       case Items(Maximum(b, excl)) =>
-        val p = if (excl) prof("tmax") < lit(b.toInt) else prof("tmax") <= lit(b.toInt)
+        val p = if (excl) prof("tmax") < numLit(b) else prof("tmax") <= numLit(b)
         (gated(prof("n") === 0 || p), coalesce(prof("tmax").cast("string"), lit("null")))
       case UniqueItems() =>
         (gated(prof("dups") === 0), coalesce(prof("dups").cast("string"), lit("null")))

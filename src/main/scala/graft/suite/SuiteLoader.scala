@@ -274,12 +274,12 @@ object SuiteLoader {
     // (same ignore_ref_siblings rule as the field-level path)
     if (refOverridesSiblings(draft) && n.has("$ref")) {
       val ref = n.get("$ref").asText()
-      require(!activeRefs.contains(ref), s"circular doc-level $$ref '$ref'")
+      require(!activeRefs.contains(refKey(root, ref)), s"circular doc-level $$ref '$ref'")
       val (tRoot, target) = resolveFragmentWithRoot(ref, root, localScope)
       require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
       val (tScope, tDraft) =
         if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
-      parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + ref, out, tDraft)
+      parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
       return
     }
 
@@ -373,12 +373,12 @@ object SuiteLoader {
           out += FieldConstraint(s"$prefix$bfield.$kw", bfield, wrap(comb))
         case "$ref" =>
           val ref = entry.getValue.asText()
-          require(!activeRefs.contains(ref), s"circular doc-level $$ref '$ref'")
+          require(!activeRefs.contains(refKey(root, ref)), s"circular doc-level $$ref '$ref'")
           val (tRoot, target) = resolveFragmentWithRoot(ref, root, localScope)
           require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
           val (tScope, tDraft) =
             if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
-          parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + ref, out, tDraft)
+          parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
         case "properties" =>
           parseProperties(entry.getValue, localScope, root, prefix, wrap, out, draft)
         case "minProperties" =>
@@ -441,7 +441,14 @@ object SuiteLoader {
           require(prefix.isEmpty,
             "unevaluatedProperties is supported at the document root only (static subset)")
           docStateVar.value match {
-            case Some(st) => st.unevaluatedProps = Some(entry.getValue)
+            case Some(st) =>
+              // two occurrences can reach the root closure (e.g. root +
+              // a doc-level $ref target) — last-wins would silently DROP
+              // one assertion, so raise (round-3 review)
+              require(st.unevaluatedProps.isEmpty,
+                "multiple unevaluatedProperties in the document's unconditional closure — " +
+                  "the static subset supports exactly one")
+              st.unevaluatedProps = Some(entry.getValue)
             case None => throw new UnsupportedOperationException(
               "unevaluatedProperties requires parseSuiteDocument with declared table columns")
           }
@@ -527,7 +534,12 @@ object SuiteLoader {
               // unevaluatedItems must SEE its sibling element applicators
               // (they define the evaluated-index set; contains carried so
               // the static-subset guard can raise on it)
-              "unevaluatedItems" -> Seq("prefixItems", "items", "additionalItems", "contains"),
+              // combinator/$ref siblings ride along ONLY so the
+              // static-subset guard can SEE and raise on them (round-3
+              // review: an invisible $ref sibling carrying prefixItems
+              // would silently shift the evaluated-index set)
+              "unevaluatedItems" -> Seq("prefixItems", "items", "additionalItems",
+                "contains", "allOf", "anyOf", "oneOf", "not", "if", "$ref"),
               "minimum"  -> Seq("exclusiveMinimum").filter(_ => anchored("exclusiveMinimum")),
               "maximum"  -> Seq("exclusiveMaximum").filter(_ => anchored("exclusiveMaximum")))
             carry.getOrElse(k, Nil)
@@ -587,6 +599,15 @@ object SuiteLoader {
 
   private def unescapePointer(seg: String): String =
     seg.replace("~1", "/").replace("~0", "~")
+
+  /** Cycle-guard key for an active $ref: scoped to the OWNING DOCUMENT
+    * (identity), not the raw ref string — with the multi-resource
+    * registry the same fragment string ("#/$defs/s") legitimately
+    * appears in several documents, and string-only keying misreported
+    * that as circular (round-3 review).
+    */
+  private def refKey(root: JsonNode, ref: String): String =
+    Integer.toHexString(System.identityHashCode(root)) + "::" + ref
 
   /** RFC 6901 JSON-pointer walk from `root` (objects by key, arrays by
     * index). Returns None when any step is missing.
@@ -673,13 +694,13 @@ object SuiteLoader {
     val defs: Map[String, JsonNode] = scope ++ nodeDefs(n)
 
     def resolveRef(ref: String): Constraint = {
-      if (activeRefs.contains(ref))
+      if (activeRefs.contains(refKey(root, ref)))
         throw new IllegalArgumentException(s"circular $$ref '$ref' — compile-time inlining cannot represent cycles")
       val (tRoot, target) = resolveFragmentWithRoot(ref, root, defs)
-      if (tRoot eq root) toConstraint(target, defs, root, activeRefs + ref, draft)
+      if (tRoot eq root) toConstraint(target, defs, root, activeRefs + refKey(root, ref), draft)
       // cross-document: the resource's own $defs scope and $schema
       // dialect take over (lexical scoping, REF:_core.py resolver push)
-      else toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + ref, draftOf(tRoot, draft))
+      else toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + refKey(root, ref), draftOf(tRoot, draft))
     }
 
     // pre-2019 drafts: $ref OVERRIDES its siblings — everything else in

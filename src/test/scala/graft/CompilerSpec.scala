@@ -200,6 +200,27 @@ class CompilerSpec extends SparkSpec {
     assert(rf.select(ConstraintCompiler.formatPred("iri-reference", col("v"))).head().getBoolean(0))
   }
 
+  test("fused fractional bounds agree with the generic path (no int truncation)") {
+    import spark.implicits._
+    import graft.suite.{Constraint, FieldConstraint}
+    val df = Seq(Seq(2), Seq(3), Seq(7), Seq(8)).toDF("tokens")
+    val fcs = Seq(
+      FieldConstraint("min2_5", "tokens", Constraint.Items(Constraint.Minimum(2.5))),
+      FieldConstraint("exclMax7_5", "tokens", Constraint.Items(Constraint.Maximum(7.5, exclusive = true))))
+    fcs.foreach { fc =>
+      val generic = ConstraintCompiler.compile(fc, Set.empty)
+      val fused = ConstraintCompiler.compile(fc, Set("tokens"))
+      val rows = ConstraintCompiler.withProfiles(df, Set("tokens"))
+        .select(generic.pass.as("g"), fused.pass.as("f")).collect()
+      rows.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1), s"${fc.id}: $r"))
+    }
+    // and the values themselves: 2 must FAIL minimum 2.5, 7 must PASS exclusive 7.5
+    val g = ConstraintCompiler.compile(fcs.head, Set.empty)
+    val got = df.select(col("tokens"), g.pass).collect()
+      .map(r => r.getSeq[Int](0).head -> r.getBoolean(1)).toMap
+    assert(!got(2) && got(3))
+  }
+
   test("packed-binary token layout: identical profile and identical fused suite verdicts") {
     import graft.functions.TokenStats
     val df = graft.gen.TokenData.tokenTable(spark, 3000, 4)

@@ -57,6 +57,23 @@ class SuiteDocumentSpec extends SparkSpec {
     assert(fails.getLong(1) === 100L)
   }
 
+  test("unevaluated* static-subset guards RAISE on data-dependent shapes (round-3 review fixes)") {
+    // a $ref sibling can carry prefixItems — invisible to a naive
+    // per-keyword slice, so the guard must SEE it and raise
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSuiteDocument(
+        """{"properties": {"arr": {"$ref": "#/$defs/a", "unevaluatedItems": false}},
+           "$defs": {"a": {"prefixItems": [{"type": "integer"}]}}}"""))
+    // two unevaluatedProperties reaching the root closure: last-wins
+    // would silently drop one assertion
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSuiteDocument(
+        """{"$ref": "#/$defs/base", "unevaluatedProperties": false,
+           "properties": {"a": {"minimum": 0}},
+           "$defs": {"base": {"unevaluatedProperties": {"type": "string"}}}}""",
+        Nil, Seq("a", "b")))
+  }
+
   test("legacy keyword forms RAISE under modern dialects instead of silently weakening") {
     // 2020-12 (no $schema): additionalItems and boolean exclusiveMinimum
     // are pre-2020 forms — loading them must error, not no-op
