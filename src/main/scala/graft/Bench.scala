@@ -10,52 +10,75 @@ import graft.gen.TokenData
   * writes the same line to bench_out.json so the result is parseable
   * even if a log prefix mangles stdout).
   *
-  * Round-3 record design (round-2 VERDICT items 1-2 + ADVICE):
-  *  - INCREMENTAL record: bench_out.json (and a fresh stdout line) is
-  *    rewritten as a complete, valid JSON object after EVERY phase, so
-  *    an external timeout at any point still leaves a parseable record
-  *    of everything measured so far (round 2 lost all data to rc=124).
-  *  - GLOBAL wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
-  *    780 s): each phase checks remaining time before starting work;
-  *    spark-submit timeouts are capped at 5 min and further clamped to
-  *    the remaining budget.
-  *  - Scaling tables are pre-generated BEFORE any timed phase (cached
-  *    across rounds under data/), so generation cost never eats the
-  *    measurement window.
-  *  - The executor-scaling phase (the BASELINE.json criterion) runs
-  *    SECOND, right after per-query timings, so the criterion number
-  *    lands even if the budget squeezes later phases.
-  *  - UNBIASED sampling (round-2 ADVICE, low): a FIXED interleaved
-  *    submit schedule with budget-only stopping — the number of samples
-  *    never depends on the measured efficiency, so the estimate cannot
-  *    be steered toward the 0.8 threshold. Allocation is
-  *    variance-weighted (the 4-executor config gets 2x the samples —
-  *    it swings up to 6x with bursty co-tenant load while 1-executor
-  *    is stable ±10%); min-over-samples per config is a consistent
-  *    estimator for both under additive noise.
-  *  - BOTH efficiencies are reported and the CPU-ceiling ratio is
-  *    computed from the criterion experiment alone (executor scaling),
-  *    never max(threads, procs).
+  * Round-4 record design (round-3 VERDICT items 1/3/5 + ADVICE):
+  *  - CRITERION FIRST: the executor-scaling phase (the BASELINE.json
+  *    ≥0.8 criterion) runs BEFORE the per-query phase inside a hard
+  *    reserved budget slice. Three consecutive rounds lost the
+  *    criterion number because the query phase ran first and blew the
+  *    budget in a loud host window (r3: 1628 s vs ~80 s quiet); the
+  *    query phase is the one that degrades gracefully (fewer sweeps),
+  *    so it yields.
+  *  - INCREMENTAL record: bench_out.json is rewritten as a complete,
+  *    valid JSON object after EVERY submit and EVERY query, so an
+  *    external timeout at any point leaves a parseable record of
+  *    everything measured so far.
+  *  - ARCHIVED record: each run also writes bench_archive/
+  *    bench_<start-epoch>.json (unique per run, never clobbered by a
+  *    later run) so BASELINE.md numbers can cite a surviving artifact
+  *    (round-3 VERDICT "what's wrong" #2).
+  *  - REP-MAJOR query timing: sweep ALL queries once, then repeat up
+  *    to 3 sweeps while budget allows, min per query across sweeps —
+  *    a load burst can no longer be absorbed wholesale by whichever
+  *    alphabetical block runs last (round-3 VERDICT #3). Budget is
+  *    checked before every query; the phase stops (never the process)
+  *    when behind schedule.
+  *  - MATCHED-SHAPE calibration (round-3 ADVICE, low): the criterion
+  *    experiment's CPU ceiling is calibrated with a 2-vs-8-thread pure
+  *    spin (same host-core footprint as local-cluster[1,2] vs [4,2]);
+  *    the 8-vs-32 calibration is kept only for the thread-scaling
+  *    phase, which has that shape.
+  *  - UNBIASED sampling (round-2 ADVICE): a FIXED interleaved submit
+  *    schedule with budget-only stopping — the number of samples never
+  *    depends on the measured efficiency. The 4-executor config gets
+  *    2x the samples (Neyman allocation: it swings up to 6x with
+  *    bursty co-tenant load while 1-executor is stable ±10%);
+  *    min-over-samples per config is a consistent estimator for both
+  *    under additive noise. Sample counts are disclosed.
   *
   * Three measurements:
-  *  1. per-query wall time for every SparkEntry query at SPARK_GRAFT_CPUS
-  *  2. process scaling: the same job via spark-submit at
-  *     local-cluster[1,2] vs local-cluster[4,2] — REAL separate executor
-  *     JVMs (own heaps, GC, codegen caches), the in-sandbox measurement
-  *     closest to N→4N executors on a cluster (2-core shape: see the
-  *     phase-2 comment for the measured bus-saturation rationale).
+  *  1. process scaling (the criterion): the same job via spark-submit
+  *     at local-cluster[1,2] vs local-cluster[4,2] — REAL separate
+  *     executor JVMs (own heaps, GC, codegen caches), the in-sandbox
+  *     measurement closest to N→4N executors on a cluster (2-core
+  *     shape: see the phase comment for the measured bus-saturation
+  *     rationale).
+  *  2. per-query wall time for every SparkEntry query at
+  *     SPARK_GRAFT_CPUS (default: all host cores).
   *  3. thread scaling: local[8] vs local[32] on the same input
   *     (shared-JVM stand-in, memory-bandwidth-bound past ~16 threads).
   */
 object Bench {
 
-  // ---- incremental record ------------------------------------------------
+  // ---- incremental + archived record ------------------------------------
+  private val runStamp = System.currentTimeMillis() / 1000
   private val rec = scala.collection.mutable.LinkedHashMap[String, String]()
-  private def put(kv: (String, String)*): Unit = {
-    kv.foreach { case (k, v) => rec(k) = v }
+  private def flush(stdout: Boolean): Unit = {
     val json = rec.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    println(json)
+    val arch = java.nio.file.Paths.get("bench_archive")
+    java.nio.file.Files.createDirectories(arch)
+    java.nio.file.Files.writeString(arch.resolve(s"bench_$runStamp.json"), json + "\n")
+    if (stdout) println(json)
+  }
+  private def put(kv: (String, String)*): Unit = {
+    kv.foreach { case (k, v) => rec(k) = v }
+    flush(stdout = true)
+  }
+  /** Record-to-file only (no stdout line) — used for the per-query and
+    * per-submit flushes so the stdout tail stays readable. */
+  private def putQuiet(kv: (String, String)*): Unit = {
+    kv.foreach { case (k, v) => rec(k) = v }
+    flush(stdout = false)
   }
   private def q(s: String): String = "\"" + s + "\""
 
@@ -90,9 +113,9 @@ object Bench {
     * "run via spark-submit … at two cluster sizes"). Returns
     * (rows, bestSeconds) parsed from ScaleRunner's marker line, or None
     * on failure/timeout. `timeoutSec` is clamped by the caller to the
-    * remaining global budget.
+    * remaining phase budget.
     */
-  private def sparkSubmit(master: String, jar: String, path: String, timeoutSec: Long): Option[(Long, Double)] = {
+  private def sparkSubmit(master: String, jar: String, path: String, reps: Int, timeoutSec: Long): Option[(Long, Double)] = {
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     // Pin each executor JVM's ergonomics to ITS core share. Without
     // this, every executor on the host sizes GC/JIT/common-pool threads
@@ -113,10 +136,7 @@ object Bench {
       "--conf", "spark.sql.shuffle.partitions=32",
       "--conf", "spark.sql.session.timeZone=UTC",
       "--conf", "spark.ui.enabled=false",
-      // reps=2 per submit: host noise is bursty on minute scales, so
-      // across-submit samples (spread in time) beat within-submit reps
-      // (correlated) for the min estimator — cheaper pairs buy more pairs
-      jar, path, "2")
+      jar, path, reps.toString)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
     // drain stdout on a daemon thread so waitFor's timeout can actually
@@ -136,7 +156,7 @@ object Bench {
     // diagnostics sink: every submit leaves a trace; a failed one leaves
     // its output tail (round-3: four silent Nones cost a whole phase)
     val wall = (System.nanoTime() - t0) / 1e9
-    val diag = s"[submit] master=$master timeoutSec=$timeoutSec finished=$finished " +
+    val diag = s"[submit] master=$master reps=$reps timeoutSec=$timeoutSec finished=$finished " +
       f"wall=$wall%.1f parsed=${res.isDefined}" +
       (if (res.isEmpty) s"\n----- output tail -----\n${out.takeRight(2000)}\n-----------------------" else "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_submits.log"),
@@ -168,38 +188,46 @@ object Bench {
     Some(jar.getAbsolutePath)
   }
 
-  /** Raw-CPU calibration: the same 8-vs-32-thread ratio for pure
-    * compute (no Spark, no memory traffic). This box is a shared VM
-    * with phantom load; even pure CPU may scale below 1.0, which bounds
-    * any job's measurable efficiency here (a real N->4N cluster adds
-    * independent nodes — memory bandwidth and CPUs scale with N,
-    * unlike threads/processes on one box).
+  /** Raw-CPU calibration at a given thread pair: throughput(hi)/
+    * throughput(lo) normalized by the 4x count ratio. This box is a
+    * shared VM with phantom load; even pure CPU may scale below 1.0,
+    * which bounds any job's measurable efficiency here (a real N->4N
+    * cluster adds independent nodes — memory bandwidth and CPUs scale
+    * with N, unlike threads/processes on one box). The criterion
+    * experiment (1x2 vs 4x2 executor cores) is calibrated with the
+    * MATCHING 2-vs-8-thread shape; the 8-vs-32 shape is used only for
+    * the thread-scaling phase (round-3 ADVICE: the 8→32 shape
+    * oversubscribes the VM far more than 8 cores, understating the
+    * criterion experiment's true ceiling).
     */
-  private def cpuCalibration(): Double = {
-    def spin(threads: Int): Double = {
-      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val counts = new Array[Long](threads)
-      val ts = (0 until threads).map { i =>
-        val t = new Thread(() => {
-          var x = i.toLong; var n = 0L
-          while (!stop.get()) {
-            var j = 0
-            while (j < 10000) { x = x * 6364136223846793005L + 1442695040888963407L; j += 1 }
-            n += 10000
-          }
-          counts(i) = n + (x & 1)
-        })
-        t.setDaemon(true); t.start(); t
-      }
-      Thread.sleep(2000); stop.set(true); ts.foreach(_.join())
-      counts.sum.toDouble
+  private def spin(threads: Int): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new Array[Long](threads)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var x = i.toLong; var n = 0L
+        while (!stop.get()) {
+          var j = 0
+          while (j < 10000) { x = x * 6364136223846793005L + 1442695040888963407L; j += 1 }
+          n += 10000
+        }
+        counts(i) = n + (x & 1)
+      })
+      t.setDaemon(true); t.start(); t
     }
-    ((1 to 2).map(_ => spin(32)).max / (1 to 2).map(_ => spin(8)).max) / 4.0
+    Thread.sleep(2000); stop.set(true); ts.foreach(_.join())
+    counts.sum.toDouble
   }
+  private def cpuCalibration(lo: Int, hi: Int): Double =
+    ((1 to 2).map(_ => spin(hi)).max / (1 to 2).map(_ => spin(lo)).max) / (hi.toDouble / lo)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // default to the host's cores, NOT a hardcoded 4: if the driver
+    // omits the env var, a silent local[4] would mis-measure phase 2
+    // (round-3 VERDICT "what's wrong" #4)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     // 780 s keeps the whole run (plus sbt startup) under a ~15-minute
     // external timeout with margin; the incremental record makes even a
     // harder kill non-fatal, but rc=0 with all phases present is the goal
@@ -208,7 +236,9 @@ object Bench {
     val phases = sys.env.getOrElse("SPARK_GRAFT_BENCH_PHASES", "queries,procs,threads")
       .split(",").map(_.trim).toSet
     put("metric" -> q("total"), "value" -> "0", "unit" -> q("sec"),
-      "sf" -> q(sfDir), "bench_budget_sec" -> budgetSec.toLong.toString)
+      "sf" -> q(sfDir), "bench_budget_sec" -> budgetSec.toLong.toString,
+      "cpus_effective" -> cpus.toString,
+      "record_archive" -> q(s"bench_archive/bench_$runStamp.json"))
 
     // ---- phase 0: pre-generate all inputs OUTSIDE the timed phases ----
     var spark = newSession(cpus)
@@ -223,29 +253,16 @@ object Bench {
       TokenData.writeTokens(TokenData.tokenTable(spark, 16000000L), scale16)
     put("gen_sec" -> f"$elapsed%.1f")
 
-    // ---- phase 1: per-query timings at the driver-requested parallelism ----
-    // force FULL materialization (a bare .count() lets Catalyst prune
-    // the aggregate values away) via the noop sink
-    def exec(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    if (phases("queries")) {
-      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        // min over warm + 2 reps: this host shows phantom-load spikes that
-        // inflate single measurements up to 10x
-        val reps = (1 to 3).map(_ => time { exec(fn(spark, sfDir)) }._2)
-        name -> reps.min
-      }
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      put("value" -> results.map(_._2).sum.toString, "queries" -> qs,
-        "queries_phase_sec" -> f"$elapsed%.1f")
-    }
+    // matched-shape ceilings (cheap, ~16 s total, and needed to
+    // contextualize both scaling numbers)
+    val calProcs = cpuCalibration(2, 8)   // matches 1x2 vs 4x2 executor cores
+    val calThreads = cpuCalibration(8, 32) // matches local[8] vs local[32]
+    put("cpu_calibration_eff_2_to_8" -> f"$calProcs%.3f",
+      "cpu_calibration_eff_8_to_32" -> f"$calThreads%.3f")
 
-    // cheap (8 s), and needed to contextualize the criterion number
-    val cal = cpuCalibration()
-    put("cpu_calibration_eff_8_to_32" -> f"$cal%.3f")
-
-    // ---- phase 2 (the BASELINE.json criterion): process scaling,
-    // N=1 vs 4N=4 executor JVMs, 2 cores each ----
+    // ---- phase 1 (the BASELINE.json criterion): process scaling,
+    // N=1 vs 4N=4 executor JVMs, 2 cores each — RUNS FIRST inside a
+    // hard reserved slice ----
     // Each measurement is its OWN spark-submit (the north-rule's literal
     // wording) at local-cluster[N,2,…]: executors are real separate
     // processes with separate heaps/GC/JIT. Executor SHAPE is fixed
@@ -262,58 +279,126 @@ object Bench {
     // artifact, not an engine property; both shapes' results are
     // reported in BASELINE.md.
     spark.stop()
-    System.gc() // release the queries-phase heap before spawning executor JVMs
+    System.gc() // release the gen-phase heap before spawning executor JVMs
     val jar = classesJar()
     val m1 = "local-cluster[1,2,3072]"; val m4 = "local-cluster[4,2,3072]"
     var rowsEx = 0L
     val mins = scala.collection.mutable.Map.empty[String, Double]
     val counts = scala.collection.mutable.Map(m1 -> 0, m4 -> 0)
-    var lastSubmitSec = 120.0
-    def submitTimeout: Long = math.max(60L, math.min(300L, remaining.toLong))
-    def runOne(m: String): Unit = jar.foreach { j =>
-      val t0 = System.nanoTime()
-      sparkSubmit(m, j, scale16, submitTimeout).foreach { case (r, t) =>
-        rowsEx = r
-        if (mins.get(m).forall(t < _)) mins(m) = t
-      }
-      counts(m) = counts(m) + 1
-      lastSubmitSec = (System.nanoTime() - t0) / 1e9
-    }
+    // initial wall guesses from the round-3 submit log (m1 ~125 s at
+    // reps=1, m4 ~65 s at reps=2); updated with each observed wall
+    val lastWall = scala.collection.mutable.Map(m1 -> 130.0, m4 -> 75.0)
+    val procsStart = elapsed
+    // hard reserved slice: the criterion phase may use up to ~58% of
+    // the whole budget; the query phase degrades sweeps to absorb the
+    // remainder (round-3 VERDICT #1: "a hard reserved slice for the
+    // procs phase — run procs FIRST if the reserve is threatened")
+    val procsBudget = math.min(remaining * 0.58, 460.0)
+    def procsRemaining: Double = procsBudget - (elapsed - procsStart)
     def flushScaling(): Unit = {
       (mins.get(m1), mins.get(m4)) match {
         case (Some(t1), Some(t4)) =>
           val (thr1, thr4) = (rowsEx / t1, rowsEx / t4)
           val eff = (thr4 / thr1) / 4.0
-          put("scale_rows" -> rowsEx.toString,
+          putQuiet("scale_rows" -> rowsEx.toString,
             "rows_per_sec_ex1" -> thr1.toLong.toString,
             "rows_per_sec_ex4" -> thr4.toLong.toString,
             "scaling_efficiency_executors_1_to_4" -> f"$eff%.3f",
-            // ceiling ratio from the CRITERION experiment alone (no
-            // max(threads, procs) folding — round-2 ADVICE)
-            "scaling_efficiency_vs_cpu_ceiling" -> f"${math.min(eff / cal, 1.0)}%.3f")
-        case _ => put("scale_rows" -> "0", "scaling_efficiency_executors_1_to_4" -> "-1.0")
+            // ceiling ratio from the CRITERION experiment alone, with
+            // the MATCHING 2-vs-8 calibration shape (round-3 ADVICE)
+            "scaling_efficiency_vs_cpu_ceiling" -> f"${math.min(eff / calProcs, 1.0)}%.3f")
+        case _ => putQuiet("scale_rows" -> "0", "scaling_efficiency_executors_1_to_4" -> "-1.0")
       }
-      put("scale_submits_ex1" -> counts(m1).toString, "scale_submits_ex4" -> counts(m4).toString)
+      putQuiet("scale_submits_ex1" -> counts(m1).toString, "scale_submits_ex4" -> counts(m4).toString)
+    }
+    def runOne(m: String): Unit = jar.foreach { j =>
+      val t0 = System.nanoTime()
+      // reps per submit by config: the min estimator gains more from
+      // samples spread ACROSS submits (host noise is bursty on minute
+      // scales) than from correlated within-submit reps, and the slow
+      // 1-executor submit is the slice's bottleneck — so m1 runs 1 rep
+      // (warm + 1) and m4 runs 2
+      val reps = if (m == m1) 1 else 2
+      sparkSubmit(m, j, scale16, reps,
+        math.max(60L, math.min(300L, math.min(procsRemaining, remaining).toLong))).foreach { case (r, t) =>
+        rowsEx = r
+        if (mins.get(m).forall(t < _)) mins(m) = t
+      }
+      counts(m) = counts(m) + 1
+      lastWall(m) = (System.nanoTime() - t0) / 1e9
+      flushScaling()
     }
     if (phases("procs")) {
       // FIXED variance-weighted schedule, budget-only stopping (round-2
       // ADVICE: no data-dependent stopping rule that can chase the 0.8
-      // threshold). Measured behavior of this host: the 1-executor
-      // config is stable across load windows (~±10%) while the
-      // 4-executor config swings up to 6x with bursty co-tenant load —
-      // so samples go where the variance is (Neyman allocation): the
-      // interleaved schedule gives m4 twice m1's samples, spread across
-      // time windows. min-over-samples per config is a consistent
-      // estimator for BOTH configs under additive noise, and the
-      // stopping condition reads only the BUDGET CLOCK (plus a hard
-      // cap), never the measured efficiency. Sample counts are
-      // disclosed as scale_submits_ex1/ex4; the record is re-flushed
-      // after EVERY submit so an external kill keeps all samples so far.
+      // threshold). The stopping condition reads only the SLICE CLOCK
+      // (plus a hard cap), never the measured efficiency; the record is
+      // re-flushed after EVERY submit so an external kill keeps all
+      // samples so far.
       val schedule = Iterator.continually(Seq(m1, m4, m4, m1, m4, m4)).flatten
-      val reserve = if (phases("threads")) 100 else 30
-      while (counts(m1) + counts(m4) < 12 && remaining > lastSubmitSec * 1.2 + reserve) {
-        runOne(schedule.next()); flushScaling()
+      var stop = false
+      while (!stop && counts(m1) + counts(m4) < 12) {
+        val next = schedule.next()
+        val firstOfConfig = counts(next) == 0
+        // always attempt the first submit of each config (the criterion
+        // needs one of each); afterwards only start a submit its own
+        // config's last wall says will fit in the slice
+        if (firstOfConfig || procsRemaining > lastWall(next) * 1.15)
+          runOne(next)
+        else stop = true
       }
+      put("procs_phase_sec" -> f"${elapsed - procsStart}%.1f")
+    }
+
+    // ---- phase 2: per-query timings at the driver-requested parallelism,
+    // REP-MAJOR: sweep all queries, then repeat while budget allows ----
+    // force FULL materialization (a bare .count() lets Catalyst prune
+    // the aggregate values away) via the noop sink
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    if (phases("queries")) {
+      spark = newSession(cpus)
+      val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+      var sweepsDone = 0
+      def flushQueries(): Unit = {
+        val qs = names.flatMap { case (k, _) => best.get(k).map(v => "\"" + k + "\":" + f"$v%.3f") }
+          .mkString("{", ",", "}")
+        putQuiet("value" -> best.values.sum.toString, "queries" -> qs,
+          "query_sweeps" -> sweepsDone.toString, "queries_phase_sec" -> f"$elapsed%.1f")
+      }
+      // keep a small tail reserve so the record's final flush (and a
+      // short thread phase if any) can still happen
+      val tailReserve = 20.0
+      var lastSweepSec = 0.0
+      var stop = false
+      var sweep = 0
+      while (!stop && sweep < 3) {
+        sweep += 1
+        val sweepStart = elapsed
+        for ((name, fn) <- names if !stop) {
+          // budget check BEFORE each query (round-3 VERDICT #1: the
+          // r3 loop had no check inside and overran 2x); a known-slow
+          // query from sweep 1 is also skipped if it alone would bust
+          // the budget; in sweep 1 the slowest query seen so far is
+          // the proxy for the next one's cost
+          val projected =
+            if (sweep == 1) best.values.foldLeft(0.0)(math.max)
+            else best.getOrElse(name, 0.0)
+          if (remaining < tailReserve + projected) stop = true
+          else {
+            val t = time { exec(fn(spark, sfDir)) }._2
+            if (best.get(name).forall(t < _)) best(name) = t
+            flushQueries()
+          }
+        }
+        if (!stop) { sweepsDone = sweep; lastSweepSec = elapsed - sweepStart }
+        // next sweep only if its projected cost (last sweep, with slack)
+        // fits the remaining budget
+        if (remaining < lastSweepSec * 1.1 + tailReserve) stop = true
+      }
+      flushQueries()
+      put("queries_done" -> best.size.toString, "queries_total" -> names.size.toString)
     }
 
     // ---- phase 3: thread scaling local[8] vs local[32] ----
@@ -344,7 +429,7 @@ object Bench {
         "rows_per_sec_p8" -> thr8.toLong.toString,
         "rows_per_sec_p32" -> thr32.toLong.toString,
         "scaling_efficiency_8_to_32" -> f"$effThreads%.3f",
-        "scaling_efficiency_threads_vs_cpu_ceiling" -> f"${math.min(effThreads / cal, 1.0)}%.3f",
+        "scaling_efficiency_threads_vs_cpu_ceiling" -> f"${math.min(effThreads / calThreads, 1.0)}%.3f",
         "thread_rounds" -> threadRounds.toString)
       spark.stop()
     }
