@@ -50,8 +50,11 @@ object TokenStatsUtil {
 
   private[functions] def scratch(): Scratch = scratchTL.get()
 
-  /** Hot loop: called per row from generated code. */
-  def compute(a: ArrayData): InternalRow = {
+  /** Hot loop for arrays the SCHEMA proves element-non-null
+    * (containsNull = false): no per-element null branch. Called per row
+    * from generated code.
+    */
+  def computeDense(a: ArrayData): InternalRow = {
     val n = a.numElements()
     var mn = Int.MaxValue
     var mx = Int.MinValue
@@ -73,6 +76,58 @@ object TokenStatsUtil {
         while (stamp(idx) == ep && table(idx) != v) idx = (idx + 1) & mask
         if (stamp(idx) == ep) dups += 1
         else { stamp(idx) = ep; table(idx) = v }
+        i += 1
+      }
+    } else { mn = 0; mx = 0 }
+    new GenericInternalRow(Array[Any](mn, mx, dups, n))
+  }
+
+  /** Null-AWARE variant for arrays whose schema admits null elements
+    * (containsNull = true — what every parquet read reports). A raw
+    * getInt on a null slot reads 0, which would (a) fold a phantom 0
+    * into tmin/tmax — wrongly failing `items.minimum` rows the
+    * null-gated element semantics pass — and (b) collide null with a
+    * literal 0 in the duplicate set (round-3 ADVICE, medium). Instead,
+    * null elements match the generic compiled path exactly:
+    *  - tmin/tmax range over NON-NULL elements only (a null element is
+    *    the JSON null instance; `minimum` type-gates to pass on it,
+    *    PJS:_keywords.py:150-151) — all-null arrays keep the
+    *    MaxValue/MinValue sentinels, which pass every bound exactly
+    *    like the generic forall over gated elements;
+    *  - dups treats null as ONE distinct value (array_distinct keeps a
+    *    single null): the second and later nulls are duplicates;
+    *  - n counts every slot, null or not (size() semantics).
+    * isNullAt on UnsafeArrayData is a word-aligned bitmap read — the
+    * branch costs a few % on the dense case, which keeps its own loop.
+    */
+  def compute(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var dups = 0
+    if (n > 0) {
+      val s = scratchTL.get()
+      val cap = s.ensure(n)
+      val mask = cap - 1
+      s.epoch += 1
+      val ep = s.epoch
+      val table = s.table
+      val stamp = s.stamp
+      var nulls = 0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) {
+          nulls += 1
+          if (nulls > 1) dups += 1
+        } else {
+          val v = a.getInt(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          var idx = (v * -1640531527) & mask // Fibonacci hashing (2^32/phi)
+          while (stamp(idx) == ep && table(idx) != v) idx = (idx + 1) & mask
+          if (stamp(idx) == ep) dups += 1
+          else { stamp(idx) = ep; table(idx) = v }
+        }
         i += 1
       }
     } else { mn = 0; mx = 0 }
@@ -180,12 +235,24 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TokenStats.schema
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any =
-    TokenStatsUtil.compute(v.asInstanceOf[ArrayData])
+  // schema-proven element-non-null arrays take the dense loop (no
+  // per-element null branch); anything else — including every parquet
+  // read, which reports containsNull = true — takes the null-aware
+  // loop, whose semantics match the generic null-gated element path
+  private def dense: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _                          => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(v: Any): Any =
+    if (dense) TokenStatsUtil.computeDense(v.asInstanceOf[ArrayData])
+    else TokenStatsUtil.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (dense) "computeDense" else "compute"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TokenStatsUtil.compute($c);")
+      s"${ev.value} = graft.functions.TokenStatsUtil.$m($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): TokenStats =
     copy(child = newChild)

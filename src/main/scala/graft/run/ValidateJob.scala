@@ -152,7 +152,13 @@ object ValidateJob {
     val table = spark.read.parquet(tablePath)
     // fuse the single-pass TokenStats profile for every array<int>
     // column the table carries (generalizes the hardcoded "tokens" —
-    // a --suite over a different table must not assume that column)
+    // a --suite over a different table must not assume that column).
+    // Sound for containsNull = true too (what every parquet read
+    // reports): TokenStats dispatches nullable-element arrays to a
+    // null-AWARE loop whose tmin/tmax/dups semantics match the generic
+    // null-gated element path exactly (round-3 ADVICE, medium — fixed
+    // in the expression rather than by un-fusing, which would have
+    // silently disabled the fast path for all parquet inputs)
     val fused = table.schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
         f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]

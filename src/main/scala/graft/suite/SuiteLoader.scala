@@ -106,6 +106,14 @@ object SuiteLoader {
     val evaluated = scala.collection.mutable.Set.empty[String]
     var conditionalEval = false
     var unevaluatedProps: Option[JsonNode] = None
+    // >0 while parsing the target of a doc-level $ref. 2020-12
+    // annotation flow is UPWARD only (the referrer's unevaluated* sees
+    // the target's annotations, never vice versa —
+    // find_evaluated_property_keys_by_schema recurses INTO $ref), so an
+    // unevaluatedProperties inside a ref target must not share the
+    // document-global evaluated set with the referrer's siblings; it
+    // RAISES instead (round-3 ADVICE, medium).
+    var refDepth = 0
   }
   private val docStateVar = new scala.util.DynamicVariable[Option[DocParseState]](None)
 
@@ -264,7 +272,7 @@ object SuiteLoader {
     */
   private def parseObjectLevel(n: JsonNode, scope: Map[String, JsonNode], root: JsonNode,
                                prefix: String, wrap: Constraint => Constraint,
-                               activeRefs: Set[String],
+                               activeRefs: Set[RefId],
                                out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
                                inheritedDraft: Int = ModernDraft): Unit = {
     val localScope = scope ++ nodeDefs(n)
@@ -279,7 +287,9 @@ object SuiteLoader {
       require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
       val (tScope, tDraft) =
         if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
-      parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
+      docStateVar.value.foreach(_.refDepth += 1)
+      try parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
+      finally docStateVar.value.foreach(_.refDepth -= 1)
       return
     }
 
@@ -378,7 +388,9 @@ object SuiteLoader {
           require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
           val (tScope, tDraft) =
             if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
-          parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
+          docStateVar.value.foreach(_.refDepth += 1)
+          try parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
+          finally docStateVar.value.foreach(_.refDepth -= 1)
         case "properties" =>
           parseProperties(entry.getValue, localScope, root, prefix, wrap, out, draft)
         case "minProperties" =>
@@ -442,6 +454,12 @@ object SuiteLoader {
             "unevaluatedProperties is supported at the document root only (static subset)")
           docStateVar.value match {
             case Some(st) =>
+              // inside a doc-level $ref target the referrer's siblings
+              // must be INVISIBLE (annotations flow upward only) — the
+              // shared evaluated set cannot express that, so raise
+              require(st.refDepth == 0,
+                "unevaluatedProperties inside a $ref target is outside the static subset " +
+                  "(the referrer's evaluated keys must not be visible to it) — raising instead of silently weakening")
               // two occurrences can reach the root closure (e.g. root +
               // a doc-level $ref target) — last-wins would silently DROP
               // one assertion, so raise (round-3 review)
@@ -601,13 +619,23 @@ object SuiteLoader {
     seg.replace("~1", "/").replace("~0", "~")
 
   /** Cycle-guard key for an active $ref: scoped to the OWNING DOCUMENT
-    * (identity), not the raw ref string — with the multi-resource
-    * registry the same fragment string ("#/$defs/s") legitimately
-    * appears in several documents, and string-only keying misreported
-    * that as circular (round-3 review).
+    * by true reference identity, not the raw ref string — with the
+    * multi-resource registry the same fragment string ("#/$defs/s")
+    * legitimately appears in several documents, and string-only keying
+    * misreported that as circular (round-3 review). identityHashCode
+    * participates only in hashing; equality is `eq` on the document
+    * node, so two distinct documents sharing a hash can never collide
+    * into a false cycle (round-3 ADVICE, low).
     */
-  private def refKey(root: JsonNode, ref: String): String =
-    Integer.toHexString(System.identityHashCode(root)) + "::" + ref
+  private final class RefId(val root: JsonNode, val ref: String) {
+    override def hashCode: Int = System.identityHashCode(root) * 31 + ref.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case r: RefId => (r.root eq root) && r.ref == ref
+      case _        => false
+    }
+    override def toString: String = ref
+  }
+  private def refKey(root: JsonNode, ref: String): RefId = new RefId(root, ref)
 
   /** RFC 6901 JSON-pointer walk from `root` (objects by key, arrays by
     * index). Returns None when any step is missing.
@@ -685,7 +713,7 @@ object SuiteLoader {
     * `activeRefs` guards against circular inlining.
     */
   private def toConstraint(n: JsonNode, scope: Map[String, JsonNode],
-                           root: JsonNode, activeRefs: Set[String],
+                           root: JsonNode, activeRefs: Set[RefId],
                            inheritedDraft: Int = ModernDraft): Constraint = {
     if (n.isBoolean) return Always(n.asBoolean())
     require(n.isObject, s"schema must be object or boolean, got $n")

@@ -93,6 +93,37 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("fused path == generic path on NULLABLE-element arrays (null-aware TokenStats)") {
+    // round-3 ADVICE (medium): getInt on a null slot reads raw 0, which
+    // used to fold phantom zeros into tmin/tmax and collide null with a
+    // literal 0 in the duplicate set. The null-aware loop must match
+    // the generic null-gated element semantics exactly — including the
+    // adversarial shapes: [null,0] (no dup), [null,null] (one dup),
+    // all-null (passes every bound), null below the minimum.
+    import spark.implicits._
+    val arrays: Seq[List[Option[Int]]] =
+      Gen.listOfN(200, Gen.listOf(Gen.option(Gen.chooseNum(-3, 40)))).sample.get ++
+        Seq(List(None, Some(0)), List(None, None), List(None), List(None, None, None),
+          List(Some(-5), None), Nil, List(Some(0), None, Some(0)))
+    val df = arrays.map(a => Tuple1(a)).toDF("tokens").withColumn("n_tok", size(col("tokens")))
+    assert(df.schema("tokens").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = true))
+    val cons = Seq(
+      FieldConstraint("imin", "tokens", Items(Minimum(0))),
+      FieldConstraint("imax", "tokens", Items(Maximum(30))),
+      FieldConstraint("uniq", "tokens", UniqueItems()),
+      FieldConstraint("mini", "tokens", MinItems(1)),
+      FieldConstraint("maxi", "tokens", MaxItems(5)))
+    val s = graft.suite.Suite("fuse-null-test", cons)
+    val generic = df.select(ConstraintCompiler.checksColumn(s).as("c")).collect()
+    val fused = ConstraintCompiler.withProfiles(df, Set("tokens")).select(ConstraintCompiler.checksColumn(s, Set("tokens")).as("c")).collect()
+    generic.zip(fused).zipWithIndex.foreach { case ((g, fz), i) =>
+      val gp = g.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getBoolean(1)))
+      val fp = fz.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getBoolean(1)))
+      assert(gp == fp, s"row $i (${arrays(i)}): generic=$gp fused=$fp")
+    }
+  }
+
   test("TokenStats dups == size - size(array_distinct)") {
     import spark.implicits._
     val arrays = Gen.listOfN(300, Gen.listOf(Gen.chooseNum(0, 15))).sample.get

@@ -72,6 +72,18 @@ class SuiteDocumentSpec extends SparkSpec {
            "properties": {"a": {"minimum": 0}},
            "$defs": {"base": {"unevaluatedProperties": {"type": "string"}}}}""",
         Nil, Seq("a", "b")))
+    // unevaluatedProperties INSIDE a doc-level $ref target: annotations
+    // flow upward only, so the referrer's properties must be invisible
+    // to it — the shared evaluated set cannot express that, so the
+    // loader raises instead of silently passing rows the reference
+    // fails (round-3 ADVICE, medium: {"$ref": ..., "properties":
+    // {"a": ...}} with uP:false in the target must fail rows where a
+    // is present)
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSuiteDocument(
+        """{"$ref": "#/$defs/s", "properties": {"a": {"minimum": 0}},
+           "$defs": {"s": {"unevaluatedProperties": false}}}""",
+        Nil, Seq("a", "b")))
   }
 
   test("legacy keyword forms RAISE under modern dialects instead of silently weakening") {
