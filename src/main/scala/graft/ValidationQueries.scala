@@ -45,14 +45,14 @@ object ValidationQueries {
 
   /** Top-k violations per partition ranked by severity — the engine
     * reading of the reference's best_match relevance ranking
-    * (PJS:exceptions.py:396-490: structural keywords outrank weak
-    * combinator matches). Severity is suite metadata; ties broken on
+    * (PJS:exceptions.py:396-490). Severity is derived STRUCTURALLY
+    * from each constraint (schema-path depth first, anyOf/oneOf-derived
+    * demoted — by_relevance/WEAK_MATCHES; [[graft.suite.Relevance]]),
+    * not from a per-suite hardcoded table (round-3 VERDICT item 4), so
+    * any loaded suite ranks the same way. Ties broken on
     * (doc_id, constraint_id) for determinism.
     */
-  val Severity: Map[String, Int] = Map(
-    "doc_id.required" -> 5, "n_tok.eq.size" -> 4, "source.enum" -> 4,
-    "tokens.items.minimum" -> 3, "tokens.items.maximum" -> 3,
-    "tokens.minItems" -> 2, "doc_id.minLength" -> 2, "tokens.uniqueItems" -> 1)
+  val Severity: Map[String, Int] = graft.suite.Relevance.severityMap(NorthStar.suite)
 
   /** Two-phase top-k (round-1 VERDICT item 4): a single
     * Window.partitionBy(source) would shuffle EVERY violation to
@@ -221,6 +221,43 @@ object ValidationQueries {
   def keywordMatrix(s: SparkSession, dir: String): DataFrame =
     ConstraintCompiler.failCounts(toks(s, dir), KeywordMatrix)
 
+  /** The round-3 OBJECT-level applicators driven end-to-end through
+    * `parseSuiteDocument` (JSON text, not the Scala ADT; round-3
+    * VERDICT item 2): patternProperties, schema-form
+    * additionalProperties, propertyNames, min/maxProperties and
+    * unevaluatedProperties, all resolved against the token table's
+    * declared columns, evaluated as per-constraint fail counts with an
+    * exact DuckDB oracle. Two documents because schema-form
+    * additionalProperties EVALUATES every column properties/patterns
+    * leave over (PJS:_utils.py:69-84), so a same-document
+    * unevaluatedProperties would see an empty remainder — document B
+    * exercises uP's distinguishing power instead: it sees evaluation
+    * THROUGH an allOf branch (PJS:_keywords.py:407-436), which
+    * additionalProperties cannot.
+    */
+  private val ObjectKeywordsDocA =
+    """{"type": "object",
+       "minProperties": 3, "maxProperties": 4,
+       "propertyNames": {"pattern": "^(doc_id|tokens|n_tok)$"},
+       "properties": {"doc_id": {"minLength": 5}},
+       "patternProperties": {"^tok": {"minItems": 1}},
+       "additionalProperties": {"not": {"type": "null"}}}"""
+  private val ObjectKeywordsDocB =
+    """{"allOf": [{"properties": {"doc_id": {"minLength": 5}}}],
+       "properties": {"tokens": {"minItems": 1}},
+       "unevaluatedProperties": false}"""
+  private val TableColumns = Seq("doc_id", "tokens", "n_tok", "source")
+
+  lazy val ObjectKeywordsSuite: graft.suite.Suite = {
+    import graft.suite.SuiteLoader
+    val a = SuiteLoader.parseSuiteDocument(ObjectKeywordsDocA, Nil, TableColumns)
+    val b = SuiteLoader.parseSuiteDocument(ObjectKeywordsDocB, Nil, TableColumns)
+    graft.suite.Suite("object-keywords", a.constraints ++ b.constraints)
+  }
+
+  def objectKeywords(s: SparkSession, dir: String): DataFrame =
+    ConstraintCompiler.failCounts(toks(s, dir), ObjectKeywordsSuite)
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. The driver verifies at sf0.01; the token parquet
   // for that sf is generated by TokenData.ensure under a fixed path.
@@ -356,6 +393,36 @@ object ValidationQueries {
          FROM ranked WHERE rk = 1""".replaceAll("\\s+", " ")
     },
 
+    "v_object_keywords" -> {
+      // fail predicates mirroring what parseSuiteDocument compiles each
+      // object-level applicator into, in DuckDB dialect; constraint ids
+      // are the loader's generated ids (prefix + field + keyword)
+      val present4 = "((doc_id IS NOT NULL)::INT + (tokens IS NOT NULL)::INT + " +
+        "(n_tok IS NOT NULL)::INT + (source IS NOT NULL)::INT)"
+      val checks: Seq[(String, String)] = Seq(
+        // doc A: minProperties 3 folds sibling maxProperties 4
+        ("minProperties", s"NOT ($present4 BETWEEN 3 AND 4)"),
+        // doc A: propertyNames pattern — 'source' is the one failing
+        // column name, so rows where it is present fail
+        ("source.propertyNames", "source IS NOT NULL"),
+        ("doc_id.minLength", "NOT coalesce(length(doc_id) >= 5, true)"),
+        // doc A: patternProperties '^tok' resolves to the tokens column
+        ("patternProperties.tokens.minItems", "NOT coalesce(len(tokens) >= 1, true)"),
+        // doc A: schema-form additionalProperties over the unmatched
+        // columns (n_tok, source): {"not": {"type": "null"}}
+        ("additionalProperties.n_tok.not", "n_tok IS NULL"),
+        ("additionalProperties.source.not", "source IS NULL"),
+        // doc B: evaluation seen THROUGH the allOf branch
+        ("allOf[0].doc_id.minLength", "NOT coalesce(length(doc_id) >= 5, true)"),
+        ("tokens.minItems", "NOT coalesce(len(tokens) >= 1, true)"),
+        // doc B: unevaluatedProperties false over the leftover columns
+        ("n_tok.unevaluatedProperties", "n_tok IS NOT NULL"),
+        ("source.unevaluatedProperties", "source IS NOT NULL"))
+      checks.map { case (cid, failp) =>
+        s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM $T"
+      }.mkString(" UNION ALL ")
+    },
+
     "v_keyword_matrix" -> {
       // fail predicates mirroring ConstraintCompiler's null-gated
       // compilation of each keyword, in DuckDB dialect
@@ -398,6 +465,7 @@ object ValidationQueries {
     "v_ks_sketch" -> (ksSketch _),
     "v_ks_sketch_summary" -> (ksSketchSummary _),
     "v_best_violation" -> (bestViolation _),
-    "v_keyword_matrix" -> (keywordMatrix _)
+    "v_keyword_matrix" -> (keywordMatrix _),
+    "v_object_keywords" -> (objectKeywords _)
   )
 }

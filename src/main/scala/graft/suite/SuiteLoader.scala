@@ -22,7 +22,8 @@ import graft.suite.Constraint._
   *
   * Unknown keywords (round-2, VERDICT item 5): ANNOTATIONS (title,
   * description, default, examples, …) are ignored like the reference
-  * ignores non-assertion keywords; unsupported APPLICATORS ($dynamicRef,
+  * ignores non-assertion keywords; unsupported APPLICATORS ($recursiveRef,
+  * the re-binding cases of $dynamicRef,
   * object keywords inside field subschemas, the data-dependent cases of
   * unevaluated*) RAISE — a silently dropped applicator would silently
   * weaken the suite. patternProperties / schema-form
@@ -92,7 +93,7 @@ object SuiteLoader {
     "propertyNames", "unevaluatedProperties",
     "dependentSchemas", "dependentRequired", "required",
     "minProperties", "maxProperties", "dependencies",
-    "$dynamicRef", "$dynamicAnchor", "$recursiveRef", "$recursiveAnchor")
+    "$recursiveRef", "$recursiveAnchor")
 
   /** Per-document parse state for the STATIC-subset `unevaluated*`
     * support: which fields the name-driven applicators evaluated, and
@@ -658,17 +659,62 @@ object SuiteLoader {
     * `$anchor: name` (≙ the reference's BFS subschema cache,
     * PJS:validators.py:1254-1262).
     */
-  private def findAnchor(root: JsonNode, name: String): Option[JsonNode] = {
+  private def findAnchor(root: JsonNode, name: String): Option[JsonNode] =
+    findAnchors(root, "$anchor", name).headOption
+
+  /** All nodes in `root` carrying `<keyword>: name` (BFS, ≙ the
+    * reference's subschema cache, PJS:validators.py:1254-1262). The
+    * full list matters for `$dynamicAnchor`, where MORE than one
+    * occurrence means re-binding is possible.
+    */
+  private def findAnchors(root: JsonNode, keyword: String, name: String): Seq[JsonNode] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
     val queue = scala.collection.mutable.Queue[JsonNode](root)
     while (queue.nonEmpty) {
       val n = queue.dequeue()
       if (n.isObject) {
-        val a = n.get("$anchor")
-        if (a != null && a.isTextual && a.asText() == name) return Some(n)
+        val a = n.get(keyword)
+        if (a != null && a.isTextual && a.asText() == name) out += n
         n.properties().asScala.foreach(e => queue.enqueue(e.getValue))
       } else if (n.isArray) n.asScala.foreach(queue.enqueue(_))
     }
-    None
+    out.toSeq
+  }
+
+  /** STATIC subset of `$dynamicRef` (round-3 VERDICT item 7): when no
+    * `$dynamicAnchor` RE-BINDING can exist — the anchor name occurs at
+    * most ONCE across the whole reachable closure (this document plus
+    * every registry resource) — dynamic resolution degenerates to plain
+    * `$ref` resolution (REF:_core.py:709: the dynamic scope walk finds
+    * the same single anchor no matter the entry path). The common
+    * non-recursive schema-reuse pattern inlines; true re-binding (the
+    * same anchor name declared in more than one reachable place, where
+    * resolution depends on the runtime dynamic scope) RAISES — never
+    * silently mis-resolved. With no `$dynamicAnchor` of that name at
+    * all, the ref behaves exactly like `$ref` to a plain `$anchor`
+    * (2020-12 §8.2.3.2: bookending requires a $dynamicAnchor for the
+    * dynamic behavior to activate).
+    */
+  private def resolveDynamicTarget(ref: String, root: JsonNode): (JsonNode, JsonNode) = {
+    val hash = ref.indexOf('#')
+    require(hash >= 0 && !ref.substring(hash + 1).contains("/"),
+      s"$$dynamicRef '$ref' must use a plain-name fragment")
+    val name = ref.substring(hash + 1)
+    val owner =
+      if (hash == 0) root
+      else registryVar.value.getOrElse(ref.substring(0, hash).stripSuffix("#"),
+        throw new IllegalArgumentException(
+          s"$$dynamicRef '$ref' base not in the resource registry (zero-egress closed world)"))
+    // identity-distinct closure: root + every registry resource
+    val docs = (root +: registryVar.value.values.toSeq)
+      .foldLeft(Vector.empty[JsonNode])((acc, d) => if (acc.exists(_ eq d)) acc else acc :+ d)
+    val dyn = docs.flatMap(d => findAnchors(d, "$dynamicAnchor", name).map(d -> _))
+    require(dyn.size <= 1,
+      s"$$dynamicRef '$ref': $$dynamicAnchor '$name' is declared ${dyn.size} times in scope — " +
+        "re-binding is possible, which compile-time inlining cannot represent (static subset raises)")
+    dyn.headOption
+      .orElse(findAnchor(owner, name).map(owner -> _))
+      .getOrElse(throw new IllegalArgumentException(s"unresolvable $$dynamicRef '$ref'"))
   }
 
   /** Resolve an intra-document fragment reference to its target node. */
@@ -826,6 +872,18 @@ object SuiteLoader {
             Option(n.get("then")).map(sub),
             Option(n.get("else")).map(sub))
         case "$ref" => cs += resolveRef(v.asText())
+        case "$dynamicRef" =>
+          // static non-rebinding subset — see resolveDynamicTarget
+          val (tRoot, target) = resolveDynamicTarget(v.asText(), root)
+          val key = refKey(tRoot, "$dynamic:" + v.asText())
+          require(!activeRefs.contains(key),
+            s"circular $$dynamicRef '${v.asText()}' — compile-time inlining cannot represent cycles")
+          cs += (if (tRoot eq root) toConstraint(target, defs, root, activeRefs + key, draft)
+                 else toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + key, draftOf(tRoot, draft)))
+        case "$dynamicAnchor" =>
+          // declaration marker only (names this node); the re-binding
+          // guard lives at RESOLUTION time in resolveDynamicTarget
+          require(v.isTextual, "$dynamicAnchor must be a string")
         // ---- draft-3 specific forms (round-2 VERDICT item 8; the
         // dialect map claims draft-03, so its own keywords must load:
         // PJS:_legacy_keywords.py:152-229) ----

@@ -172,6 +172,35 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
 
+  test("sampled knnLabelPurity: query side broadcast; agrees with the exact sweep on its qids") {
+    // round-3 VERDICT item 6: the full leave-one-out n² crossJoin is a
+    // test-scale baseline; the sampled variant must (a) BROADCAST the
+    // bounded query side so the corpus never shuffles, (b) equal the
+    // exact variant restricted to the same query set
+    val sampled = PipelineQueries.knnLabelPurity(spark, dir, nQueries = 8)
+    val plan = sampled.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    // truth: same pipeline with the query set filtered the slow way
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(8)
+      .collect().map(_.getLong(0)).toSet
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlabel"))
+      .filter(col("qid").isin(qids.toSeq: _*))
+    val cos = round(graft.functions.CosineSim.cosine_sim(col("qv"), col("embedding")), 4)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = e.crossJoin(a).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("label"), col("vec_id"), cos.as("cos"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("qlabel"))
+      .agg(round(avg((col("label") === col("qlabel")).cast("double")), 6).as("purity"),
+        count(lit(1)).as("n_neighbors"))
+    assert(sampled.collect().map(_.toString).sorted.toSeq ===
+      truth.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("plan quality: failCounts is one scan + partial/final agg; only agg state shuffles") {
     val df = graft.gen.TokenData.read(spark, "/root/testdata/sf0.001")
     val q = graft.compilex.ConstraintCompiler.failCounts(

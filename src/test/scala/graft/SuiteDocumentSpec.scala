@@ -86,6 +86,26 @@ class SuiteDocumentSpec extends SparkSpec {
         Nil, Seq("a", "b")))
   }
 
+  test("$dynamicRef static subset: re-binding and recursion RAISE; single-anchor resolves") {
+    // two $dynamicAnchor declarations of the same name = re-binding is
+    // possible → compile-time inlining cannot represent it
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema(
+        """{"$defs": {"a": {"$dynamicAnchor": "n", "minimum": 0},
+                      "b": {"$dynamicAnchor": "n", "maximum": 1}},
+           "$dynamicRef": "#n"}"""))
+    // self-recursive dynamic ref (the tree-schema idiom) hits the same
+    // cycle guard as a recursive $ref
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema(
+        """{"$dynamicAnchor": "node", "$dynamicRef": "#node"}"""))
+    // the static single-anchor case inlines like $ref
+    val c = SuiteLoader.parseSchema(
+      """{"$defs": {"lim": {"$dynamicAnchor": "lim", "minimum": 0}},
+         "$dynamicRef": "#lim"}""")
+    assert(c === graft.suite.Constraint.Minimum(0))
+  }
+
   test("legacy keyword forms RAISE under modern dialects instead of silently weakening") {
     // 2020-12 (no $schema): additionalItems and boolean exclusiveMinimum
     // are pre-2020 forms — loading them must error, not no-op

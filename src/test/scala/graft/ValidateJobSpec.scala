@@ -196,6 +196,47 @@ class ValidateJobSpec extends SparkSpec {
     assert(verdicts.values.sum > 0, s"expected violations from the file suite: $verdicts")
   }
 
+  test("--suite with the round-3 OBJECT applicators round-trips through run") {
+    // parseSuiteDocument → loadSuite → run → verdicts with
+    // patternProperties + schema-form additionalProperties +
+    // propertyNames + min/maxProperties + unevaluatedProperties, all
+    // resolved against the REAL table's columns (round-3 VERDICT item 8)
+    val table = tmp("objsuite"); val out = tmp("objsuiteout"); val ckpt = tmp("objsuiteckpt")
+    new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
+    val suiteJson = tmp("objsuite") + ".json"
+    Files.writeString(Paths.get(suiteJson),
+      """{"$id": "object-applicators",
+          "minProperties": 3, "maxProperties": 4,
+          "propertyNames": {"pattern": "^(doc_id|tokens|n_tok)$"},
+          "properties": {"doc_id": {"minLength": 5}},
+          "patternProperties": {"^tok": {"minItems": 1}},
+          "additionalProperties": {"not": {"type": "null"}}}""")
+    val suite = ValidateJob.loadSuite(spark, table, suiteJson, Nil)
+    val ids = suite.constraints.map(_.id).toSet
+    assert(ids.contains("patternProperties.tokens.minItems"), s"ids: $ids")
+    assert(ids.contains("additionalProperties.n_tok.not"), s"ids: $ids")
+    assert(ids.contains("additionalProperties.source.not"), s"ids: $ids")
+    assert(ids.contains("minProperties"), s"ids: $ids")
+    assert(ids.contains("source.propertyNames"), s"ids: $ids")
+    ValidateJob.run(spark, table, out, ckpt, suite = suite)
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(verdicts.values.sum > 0, s"expected violations: $verdicts")
+    // unevaluatedProperties THROUGH an allOf branch: the evaluated set
+    // flows from the branch's properties, the leftover columns get the
+    // uP schema — checked via loadSuite against the same table
+    val upJson = tmp("upsuite") + ".json"
+    Files.writeString(Paths.get(upJson),
+      """{"allOf": [{"properties": {"doc_id": {"minLength": 5}}}],
+          "properties": {"tokens": {"minItems": 1}},
+          "unevaluatedProperties": false}""")
+    val upSuite = ValidateJob.loadSuite(spark, table, upJson, Nil)
+    val upIds = upSuite.constraints.map(_.id).toSet
+    assert(upIds.contains("n_tok.unevaluatedProperties"), s"ids: $upIds")
+    assert(upIds.contains("source.unevaluatedProperties"), s"ids: $upIds")
+    assert(upIds.contains("allOf[0].doc_id.minLength"), s"ids: $upIds")
+  }
+
   test("formatSummary renders the pretty console sink (PJS:cli.py:76-118 analogue)") {
     val s = ValidateJob.formatSummary(
       Seq(("web", 100L, 0L, true), ("spam", 50L, 3L, false)), dupDocIds = 2L, referentialBad = 5L)
