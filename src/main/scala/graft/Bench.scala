@@ -289,11 +289,13 @@ object Bench {
     // reps=1, m4 ~65 s at reps=2); updated with each observed wall
     val lastWall = scala.collection.mutable.Map(m1 -> 130.0, m4 -> 75.0)
     val procsStart = elapsed
-    // hard reserved slice: the criterion phase may use up to ~58% of
-    // the whole budget; the query phase degrades sweeps to absorb the
+    // hard reserved slice: the criterion phase may use up to ~68% of
+    // the whole budget (sized so a QUIET window fits the first FOUR
+    // scheduled submits, m1+m4+m4+m1 ≈ 510 s — two samples of the slow
+    // config, not one); the query phase degrades sweeps to absorb the
     // remainder (round-3 VERDICT #1: "a hard reserved slice for the
     // procs phase — run procs FIRST if the reserve is threatened")
-    val procsBudget = math.min(remaining * 0.58, 460.0)
+    val procsBudget = math.min(remaining * 0.68, 540.0)
     def procsRemaining: Double = procsBudget - (elapsed - procsStart)
     def flushScaling(): Unit = {
       (mins.get(m1), mins.get(m4)) match {

@@ -281,6 +281,15 @@ object PipelineQueries {
         count(lit(1)).as("n_neighbors"))
   }
 
+  /** Scale-path kNN purity: the SAME pipeline bounded to a
+    * deterministic query set (lowest 8 vec_ids) that is broadcast —
+    * nQueries × n instead of n², the shape that survives corpus scale
+    * (round-3 VERDICT item 6) — with its own exact DuckDB oracle row
+    * complementing the exact-sweep baseline above.
+    */
+  def knnLabelPuritySampled(s: SparkSession, dir: String): DataFrame =
+    knnLabelPurity(s, dir, nQueries = 8)
+
   /** IVF ANN (scale path) with recall vs brute force. Every stage is
     * deterministic (first-16 centroids, cosine rounded to 4, lowest-id
     * tie-breaks), so DuckDB recomputes the ENTIRE pipeline —
@@ -393,7 +402,8 @@ object PipelineQueries {
     "d_simhashes" -> (simhashes _),
     "m_binary_meta" -> (binaryMeta _),
     "e_ann_cosine_top5" -> (annCosineTop5 _),
-    "e_knn_label_purity" -> (knnLabelPurity _)
+    "e_knn_label_purity" -> ((s: SparkSession, d: String) => knnLabelPurity(s, d)),
+    "e_knn_purity_sampled" -> (knnLabelPuritySampled _)
   )
 
   // ---------------------------------------------------------------------
@@ -630,6 +640,16 @@ object PipelineQueries {
            SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS label,
              row_number() OVER (PARTITION BY a.vec_id ORDER BY $COS DESC, b.vec_id ASC) AS rk
            FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id)
+         SELECT qlabel, round(avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END), 6) AS purity,
+           count(*)::BIGINT AS n_neighbors
+         FROM nn WHERE rk <= 5 GROUP BY qlabel""".replaceAll("\\s+", " "),
+
+    "e_knn_purity_sampled" ->
+      s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id LIMIT 8),
+         nn AS (
+           SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS label,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY $COS DESC, b.vec_id ASC) AS rk
+           FROM q a JOIN embeddings b ON b.vec_id != a.vec_id)
          SELECT qlabel, round(avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END), 6) AS purity,
            count(*)::BIGINT AS n_neighbors
          FROM nn WHERE rk <= 5 GROUP BY qlabel""".replaceAll("\\s+", " ")
