@@ -253,12 +253,19 @@ object Bench {
       TokenData.writeTokens(TokenData.tokenTable(spark, 16000000L), scale16)
     put("gen_sec" -> f"$elapsed%.1f")
 
-    // matched-shape ceilings (cheap, ~16 s total, and needed to
-    // contextualize both scaling numbers)
-    val calProcs = cpuCalibration(2, 8)   // matches 1x2 vs 4x2 executor cores
-    val calThreads = cpuCalibration(8, 32) // matches local[8] vs local[32]
-    put("cpu_calibration_eff_2_to_8" -> f"$calProcs%.3f",
-      "cpu_calibration_eff_8_to_32" -> f"$calThreads%.3f")
+    // matched-shape ceilings (cheap, ~8 s each, and needed to
+    // contextualize the scaling numbers) — each computed only when the
+    // phase that consumes it is enabled
+    val calProcs =
+      if (phases("procs")) {
+        val c = cpuCalibration(2, 8) // matches 1x2 vs 4x2 executor cores
+        put("cpu_calibration_eff_2_to_8" -> f"$c%.3f"); c
+      } else 1.0
+    val calThreads =
+      if (phases("threads")) {
+        val c = cpuCalibration(8, 32) // matches local[8] vs local[32]
+        put("cpu_calibration_eff_8_to_32" -> f"$c%.3f"); c
+      } else 1.0
 
     // ---- phase 1 (the BASELINE.json criterion): process scaling,
     // N=1 vs 4N=4 executor JVMs, 2 cores each — RUNS FIRST inside a
@@ -280,7 +287,13 @@ object Bench {
     // reported in BASELINE.md.
     spark.stop()
     System.gc() // release the gen-phase heap before spawning executor JVMs
-    val jar = classesJar()
+    // None when target/scala-2.13/classes is missing (clean build dir,
+    // wrong cwd): the procs phase is SKIPPED with an explicit record
+    // marker rather than looping on no-op submits
+    val jar = if (phases("procs")) classesJar() else None
+    if (phases("procs") && jar.isEmpty)
+      put("scaling_efficiency_executors_1_to_4" -> "-1.0",
+        "scale_skip_reason" -> q("no classes dir to jar for local-cluster executors"))
     val m1 = "local-cluster[1,2,3072]"; val m4 = "local-cluster[4,2,3072]"
     var rowsEx = 0L
     val mins = scala.collection.mutable.Map.empty[String, Double]
@@ -330,7 +343,7 @@ object Bench {
       lastWall(m) = (System.nanoTime() - t0) / 1e9
       flushScaling()
     }
-    if (phases("procs")) {
+    if (phases("procs") && jar.isDefined) {
       // FIXED variance-weighted schedule, budget-only stopping (round-2
       // ADVICE: no data-dependent stopping rule that can chase the 0.8
       // threshold). The stopping condition reads only the SLICE CLOCK
@@ -360,6 +373,7 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     if (phases("queries")) {
       spark = newSession(cpus)
+      val queriesStart = elapsed
       val names = SparkEntry.queries.toSeq.sortBy(_._1)
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       var sweepsDone = 0
@@ -367,7 +381,10 @@ object Bench {
         val qs = names.flatMap { case (k, _) => best.get(k).map(v => "\"" + k + "\":" + f"$v%.3f") }
           .mkString("{", ",", "}")
         putQuiet("value" -> best.values.sum.toString, "queries" -> qs,
-          "query_sweeps" -> sweepsDone.toString, "queries_phase_sec" -> f"$elapsed%.1f")
+          "query_sweeps" -> sweepsDone.toString,
+          // PHASE duration, not process elapsed — with the criterion
+          // phase reordered first, raw elapsed overstated this ~3x
+          "queries_phase_sec" -> f"${elapsed - queriesStart}%.1f")
       }
       // keep a small tail reserve so the record's final flush (and a
       // short thread phase if any) can still happen

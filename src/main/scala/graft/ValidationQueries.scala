@@ -46,8 +46,10 @@ object ValidationQueries {
   /** Top-k violations per partition ranked by severity — the engine
     * reading of the reference's best_match relevance ranking
     * (PJS:exceptions.py:396-490). Severity is derived STRUCTURALLY
-    * from each constraint (schema-path depth first, anyOf/oneOf-derived
-    * demoted — by_relevance/WEAK_MATCHES; [[graft.suite.Relevance]]),
+    * from each constraint (SHALLOWER instance path wins — required >
+    * field keywords > element keywords, matching best_match's verified
+    * behavior — with anyOf/oneOf demoted within a depth,
+    * by_relevance/WEAK_MATCHES; [[graft.suite.Relevance]]),
     * not from a per-suite hardcoded table (round-3 VERDICT item 4), so
     * any loaded suite ranks the same way. Ties broken on
     * (doc_id, constraint_id) for determinism.
@@ -239,9 +241,9 @@ object ValidationQueries {
     """{"type": "object",
        "minProperties": 3, "maxProperties": 4,
        "propertyNames": {"pattern": "^(doc_id|tokens|n_tok)$"},
-       "properties": {"doc_id": {"minLength": 5}},
+       "properties": {"doc_id": {"minLength": 5}, "n_tok": {"minimum": 0}},
        "patternProperties": {"^tok": {"minItems": 1}},
-       "additionalProperties": {"not": {"type": "null"}}}"""
+       "additionalProperties": {"maxLength": 5}}"""
   private val ObjectKeywordsDocB =
     """{"allOf": [{"properties": {"doc_id": {"minLength": 5}}}],
        "properties": {"tokens": {"minItems": 1}},
@@ -406,12 +408,15 @@ object ValidationQueries {
         // column name, so rows where it is present fail
         ("source.propertyNames", "source IS NOT NULL"),
         ("doc_id.minLength", "NOT coalesce(length(doc_id) >= 5, true)"),
+        ("n_tok.minimum", "NOT coalesce(n_tok >= 0, true)"),
         // doc A: patternProperties '^tok' resolves to the tokens column
         ("patternProperties.tokens.minItems", "NOT coalesce(len(tokens) >= 1, true)"),
-        // doc A: schema-form additionalProperties over the unmatched
-        // columns (n_tok, source): {"not": {"type": "null"}}
-        ("additionalProperties.n_tok.not", "n_tok IS NULL"),
-        ("additionalProperties.source.not", "source IS NULL"),
+        // doc A: schema-form additionalProperties over the single
+        // unmatched column (source); maxLength is null-GATED like the
+        // reference, which applies additionalProperties only to keys
+        // present in the instance — an absent (null) column can never
+        // fail it
+        ("additionalProperties.source.maxLength", "NOT coalesce(length(source) <= 5, true)"),
         // doc B: evaluation seen THROUGH the allOf branch
         ("allOf[0].doc_id.minLength", "NOT coalesce(length(doc_id) >= 5, true)"),
         ("tokens.minItems", "NOT coalesce(len(tokens) >= 1, true)"),

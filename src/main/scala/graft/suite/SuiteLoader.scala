@@ -705,16 +705,29 @@ object SuiteLoader {
       else registryVar.value.getOrElse(ref.substring(0, hash).stripSuffix("#"),
         throw new IllegalArgumentException(
           s"$$dynamicRef '$ref' base not in the resource registry (zero-egress closed world)"))
-    // identity-distinct closure: root + every registry resource
-    val docs = (root +: registryVar.value.values.toSeq)
-      .foldLeft(Vector.empty[JsonNode])((acc, d) => if (acc.exists(_ eq d)) acc else acc :+ d)
-    val dyn = docs.flatMap(d => findAnchors(d, "$dynamicAnchor", name).map(d -> _))
-    require(dyn.size <= 1,
-      s"$$dynamicRef '$ref': $$dynamicAnchor '$name' is declared ${dyn.size} times in scope — " +
-        "re-binding is possible, which compile-time inlining cannot represent (static subset raises)")
-    dyn.headOption
-      .orElse(findAnchor(owner, name).map(owner -> _))
-      .getOrElse(throw new IllegalArgumentException(s"unresolvable $$dynamicRef '$ref'"))
+    // INITIAL resolution happens in the ref's OWN resource (2020-12
+    // §8.2.3.2): a $dynamicAnchor there activates dynamic behavior, a
+    // plain $anchor there bookends to ordinary $ref semantics, and
+    // nothing there means UNRESOLVABLE — a foreign resource's anchor
+    // never substitutes for a failed local resolution (the reference
+    // raises Unresolvable; silently inlining a foreign schema would be
+    // wrong validation)
+    val ownDyn = findAnchors(owner, "$dynamicAnchor", name)
+    if (ownDyn.nonEmpty) {
+      // dynamic behavior is active: any OTHER declaration of the same
+      // name in the reachable closure (identity-distinct: root + every
+      // registry resource) makes resolution scope-dependent
+      val others = (root +: registryVar.value.values.toSeq)
+        .foldLeft(Vector.empty[JsonNode])((acc, d) => if (acc.exists(_ eq d)) acc else acc :+ d)
+        .filterNot(_ eq owner)
+        .flatMap(d => findAnchors(d, "$dynamicAnchor", name))
+      require(ownDyn.size == 1 && others.isEmpty,
+        s"$$dynamicRef '$ref': $$dynamicAnchor '$name' is declared ${ownDyn.size + others.size} times " +
+          "in scope — re-binding is possible, which compile-time inlining cannot represent (static subset raises)")
+      (owner, ownDyn.head)
+    } else
+      findAnchor(owner, name).map(owner -> _)
+        .getOrElse(throw new IllegalArgumentException(s"unresolvable $$dynamicRef '$ref'"))
   }
 
   /** Resolve an intra-document fragment reference to its target node. */

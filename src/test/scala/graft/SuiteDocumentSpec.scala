@@ -104,6 +104,20 @@ class SuiteDocumentSpec extends SparkSpec {
       """{"$defs": {"lim": {"$dynamicAnchor": "lim", "minimum": 0}},
          "$dynamicRef": "#lim"}""")
     assert(c === graft.suite.Constraint.Minimum(0))
+    // initial resolution is LOCAL (2020-12 §8.2.3.2): a registry
+    // resource's $dynamicAnchor must not shadow the ref's own
+    // resource's plain $anchor (bookending → ordinary $ref semantics)…
+    val far = """{"$id": "https://example/far", "$dynamicAnchor": "str3", "minimum": 99}"""
+    val c2 = SuiteLoader.parseSchema(
+      """{"$defs": {"s": {"$anchor": "str3", "minLength": 3}}, "$dynamicRef": "#str3"}""",
+      Seq(far))
+    assert(c2 === graft.suite.Constraint.MinLength(3))
+    // …and a name with NO local resolution is unresolvable even when a
+    // foreign resource declares it (the reference raises Unresolvable;
+    // inlining the foreign schema would be silent wrong validation)
+    val farN = """{"$id": "https://example/farn", "$dynamicAnchor": "nope", "minimum": 1}"""
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema("""{"$dynamicRef": "#nope"}""", Seq(farN)))
   }
 
   test("legacy keyword forms RAISE under modern dialects instead of silently weakening") {

@@ -208,14 +208,13 @@ class ValidateJobSpec extends SparkSpec {
       """{"$id": "object-applicators",
           "minProperties": 3, "maxProperties": 4,
           "propertyNames": {"pattern": "^(doc_id|tokens|n_tok)$"},
-          "properties": {"doc_id": {"minLength": 5}},
+          "properties": {"doc_id": {"minLength": 5}, "n_tok": {"minimum": 0}},
           "patternProperties": {"^tok": {"minItems": 1}},
-          "additionalProperties": {"not": {"type": "null"}}}""")
+          "additionalProperties": {"maxLength": 5}}""")
     val suite = ValidateJob.loadSuite(spark, table, suiteJson, Nil)
     val ids = suite.constraints.map(_.id).toSet
     assert(ids.contains("patternProperties.tokens.minItems"), s"ids: $ids")
-    assert(ids.contains("additionalProperties.n_tok.not"), s"ids: $ids")
-    assert(ids.contains("additionalProperties.source.not"), s"ids: $ids")
+    assert(ids.contains("additionalProperties.source.maxLength"), s"ids: $ids")
     assert(ids.contains("minProperties"), s"ids: $ids")
     assert(ids.contains("source.propertyNames"), s"ids: $ids")
     ValidateJob.run(spark, table, out, ckpt, suite = suite)
