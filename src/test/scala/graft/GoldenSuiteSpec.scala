@@ -19,10 +19,10 @@ import graft.compilex.ConstraintCompiler
   * Each case: schema → SuiteLoader → ConstraintCompiler → evaluate on a
   * one-column DataFrame; verdict must equal the case's `valid`.
   */
-class GoldenSuiteSpec extends SparkSpec {
+abstract class GoldenCorpusSpec(resource: String) extends SparkSpec {
   private val mapper = new ObjectMapper()
   private val corpus = mapper.readTree(
-    scala.io.Source.fromResource("golden/cases.json")(scala.io.Codec.UTF8).mkString)
+    scala.io.Source.fromResource(resource)(scala.io.Codec.UTF8).mkString)
 
   private def sparkType(ct: String): DataType = ct match {
     case "int"         => IntegerType
@@ -121,3 +121,15 @@ class GoldenSuiteSpec extends SparkSpec {
           bad.map(r => s"  [${r.getString(0)}] expected=${r.getBoolean(1)} got=${r.getBoolean(2)}").mkString("\n"))
     }
 }
+
+/** The curated golden parity corpus. */
+class GoldenSuiteSpec extends GoldenCorpusSpec("golden/cases.json")
+
+/** The FUZZ-differential corpus: 240 seed-deterministic random
+  * (schema, instance) groups inside the supported subset, generated by
+  * tools/gen_fuzz_cases.py and LABELED BY THE LIVE REFERENCE validator
+  * at generation time; check_golden_vs_reference.py re-derives every
+  * label on demand, so this spec closes engine == corpus == reference
+  * over 1,440 additional randomized cases.
+  */
+class FuzzSuiteSpec extends GoldenCorpusSpec("golden/fuzz_cases.json")

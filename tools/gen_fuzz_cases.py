@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Deterministic fuzz-differential corpus generator.
+
+Generates random (schema, instance) pairs inside the engine's supported
+single-column subset, labels each with the LIVE reference validator
+(jsonschema 4.26.0, draft 2020-12 — the SURVEY.md §0 stand-in), and
+writes them in the golden-corpus case format to
+src/test/resources/golden/fuzz_cases.json. FuzzSuiteSpec then asserts
+the Spark engine row-for-row against these labels, and
+check_golden_vs_reference.py re-derives the labels on every run — so
+the committed corpus stays a closed loop (engine == corpus ==
+reference) even if the generator is never re-run.
+
+Deliberately EXCLUDED from generation (documented engine-model
+boundaries, not gaps): `type` other than the column's own JSON type
+(the relational model makes a static type mismatch a compile-time
+error, SURVEY.md §1.3), `format` (checker registries are pinned
+separately by the curated golden groups), non-integral `multipleOf`
+(float-remainder semantics differ between IEEE engines and are pinned
+by curated cases), mixed-type `enum` (column-typed universe), and
+object-level applicators inside field subschemas (the loader raises).
+
+Usage: gen_fuzz_cases.py [n_groups] [seed]
+"""
+import json
+import random
+import sys
+
+import jsonschema
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 240
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+rng = random.Random(SEED)
+
+STRINGS = ["", "a", "ab", "abc", "abcd", "doc-42", "web", "books",
+           "Zürich", "née", "x" * 20, "0123456789", "b", "aXb"]
+PATTERNS = ["^a", "b$", "^[0-9]+$", "^doc-[0-9]+$", "a.b", "^$", "[A-Z]"]
+INTS = [-10, -1, 0, 1, 2, 3, 5, 7, 10, 63, 100, 262143, 262144]
+
+
+def int_leaf():
+    k = rng.choice(["minimum", "maximum", "exclusiveMinimum",
+                    "exclusiveMaximum", "multipleOf", "enum", "const", "type"])
+    if k in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        return {k: rng.choice(INTS)}
+    if k == "multipleOf":
+        return {"multipleOf": rng.choice([1, 2, 3, 5, 7])}
+    if k == "enum":
+        return {"enum": rng.sample(INTS, rng.randint(1, 4))}
+    if k == "const":
+        return {"const": rng.choice(INTS)}
+    return {"type": rng.choice(["integer", "null"])}
+
+
+def string_leaf():
+    k = rng.choice(["minLength", "maxLength", "pattern", "enum", "const", "type"])
+    if k == "minLength":
+        return {"minLength": rng.randint(0, 8)}
+    if k == "maxLength":
+        return {"maxLength": rng.randint(0, 8)}
+    if k == "pattern":
+        return {"pattern": rng.choice(PATTERNS)}
+    if k == "enum":
+        return {"enum": rng.sample(STRINGS, rng.randint(1, 4))}
+    if k == "const":
+        return {"const": rng.choice(STRINGS)}
+    return {"type": rng.choice(["string", "null"])}
+
+
+def combine(leaf, depth=0):
+    """Wrap leaves in combinators with bounded depth."""
+    if depth >= 2 or rng.random() < 0.45:
+        return leaf()
+    k = rng.choice(["allOf", "anyOf", "oneOf", "not", "if"])
+    if k == "not":
+        return {"not": combine(leaf, depth + 1)}
+    if k == "if":
+        s = {"if": combine(leaf, depth + 1)}
+        if rng.random() < 0.8:
+            s["then"] = combine(leaf, depth + 1)
+        if rng.random() < 0.8:
+            s["else"] = combine(leaf, depth + 1)
+        return s
+    n = rng.randint(1, 3)
+    return {k: [combine(leaf, depth + 1) for _ in range(n)]}
+
+
+def merge_leaves(leaf, n):
+    """A single schema object carrying several sibling keywords."""
+    s = {}
+    for _ in range(n):
+        for k, v in leaf().items():
+            s.setdefault(k, v)
+    return s
+
+
+def array_schema():
+    s = {}
+    r = rng.random()
+    if r < 0.3:
+        s["items"] = merge_leaves(int_leaf, rng.randint(1, 2))
+    elif r < 0.5:
+        s["prefixItems"] = [merge_leaves(int_leaf, 1)
+                            for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.5:
+            s["items"] = merge_leaves(int_leaf, 1)
+    elif r < 0.7:
+        s["contains"] = merge_leaves(int_leaf, 1)
+        if rng.random() < 0.4:
+            s["minContains"] = rng.randint(0, 3)
+        if rng.random() < 0.4:
+            s["maxContains"] = rng.randint(1, 4)
+    for extra in ("minItems", "maxItems", "uniqueItems"):
+        if rng.random() < 0.25:
+            s[extra] = rng.randint(0, 5) if extra != "uniqueItems" else True
+    return s or {"minItems": rng.randint(0, 3)}
+
+
+def int_instance():
+    return rng.choice(INTS + [None])
+
+
+def string_instance():
+    return rng.choice(STRINGS + [None])
+
+
+def array_instance(nullable):
+    if rng.random() < 0.08:
+        return None
+    n = rng.randint(0, 6)
+    pool = INTS + ([None] * 3 if nullable else [])
+    return [rng.choice(pool) for _ in range(n)]
+
+
+def gen_group(i):
+    kind = rng.choice(["int", "string", "array<int>", "array<int?>"])
+    if kind == "int":
+        schema = combine(int_leaf) if rng.random() < 0.6 else merge_leaves(int_leaf, 2)
+        insts = [int_instance() for _ in range(6)]
+    elif kind == "string":
+        schema = combine(string_leaf) if rng.random() < 0.6 else merge_leaves(string_leaf, 2)
+        insts = [string_instance() for _ in range(6)]
+    else:
+        schema = array_schema()
+        insts = [array_instance(kind == "array<int?>") for _ in range(6)]
+    v = jsonschema.Draft202012Validator(schema)
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz[{i}] {kind} seed={SEED}",
+            "ctype": kind, "schema": schema, "tests": tests}
+
+
+groups = [gen_group(i) for i in range(N)]
+valid = sum(1 for g in groups for t in g["tests"] if t["valid"])
+total = sum(len(g["tests"]) for g in groups)
+out = "src/test/resources/golden/fuzz_cases.json"
+json.dump(groups, open(out, "w"), indent=1)
+print(f"wrote {len(groups)} groups / {total} cases ({valid} valid, "
+      f"{total - valid} invalid) to {out}")
