@@ -133,3 +133,12 @@ class GoldenSuiteSpec extends GoldenCorpusSpec("golden/cases.json")
   * over 1,440 additional randomized cases.
   */
 class FuzzSuiteSpec extends GoldenCorpusSpec("golden/fuzz_cases.json")
+
+/** The row-model fuzz corpus: 120 random suite DOCUMENTS (required /
+  * dependentRequired / properties / patternProperties / min-max
+  * Properties / propertyNames / dependentSchemas / allOf over the
+  * 4-column universe) with object instances, reference-labeled at
+  * generation; field keywords restricted to the null-gated set so the
+  * absent-key ≙ NULL-column mapping is exact in both models.
+  */
+class FuzzRowSuiteSpec extends GoldenCorpusSpec("golden/fuzz_row_cases.json")

@@ -157,3 +157,110 @@ out = "src/test/resources/golden/fuzz_cases.json"
 json.dump(groups, open(out, "w"), indent=1)
 print(f"wrote {len(groups)} groups / {total} cases ({valid} valid, "
       f"{total - valid} invalid) to {out}")
+
+# ---------------------------------------------------------------------------
+# ROW-MODEL fuzz: whole SUITE DOCUMENTS over a fixed column universe with
+# object instances. The engine maps an absent key to a NULL column
+# (documented reinterpretation), so only NULL-GATED field keywords are
+# generated (bounds / lengths / pattern / array keywords — all of which
+# vacuously pass an absent key in BOTH models); enum/const/type are
+# excluded at the field level (the engine's relational reading treats a
+# null column as the JSON null instance, which is stricter than the
+# reference's no-descent-on-absent-key for those three). Instances never
+# carry an explicit null VALUE for a column (one row cannot distinguish
+# present-null from absent).
+# ---------------------------------------------------------------------------
+
+COLS = {"doc_id": "string", "n_tok": "int", "source": "string", "tokens": "array<int>"}
+
+
+def gated_field_schema(ct):
+    if ct == "int":
+        k = rng.choice(["minimum", "maximum", "exclusiveMinimum", "multipleOf"])
+        if k == "multipleOf":
+            return {k: rng.choice([2, 3, 5])}
+        return {k: rng.choice(INTS)}
+    if ct == "string":
+        k = rng.choice(["minLength", "maxLength", "pattern"])
+        if k == "pattern":
+            return {"pattern": rng.choice(PATTERNS)}
+        return {k: rng.randint(0, 8)}
+    return rng.choice([{"minItems": rng.randint(0, 4)},
+                       {"maxItems": rng.randint(0, 5)},
+                       {"uniqueItems": True},
+                       {"items": {"minimum": rng.choice(INTS)}}])
+
+
+def row_schema(i):
+    s = {}
+    cols = list(COLS)
+    if rng.random() < 0.55:
+        s["required"] = rng.sample(cols, rng.randint(1, 2))
+    if rng.random() < 0.35:
+        a, b = rng.sample(cols, 2)
+        s["dependentRequired"] = {a: [b]}
+    if rng.random() < 0.75:
+        picked = rng.sample(cols, rng.randint(1, 3))
+        s["properties"] = {c: gated_field_schema(COLS[c]) for c in picked}
+    if rng.random() < 0.3:
+        s["patternProperties"] = {rng.choice(["^doc", "tok", "^n_", "source$"]):
+                                  gated_field_schema("string")
+                                  if rng.random() < 0.5 else {"minLength": 2}}
+        # patternProperties subschema must suit every matched column;
+        # string keywords on tokens/n_tok would be a type error → only
+        # regexes matching string columns when the subschema is stringy
+        if list(s["patternProperties"]) [0] in ("tok", "^n_"):
+            s["patternProperties"] = {"^doc": {"minLength": rng.randint(0, 6)}}
+    if rng.random() < 0.3:
+        s["minProperties"] = rng.randint(0, 4)
+    if rng.random() < 0.2:
+        s["maxProperties"] = rng.randint(2, 4)
+    if rng.random() < 0.25:
+        s["propertyNames"] = {"maxLength": rng.choice([4, 5, 6, 7])}
+    if rng.random() < 0.3:
+        a = rng.choice(cols)
+        s["dependentSchemas"] = {a: {"properties": {
+            rng.choice(cols): gated_field_schema(COLS[rng.choice(cols)])}}}
+        # subschema must type-match its field; regenerate coherently
+        f = rng.choice(cols)
+        s["dependentSchemas"] = {a: {"properties": {f: gated_field_schema(COLS[f])}}}
+    if rng.random() < 0.3:
+        f = rng.choice(cols)
+        s["allOf"] = [{"properties": {f: gated_field_schema(COLS[f])}}]
+    if not s:
+        s["required"] = [rng.choice(cols)]
+    return s
+
+
+def row_instance():
+    o = {}
+    for c, ct in COLS.items():
+        if rng.random() < 0.25:
+            continue  # absent key ↔ NULL column
+        if ct == "int":
+            o[c] = rng.choice(INTS)
+        elif ct == "string":
+            o[c] = rng.choice([x for x in STRINGS if x is not None])
+        else:
+            o[c] = [rng.choice(INTS) for _ in range(rng.randint(0, 5))]
+    return o
+
+
+def gen_row_group(i):
+    schema = row_schema(i)
+    v = jsonschema.Draft202012Validator(schema)
+    insts = [row_instance() for _ in range(6)]
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz-row[{i}] seed={SEED}", "ctype": "row",
+            "columns": COLS, "schema": schema, "tests": tests}
+
+
+NR = max(60, N // 2)
+row_groups = [gen_row_group(i) for i in range(NR)]
+rvalid = sum(1 for g in row_groups for t in g["tests"] if t["valid"])
+rtotal = sum(len(g["tests"]) for g in row_groups)
+out2 = "src/test/resources/golden/fuzz_row_cases.json"
+json.dump(row_groups, open(out2, "w"), indent=1)
+print(f"wrote {len(row_groups)} row groups / {rtotal} cases ({rvalid} valid, "
+      f"{rtotal - rvalid} invalid) to {out2}")
