@@ -68,9 +68,21 @@ def string_leaf():
 
 
 def combine(leaf, depth=0):
-    """Wrap leaves in combinators with bounded depth."""
-    if depth >= 2 or rng.random() < 0.45:
+    """Wrap leaves in combinators / $ref indirection with bounded depth."""
+    if depth >= 2 or rng.random() < 0.40:
         return leaf()
+    if rng.random() < 0.22:
+        # route through the reference machinery. A JSON-pointer $ref
+        # ("#/$defs/x") resolves from the DOCUMENT ROOT, so the pointer
+        # form is only generated at depth 0; the $anchor form is
+        # document-wide and safe at any nesting level.
+        inner = combine(leaf, depth + 1)
+        name = f"d{depth}{rng.randint(0, 99)}"
+        if depth == 0 and rng.random() < 0.5:
+            return {"$defs": {name: inner}, "$ref": f"#/$defs/{name}"}
+        anchored = dict(inner)
+        anchored["$anchor"] = "a" + name
+        return {"$defs": {name: anchored}, "$ref": f"#a{name}"}
     k = rng.choice(["allOf", "anyOf", "oneOf", "not", "if"])
     if k == "not":
         return {"not": combine(leaf, depth + 1)}
