@@ -748,9 +748,6 @@ object SuiteLoader {
     if (ref == "#" || ref == "") (root, root)
     else if (ref.startsWith("#/"))
       (root, pointerWalk(root, ref.drop(2))
-        // slices parsed outside full-document context still resolve
-        // their lexical $defs through the carried scope
-        .orElse(scope.get(unescapePointer(ref.stripPrefix("#/$defs/"))))
         .getOrElse(throw new IllegalArgumentException(s"unresolvable $$ref '$ref'")))
     else if (ref.startsWith("#"))
       (root, findAnchor(root, ref.drop(1))

@@ -59,6 +59,13 @@ class CompilerSpec extends SparkSpec {
     intercept[IllegalArgumentException](cyc.resolved)
     val missing = Suite("t", Seq(FieldConstraint("a", "v", Ref("nope"))))
     intercept[IllegalArgumentException](missing.resolved)
+    // a JSON-pointer $ref resolves from the DOCUMENT ROOT: nested $defs
+    // at a non-root level are not reachable via "#/$defs/..." — the
+    // reference raises PointerToNowhere here, and so must the loader
+    // (a lexical-scope fallback used to silently resolve it; fuzzing
+    // the reference surfaced the divergence)
+    intercept[IllegalArgumentException](graft.suite.SuiteLoader.parseSchema(
+      """{"allOf": [{"$defs": {"d": {"minimum": 10}}, "$ref": "#/$defs/d"}]}"""))
   }
 
   test("compiler extension registry overrides element compilation") {
