@@ -83,6 +83,20 @@ object SuiteLoader {
   private def legacyDependencies(draft: Int): Boolean = draft <= 7
   private def booleanExclusive(draft: Int): Boolean = draft <= 4
 
+  /** Draft keyword VOCABULARY gate (≙ the reference's per-draft keyword
+    * maps, PJS:validators.py Draft3/4/6/7/201909/202012 definitions): a
+    * keyword used under a dialect that predates it is NOT a keyword
+    * there — the reference silently ignores it, so compiling it would
+    * make the engine STRICTLY WRONG (false violations). Ignoring would
+    * silently weaken author intent instead; the loader raises, naming
+    * the introducing draft (fuzzing the reference under draft-4
+    * surfaced the divergence for numeric exclusiveMaximum/const).
+    */
+  private def requireDraft(keyword: String, introduced: Int, draft: Int): Unit =
+    require(draft >= introduced,
+      s"'$keyword' is not part of the draft-$draft vocabulary (introduced in draft-$introduced) — " +
+        "the reference would ignore it; raising instead of diverging either way")
+
   /** Applicators / assertions the engine does not support INSIDE a field
     * subschema (object-shaped instances never occur: a field value is a
     * scalar or array; minProperties et al. are constants over a fixed
@@ -314,14 +328,19 @@ object SuiteLoader {
     n.properties().asScala.foreach { entry =>
       entry.getKey match {
         case "required" =>
+          // the object-level name-array form arrived in draft-4
+          // (draft-3 required is a boolean inside the property subschema)
+          requireDraft("required (array form)", 4, draft)
           entry.getValue.asScala.foreach(f =>
             out += FieldConstraint(s"$prefix${f.asText()}.required", f.asText(), wrap(Required())))
         case "dependentRequired" =>
+          requireDraft("dependentRequired", 2019, draft)
           entry.getValue.properties().asScala.foreach { e =>
             out += FieldConstraint(s"$prefix${e.getKey}.dependentRequired", e.getKey,
               wrap(DependentRequired(e.getValue.asScala.map(_.asText()).toSeq)))
           }
         case "dependentSchemas" =>
+          requireDraft("dependentSchemas", 2019, draft)
           entry.getValue.properties().asScala.foreach { e =>
             dependentSchemaEntry(e.getKey, e.getValue, "dependentSchemas")
           }
@@ -395,6 +414,7 @@ object SuiteLoader {
         case "properties" =>
           parseProperties(entry.getValue, localScope, root, prefix, wrap, out, draft)
         case "minProperties" =>
+          requireDraft("minProperties", 4, draft)
           // present keys = non-null columns over the declared universe
           // (PJS:_keywords.py:312-318); sibling maxProperties folds into
           // the same counted constraint
@@ -447,6 +467,7 @@ object SuiteLoader {
           // downstream sees nothing
           docStateVar.value.foreach(_.evaluated ++= tableColumnsVar.value)
         case "unevaluatedProperties" =>
+          requireDraft("unevaluatedProperties", 2019, draft)
           // deferred to parseSuiteDocument's post-pass (the evaluated-key
           // set must be complete first); only meaningful at the document
           // ROOT — annotation flow INTO branches is out of the static
@@ -472,6 +493,7 @@ object SuiteLoader {
               "unevaluatedProperties requires parseSuiteDocument with declared table columns")
           }
         case "propertyNames" =>
+          requireDraft("propertyNames", 6, draft)
           // the subschema validates the KEYS themselves; every key (=
           // column name) is known at compile time, so evaluate the name
           // constraint NOW (PJS:_keywords.py:28-33) — a failing name
@@ -810,21 +832,29 @@ object SuiteLoader {
           val ts = raw.map(_.asText())
           cs += (if (ts.length == 1) mk(ts.head) else AnyOf(ts.map(mk)))
         case "enum"  => cs += Enum(v.asScala.map(anyVal).toSeq)
-        case "const" => cs += Const(anyVal(v))
+        case "const" =>
+          requireDraft("const", 6, draft)
+          cs += Const(anyVal(v))
         case "minimum" => cs += Minimum(v.asDouble(), exclusive = boolExcl("exclusiveMinimum"))
         case "maximum" => cs += Maximum(v.asDouble(), exclusive = boolExcl("exclusiveMaximum"))
         case "exclusiveMinimum" if v.isBoolean =>
           require(booleanExclusive(draft), "boolean exclusiveMinimum is a draft-3/4 form; later drafts need a number")
         case "exclusiveMaximum" if v.isBoolean =>
           require(booleanExclusive(draft), "boolean exclusiveMaximum is a draft-3/4 form; later drafts need a number")
-        case "exclusiveMinimum" => cs += Minimum(v.asDouble(), exclusive = true)
-        case "exclusiveMaximum" => cs += Maximum(v.asDouble(), exclusive = true)
+        case "exclusiveMinimum" =>
+          requireDraft("numeric exclusiveMinimum", 6, draft)
+          cs += Minimum(v.asDouble(), exclusive = true)
+        case "exclusiveMaximum" =>
+          requireDraft("numeric exclusiveMaximum", 6, draft)
+          cs += Maximum(v.asDouble(), exclusive = true)
         case "multipleOf" => cs += MultipleOf(v.asDouble())
         case "minLength" => cs += MinLength(v.asInt())
         case "maxLength" => cs += MaxLength(v.asInt())
         case "pattern" => cs += Pattern(v.asText())
         case "format" => cs += Format(v.asText())
-        case "prefixItems" => cs += PrefixItems(v.asScala.map(sub).toSeq)
+        case "prefixItems" =>
+          requireDraft("prefixItems", 2020, draft)
+          cs += PrefixItems(v.asScala.map(sub).toSeq)
         case "minItems" => cs += MinItems(v.asInt())
         case "maxItems" => cs += MaxItems(v.asInt())
         case "uniqueItems" => if (v.asBoolean()) cs += UniqueItems()
@@ -844,6 +874,7 @@ object SuiteLoader {
           // when `items` is absent or a single schema
           require(legacyItems(draft), "additionalItems is a pre-2020-12 keyword; use prefixItems+items")
         case "unevaluatedItems" =>
+          requireDraft("unevaluatedItems", 2019, draft)
           // STATIC subset of the annotation semantics
           // (PJS:_keywords.py:392-404): with only prefixItems/items as
           // sibling element applicators the evaluated-index set is a
@@ -870,14 +901,24 @@ object SuiteLoader {
             cs += ItemsFrom(plen, sub(v))
           }
         case "contains" =>
-          val mn = Option(n.get("minContains")).map(_.asInt()).getOrElse(1)
-          val mx = Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue)
+          requireDraft("contains", 6, draft)
+          // min/maxContains are 2019-09+: under draft-6/7 the reference
+          // ignores them and contains means "at least one"
+          val mn = if (draft >= 2019)
+            Option(n.get("minContains")).map(_.asInt()).getOrElse(1) else 1
+          val mx = if (draft >= 2019)
+            Option(n.get("maxContains")).map(_.asInt()).getOrElse(Int.MaxValue) else Int.MaxValue
           cs += Contains(sub(v), mn, mx)
-        case "allOf" => cs += AllOf(v.asScala.map(sub).toSeq)
-        case "anyOf" => cs += AnyOf(v.asScala.map(sub).toSeq)
-        case "oneOf" => cs += OneOf(v.asScala.map(sub).toSeq)
-        case "not" => cs += Not(sub(v))
+        case "allOf" =>
+          requireDraft("allOf", 4, draft); cs += AllOf(v.asScala.map(sub).toSeq)
+        case "anyOf" =>
+          requireDraft("anyOf", 4, draft); cs += AnyOf(v.asScala.map(sub).toSeq)
+        case "oneOf" =>
+          requireDraft("oneOf", 4, draft); cs += OneOf(v.asScala.map(sub).toSeq)
+        case "not" =>
+          requireDraft("not", 4, draft); cs += Not(sub(v))
         case "if" =>
+          requireDraft("if/then/else", 7, draft)
           cs += IfThenElse(sub(v),
             Option(n.get("then")).map(sub),
             Option(n.get("else")).map(sub))

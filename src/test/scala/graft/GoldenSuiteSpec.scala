@@ -142,3 +142,11 @@ class FuzzSuiteSpec extends GoldenCorpusSpec("golden/fuzz_cases.json")
   * absent-key ≙ NULL-column mapping is exact in both models.
   */
 class FuzzRowSuiteSpec extends GoldenCorpusSpec("golden/fuzz_row_cases.json")
+
+/** The legacy-dialect fuzz corpus: draft-7/draft-4 groups exercising
+  * the retired keyword forms (items ARRAY form + additionalItems,
+  * $ref-overrides-siblings via `definitions`, draft-4 boolean
+  * exclusive bounds), each labeled by its own draft's reference
+  * validator (validator_for).
+  */
+class FuzzLegacySuiteSpec extends GoldenCorpusSpec("golden/fuzz_legacy_cases.json")

@@ -133,4 +133,29 @@ class SuiteDocumentSpec extends SparkSpec {
         """{"$schema": "https://json-schema.org/draft/2019-09/schema",
            "dependencies": {"a": ["b"]}}"""))
   }
+
+  test("later-draft keywords RAISE under earlier dialects (vocabulary gate)") {
+    // draft-4 has no numeric exclusive bounds and no const — the
+    // reference IGNORES them there, so compiling them would make the
+    // engine strictly wrong (false violations; found by legacy fuzzing)
+    intercept[IllegalArgumentException](SuiteLoader.parseSchema(
+      """{"$schema": "http://json-schema.org/draft-04/schema#", "exclusiveMaximum": 0}"""))
+    intercept[IllegalArgumentException](SuiteLoader.parseSchema(
+      """{"$schema": "http://json-schema.org/draft-04/schema#", "const": 5}"""))
+    // contains arrived in draft-6; if/then/else in draft-7;
+    // prefixItems in 2020-12
+    intercept[IllegalArgumentException](SuiteLoader.parseSchema(
+      """{"$schema": "http://json-schema.org/draft-04/schema#", "contains": {"minimum": 1}}"""))
+    intercept[IllegalArgumentException](SuiteLoader.parseSchema(
+      """{"$schema": "http://json-schema.org/draft-06/schema#",
+         "if": {"minimum": 0}, "then": {"maximum": 9}}"""))
+    intercept[IllegalArgumentException](SuiteLoader.parseSchema(
+      """{"$schema": "http://json-schema.org/draft-07/schema#",
+         "prefixItems": [{"minimum": 0}]}"""))
+    // doc level: dependentRequired is 2019-09+ (draft-7 spells it
+    // `dependencies`)
+    intercept[IllegalArgumentException](SuiteLoader.parseSuiteDocument(
+      """{"$schema": "http://json-schema.org/draft-07/schema#",
+         "dependentRequired": {"a": ["b"]}}"""))
+  }
 }

@@ -268,6 +268,85 @@ def gen_row_group(i):
             "columns": COLS, "schema": schema, "tests": tests}
 
 
+# ---------------------------------------------------------------------------
+# LEGACY-DIALECT fuzz: draft-7 / draft-4 groups exercising the retired
+# keyword forms — items ARRAY form + additionalItems, $ref OVERRIDES its
+# siblings (via `definitions`), draft-4 boolean exclusive bounds. The
+# checker picks each group's own draft validator via $schema
+# (validator_for), exactly like the engine's dialect resolution.
+# ---------------------------------------------------------------------------
+
+D7 = "http://json-schema.org/draft-07/schema#"
+D4 = "http://json-schema.org/draft-04/schema#"
+
+
+def int_leaf_d4():
+    """Draft-4 vocabulary only: no const (draft-6+), no numeric
+    exclusive bounds (draft-4's are boolean modifiers of minimum /
+    maximum)."""
+    k = rng.choice(["minimum", "maximum", "multipleOf", "enum", "type"])
+    if k in ("minimum", "maximum"):
+        return {k: rng.choice(INTS)}
+    if k == "multipleOf":
+        return {"multipleOf": rng.choice([1, 2, 3, 5, 7])}
+    if k == "enum":
+        return {"enum": rng.sample(INTS, rng.randint(1, 4))}
+    return {"type": rng.choice(["integer", "null"])}
+
+
+def legacy_group(i):
+    kind = rng.choice(["d7-items-array", "d7-ref-overrides", "d4-bool-exclusive",
+                       "d7-scalar", "d4-items-array"])
+    if kind in ("d7-items-array", "d4-items-array"):
+        uri = D7 if kind.startswith("d7") else D4
+        leaf = int_leaf if kind.startswith("d7") else int_leaf_d4
+        schema = {"$schema": uri,
+                  "items": [merge_leaves(leaf, 1)
+                            for _ in range(rng.randint(1, 3))]}
+        if rng.random() < 0.6:
+            schema["additionalItems"] = (
+                merge_leaves(leaf, 1) if rng.random() < 0.6
+                else rng.random() < 0.5)
+        ct, insts = "array<int>", [array_instance(False) for _ in range(6)]
+    elif kind == "d7-ref-overrides":
+        # draft<=7: every sibling of $ref is DISCARDED by the reference
+        schema = {"$schema": D7,
+                  "definitions": {"d": merge_leaves(int_leaf, 1)},
+                  "$ref": "#/definitions/d"}
+        for k, v in merge_leaves(int_leaf, 1).items():
+            schema.setdefault(k, v)  # sibling the reference must ignore
+        ct, insts = "int", [int_instance() for _ in range(6)]
+    elif kind == "d4-bool-exclusive":
+        schema = {"$schema": D4, "minimum": rng.choice(INTS),
+                  "exclusiveMinimum": True}
+        if rng.random() < 0.5:
+            schema["maximum"] = rng.choice(INTS)
+            schema["exclusiveMaximum"] = rng.random() < 0.5
+        ct, insts = "int", [int_instance() for _ in range(6)]
+    else:  # d7-scalar: modern-compatible keywords under the legacy dialect
+        schema = {"$schema": D7}
+        schema.update(merge_leaves(int_leaf, 2))
+        schema.pop("type", None)  # draft-7 'integer' vs float quirks stay out
+        if not schema or list(schema) == ["$schema"]:
+            schema["minimum"] = rng.choice(INTS)
+        ct, insts = "int", [int_instance() for _ in range(6)]
+    cls = jsonschema.validators.validator_for(schema)
+    v = cls(schema)
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz-legacy[{i}] {kind} seed={SEED}",
+            "ctype": ct, "schema": schema, "tests": tests}
+
+
+NL = max(40, N // 4)
+legacy_groups = [legacy_group(i) for i in range(NL)]
+lvalid = sum(1 for g in legacy_groups for t in g["tests"] if t["valid"])
+ltotal = sum(len(g["tests"]) for g in legacy_groups)
+out3 = "src/test/resources/golden/fuzz_legacy_cases.json"
+json.dump(legacy_groups, open(out3, "w"), indent=1)
+print(f"wrote {len(legacy_groups)} legacy groups / {ltotal} cases "
+      f"({lvalid} valid, {ltotal - lvalid} invalid) to {out3}")
+
 NR = max(60, N // 2)
 row_groups = [gen_row_group(i) for i in range(NR)]
 rvalid = sum(1 for g in row_groups for t in g["tests"] if t["valid"])
