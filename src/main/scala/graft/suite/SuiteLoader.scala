@@ -847,7 +847,10 @@ object SuiteLoader {
         case "exclusiveMaximum" =>
           requireDraft("numeric exclusiveMaximum", 6, draft)
           cs += Maximum(v.asDouble(), exclusive = true)
-        case "multipleOf" => cs += MultipleOf(v.asDouble())
+        case "multipleOf" =>
+          // draft-3 spells this divisibleBy; multipleOf arrived in draft-4
+          requireDraft("multipleOf", 4, draft)
+          cs += MultipleOf(v.asDouble())
         case "minLength" => cs += MinLength(v.asInt())
         case "maxLength" => cs += MaxLength(v.asInt())
         case "pattern" => cs += Pattern(v.asText())

@@ -294,9 +294,71 @@ def int_leaf_d4():
     return {"type": rng.choice(["integer", "null"])}
 
 
+D3 = "http://json-schema.org/draft-03/schema#"
+
+
 def legacy_group(i):
     kind = rng.choice(["d7-items-array", "d7-ref-overrides", "d4-bool-exclusive",
-                       "d7-scalar", "d4-items-array"])
+                       "d7-scalar", "d4-items-array", "d3-scalar",
+                       "d7-row-dependencies", "d3-row-required"])
+    if kind == "d3-scalar":
+        # draft-3 spellings: divisibleBy (→ multipleOf in draft-4),
+        # disallow (negated type union), boolean exclusive bounds
+        schema = {"$schema": D3}
+        r = rng.random()
+        if r < 0.4:
+            schema["divisibleBy"] = rng.choice([2, 3, 5])
+        elif r < 0.7:
+            schema["minimum"] = rng.choice(INTS)
+            if rng.random() < 0.5:
+                schema["exclusiveMinimum"] = True
+        else:
+            schema["disallow"] = rng.choice(["null", ["null"], "any"])
+        cls = jsonschema.validators.validator_for(schema)
+        v = cls(schema)
+        insts = [int_instance() for _ in range(6)]
+        tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+                 for j, d in enumerate(insts)]
+        return {"description": f"fuzz-legacy[{i}] {kind} seed={SEED}",
+                "ctype": "int", "schema": schema, "tests": tests}
+    if kind in ("d7-row-dependencies", "d3-row-required"):
+        if kind == "d7-row-dependencies":
+            a, b = rng.sample(list(COLS), 2)
+            f = rng.choice(list(COLS))
+            schema = {"$schema": D7,
+                      "dependencies": {a: [b]} if rng.random() < 0.6
+                      else {a: {"properties": {f: gated_field_schema(COLS[f])}}},
+                      "properties": {f: gated_field_schema(COLS[f])}}
+            if rng.random() < 0.5:
+                schema["required"] = rng.sample(list(COLS), 1)
+        else:
+            # draft-3: required is a BOOLEAN inside the property
+            # subschema; field keywords restricted to the draft-3
+            # vocabulary (no multipleOf — that is draft-4's spelling of
+            # divisibleBy — and no numeric exclusive bounds)
+            def d3_field(ct):
+                if ct == "int":
+                    return {rng.choice(["minimum", "maximum"]): rng.choice(INTS)}
+                if ct == "string":
+                    k = rng.choice(["minLength", "maxLength", "pattern"])
+                    return {"pattern": rng.choice(PATTERNS)} if k == "pattern"                         else {k: rng.randint(0, 8)}
+                return rng.choice([{"minItems": rng.randint(0, 4)},
+                                   {"items": {"minimum": rng.choice(INTS)}}])
+            picked = rng.sample(list(COLS), rng.randint(1, 2))
+            props = {}
+            for c in picked:
+                sub = dict(d3_field(COLS[c]))
+                if rng.random() < 0.7:
+                    sub["required"] = True
+                props[c] = sub
+            schema = {"$schema": D3, "properties": props}
+        cls = jsonschema.validators.validator_for(schema)
+        v = cls(schema)
+        insts = [row_instance() for _ in range(6)]
+        tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+                 for j, d in enumerate(insts)]
+        return {"description": f"fuzz-legacy[{i}] {kind} seed={SEED}",
+                "ctype": "row", "columns": COLS, "schema": schema, "tests": tests}
     if kind in ("d7-items-array", "d4-items-array"):
         uri = D7 if kind.startswith("d7") else D4
         leaf = int_leaf if kind.startswith("d7") else int_leaf_d4
