@@ -358,12 +358,14 @@ object SuiteLoader {
             else dependentSchemaEntry(trigger, dv, "dependencies")
           }
         case "allOf" =>
+          requireDraft("allOf", 4, draft) // draft-3 spells it `extends`
           entry.getValue.asScala.zipWithIndex.foreach { case (branch, i) =>
             require(branch.isObject, s"doc-level allOf[$i] must be an object schema")
             parseObjectLevel(branch, localScope ++ nodeDefs(branch), root,
               s"${prefix}allOf[$i].", wrap, activeRefs, out, draft)
           }
         case kw @ ("anyOf" | "oneOf" | "not") =>
+          requireDraft(kw, 4, draft)
           // Decomposable subset of doc-level anyOf/oneOf/not (round-2
           // VERDICT item 6): when every branch constrains the SAME
           // single field, the combinator commutes with the per-field
@@ -423,6 +425,7 @@ object SuiteLoader {
           out += FieldConstraint(s"${prefix}minProperties", cols.head,
             wrap(PresentCount(entry.getValue.asInt(), mx, cols)))
         case "maxProperties" if !n.has("minProperties") =>
+          requireDraft("maxProperties", 4, draft)
           val cols = declaredColumns("maxProperties")
           out += FieldConstraint(s"${prefix}maxProperties", cols.head,
             wrap(PresentCount(0, entry.getValue.asInt(), cols)))
@@ -927,6 +930,7 @@ object SuiteLoader {
             Option(n.get("else")).map(sub))
         case "$ref" => cs += resolveRef(v.asText())
         case "$dynamicRef" =>
+          requireDraft("$dynamicRef", 2020, draft)
           // static non-rebinding subset — see resolveDynamicTarget
           val (tRoot, target) = resolveDynamicTarget(v.asText(), root)
           val key = refKey(tRoot, "$dynamic:" + v.asText())
@@ -935,6 +939,7 @@ object SuiteLoader {
           cs += (if (tRoot eq root) toConstraint(target, defs, root, activeRefs + key, draft)
                  else toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + key, draftOf(tRoot, draft)))
         case "$dynamicAnchor" =>
+          requireDraft("$dynamicAnchor", 2020, draft)
           // declaration marker only (names this node); the re-binding
           // guard lives at RESOLUTION time in resolveDynamicTarget
           require(v.isTextual, "$dynamicAnchor must be a string")
