@@ -295,12 +295,51 @@ def int_leaf_d4():
 
 
 D3 = "http://json-schema.org/draft-03/schema#"
+D2019 = "https://json-schema.org/draft/2019-09/schema"
 
 
 def legacy_group(i):
     kind = rng.choice(["d7-items-array", "d7-ref-overrides", "d4-bool-exclusive",
                        "d7-scalar", "d4-items-array", "d3-scalar",
-                       "d7-row-dependencies", "d3-row-required"])
+                       "d7-row-dependencies", "d3-row-required",
+                       "d2019-items-array", "d2019-row-dependent"])
+    if kind == "d2019-items-array":
+        # 2019-09 keeps the positional items ARRAY form (+additionalItems)
+        # but already has minContains etc.
+        schema = {"$schema": D2019,
+                  "items": [merge_leaves(int_leaf, 1)
+                            for _ in range(rng.randint(1, 3))]}
+        if rng.random() < 0.6:
+            schema["additionalItems"] = (
+                merge_leaves(int_leaf, 1) if rng.random() < 0.6
+                else rng.random() < 0.5)
+        cls = jsonschema.validators.validator_for(schema)
+        v = cls(schema)
+        insts = [array_instance(False) for _ in range(6)]
+        tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+                 for j, d in enumerate(insts)]
+        return {"description": f"fuzz-legacy[{i}] {kind} seed={SEED}",
+                "ctype": "array<int>", "schema": schema, "tests": tests}
+    if kind == "d2019-row-dependent":
+        # the dependencies SPLIT: dependentRequired / dependentSchemas
+        a, b = rng.sample(list(COLS), 2)
+        f = rng.choice(list(COLS))
+        schema = {"$schema": D2019}
+        if rng.random() < 0.5:
+            schema["dependentRequired"] = {a: [b]}
+        else:
+            schema["dependentSchemas"] = {a: {"properties": {
+                f: gated_field_schema(COLS[f])}}}
+        if rng.random() < 0.6:
+            g = rng.choice(list(COLS))
+            schema["properties"] = {g: gated_field_schema(COLS[g])}
+        cls = jsonschema.validators.validator_for(schema)
+        v = cls(schema)
+        insts = [row_instance() for _ in range(6)]
+        tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+                 for j, d in enumerate(insts)]
+        return {"description": f"fuzz-legacy[{i}] {kind} seed={SEED}",
+                "ctype": "row", "columns": COLS, "schema": schema, "tests": tests}
     if kind == "d3-scalar":
         # draft-3 spellings: divisibleBy (→ multipleOf in draft-4),
         # disallow (negated type union), boolean exclusive bounds
