@@ -22,8 +22,8 @@ import graft.suite.Constraint._
   *
   * Unknown keywords (round-2, VERDICT item 5): ANNOTATIONS (title,
   * description, default, examples, …) are ignored like the reference
-  * ignores non-assertion keywords; unsupported APPLICATORS ($recursiveRef,
-  * the re-binding cases of $dynamicRef,
+  * ignores non-assertion keywords; unsupported APPLICATORS (the
+  * re-binding cases of $dynamicRef and of 2019-09 $recursiveRef,
   * object keywords inside field subschemas, the data-dependent cases of
   * unevaluated*) RAISE — a silently dropped applicator would silently
   * weaken the suite. patternProperties / schema-form
@@ -97,6 +97,19 @@ object SuiteLoader {
       s"'$keyword' is not part of the draft-$draft vocabulary (introduced in draft-$introduced) — " +
         "the reference would ignore it; raising instead of diverging either way")
 
+  /** The `$recursive*` pair exists ONLY in 2019-09: earlier drafts never
+    * had it, and 2020-12 removed it in favor of `$dynamic*` — under any
+    * other dialect the reference treats it as an unknown keyword and
+    * ignores it (verified against the live validator), so compiling it
+    * would be strictly wrong and ignoring it would drop author intent.
+    */
+  private def require2019Only(keyword: String, draft: Int): Unit = {
+    requireDraft(keyword, 2019, draft)
+    require(draft == 2019,
+      s"'$keyword' is 2019-09-only vocabulary (removed in draft-2020; $$dynamicRef/$$dynamicAnchor " +
+        "replace it) — the reference ignores it there; raising instead of diverging either way")
+  }
+
   /** Applicators / assertions the engine does not support INSIDE a field
     * subschema (object-shaped instances never occur: a field value is a
     * scalar or array; minProperties et al. are constants over a fixed
@@ -106,8 +119,7 @@ object SuiteLoader {
     "properties", "patternProperties", "additionalProperties",
     "propertyNames", "unevaluatedProperties",
     "dependentSchemas", "dependentRequired", "required",
-    "minProperties", "maxProperties", "dependencies",
-    "$recursiveRef", "$recursiveAnchor")
+    "minProperties", "maxProperties", "dependencies")
 
   /** Per-document parse state for the STATIC-subset `unevaluated*`
     * support: which fields the name-driven applicators evaluated, and
@@ -132,10 +144,19 @@ object SuiteLoader {
   }
   private val docStateVar = new scala.util.DynamicVariable[Option[DocParseState]](None)
 
+  /** The document the parse ENTERED at. Registry resources are reached
+    * from it, so it is always in the reference's dynamic scope — the
+    * `$recursiveRef` re-binding guard must therefore see its root even
+    * though it never appears in the registry itself.
+    */
+  private val entryRootVar = new scala.util.DynamicVariable[Option[JsonNode]](None)
+
   /** Parse one JSON Schema (subset) document into a Constraint. */
   def parseSchema(json: String): Constraint = {
     val n = mapper.readTree(json)
-    toConstraint(n, Map.empty, n, Set.empty, draftOf(n, ModernDraft))
+    entryRootVar.withValue(Some(n)) {
+      toConstraint(n, Map.empty, n, Set.empty, draftOf(n, ModernDraft))
+    }
   }
 
   // ---- multi-resource $id registry (round-2 VERDICT item 7) -------------
@@ -242,6 +263,7 @@ object SuiteLoader {
     val name = Option(root.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
     val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
     val state = new DocParseState
+    entryRootVar.withValue(Some(root)) {
     docStateVar.withValue(Some(state)) {
       parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
         draftOf(root, ModernDraft))
@@ -270,6 +292,7 @@ object SuiteLoader {
             identity, cs, draftOf(root, ModernDraft))
         }
       }
+    }
     }
     // keep ids unique when allOf branches repeat a (field, keyword) pair
     val seen = scala.collection.mutable.Map.empty[String, Int]
@@ -413,6 +436,23 @@ object SuiteLoader {
           docStateVar.value.foreach(_.refDepth += 1)
           try parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
           finally docStateVar.value.foreach(_.refDepth -= 1)
+        case "$recursiveRef" =>
+          require2019Only("$recursiveRef", draft)
+          // static non-rebinding subset: resolves to the owning document
+          // root (see resolveRecursiveTarget); a literal-root occurrence
+          // is caught as circular on re-entry like any other self-ref
+          val tRoot = resolveRecursiveTarget(entry.getValue.asText(), root)
+          val key = refKey(tRoot, "$recursive:#")
+          require(!activeRefs.contains(key),
+            "circular doc-level $recursiveRef '#' — compile-time inlining cannot represent cycles")
+          require(tRoot.isObject, "doc-level $recursiveRef must target an object schema")
+          docStateVar.value.foreach(_.refDepth += 1)
+          try parseObjectLevel(tRoot, nodeDefs(tRoot), tRoot, prefix, wrap, activeRefs + key, out,
+            draftOf(tRoot, draft))
+          finally docStateVar.value.foreach(_.refDepth -= 1)
+        case "$recursiveAnchor" =>
+          require2019Only("$recursiveAnchor", draft)
+          require(entry.getValue.isBoolean, "$recursiveAnchor must be a boolean")
         case "properties" =>
           parseProperties(entry.getValue, localScope, root, prefix, wrap, out, draft)
         case "minProperties" =>
@@ -755,6 +795,62 @@ object SuiteLoader {
         .getOrElse(throw new IllegalArgumentException(s"unresolvable $$dynamicRef '$ref'"))
   }
 
+  /** STATIC subset of 2019-09 `$recursiveRef`. The reference resolves
+    * `#` to the CURRENT resource root, then — only when that root
+    * carries a truthy `$recursiveAnchor` — walks the dynamic scope
+    * outward through contiguously-anchored resource roots and lands on
+    * the outermost one (REF:jsonschema.py:622-642, the `lookup("#")` +
+    * `dynamic_scope()` loop). Statically:
+    *  - target root NOT anchored → the walk never starts; plain `$ref`
+    *    to the resource root (the common predecessor-idiom case);
+    *  - target root anchored but NO OTHER reachable document root
+    *    anchored → the walk stops immediately; still the resource root
+    *    (the dynamic scope is a subset of entry doc + registry);
+    *  - a second anchored root anywhere in the closure → resolution
+    *    depends on the runtime entry path, which compile-time inlining
+    *    cannot represent → RAISE (never silently mis-resolved).
+    * A nested `$id` sub-resource would re-base `#` to an inner root the
+    * flat registry does not model → RAISE likewise.
+    */
+  private def resolveRecursiveTarget(ref: String, root: JsonNode): JsonNode = {
+    require(ref == "#",
+      s"$$recursiveRef must be '#' (2019-09 §8.2.4.2.1; the reference assumes the same, " +
+        s"REF:jsonschema.py:626-628) — got '$ref'")
+    require(!hasNestedId(root),
+      "$recursiveRef inside a document with a nested $id sub-resource — '#' would re-base " +
+        "to the inner resource root, which the flat registry cannot represent (static subset raises)")
+    def anchored(d: JsonNode): Boolean = Option(d.get("$recursiveAnchor")).exists { a =>
+      require(a.isBoolean, s"$$recursiveAnchor must be a boolean, got $a")
+      a.asBoolean()
+    }
+    if (anchored(root)) {
+      val others = (entryRootVar.value.toSeq ++ registryVar.value.values)
+        .foldLeft(Vector.empty[JsonNode])((acc, d) => if (acc.exists(_ eq d)) acc else acc :+ d)
+        .filterNot(_ eq root)
+        .filter(anchored)
+      require(others.isEmpty,
+        s"$$recursiveRef '#': $$recursiveAnchor declared on ${others.size + 1} reachable document " +
+          "roots — re-binding is possible, which compile-time inlining cannot represent (static subset raises)")
+    }
+    root
+  }
+
+  /** Any `$id` on an object STRICTLY BELOW `root` (an embedded
+    * sub-resource, which re-bases fragment resolution).
+    */
+  private def hasNestedId(root: JsonNode): Boolean = {
+    val queue = scala.collection.mutable.Queue[(JsonNode, Boolean)]((root, true))
+    var found = false
+    while (queue.nonEmpty && !found) {
+      val (n, isRoot) = queue.dequeue()
+      if (n.isObject) {
+        if (!isRoot && Option(n.get("$id")).exists(_.isTextual)) found = true
+        n.properties().asScala.foreach(e => queue.enqueue((e.getValue, false)))
+      } else if (n.isArray) n.asScala.foreach(c => queue.enqueue((c, false)))
+    }
+    found
+  }
+
   /** Resolve an intra-document fragment reference to its target node. */
   private def resolveFragment(ref: String, root: JsonNode, scope: Map[String, JsonNode]): JsonNode =
     resolveFragmentWithRoot(ref, root, scope)._2
@@ -943,6 +1039,19 @@ object SuiteLoader {
           // declaration marker only (names this node); the re-binding
           // guard lives at RESOLUTION time in resolveDynamicTarget
           require(v.isTextual, "$dynamicAnchor must be a string")
+        case "$recursiveRef" =>
+          require2019Only("$recursiveRef", draft)
+          // static non-rebinding subset — see resolveRecursiveTarget
+          val tRoot = resolveRecursiveTarget(v.asText(), root)
+          val key = refKey(tRoot, "$recursive:#")
+          require(!activeRefs.contains(key),
+            "circular $recursiveRef '#' — compile-time inlining cannot represent cycles")
+          cs += toConstraint(tRoot, nodeDefs(tRoot), tRoot, activeRefs + key, draftOf(tRoot, draft))
+        case "$recursiveAnchor" =>
+          require2019Only("$recursiveAnchor", draft)
+          // declaration marker only; the re-binding guard lives at
+          // RESOLUTION time in resolveRecursiveTarget
+          require(v.isBoolean, "$recursiveAnchor must be a boolean")
         // ---- draft-3 specific forms (round-2 VERDICT item 8; the
         // dialect map claims draft-03, so its own keywords must load:
         // PJS:_legacy_keywords.py:152-229) ----

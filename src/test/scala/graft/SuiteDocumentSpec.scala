@@ -120,6 +120,49 @@ class SuiteDocumentSpec extends SparkSpec {
       SuiteLoader.parseSchema("""{"$dynamicRef": "#nope"}""", Seq(farN)))
   }
 
+  test("$recursiveRef static subset: non-rebinding resolves; re-binding, recursion, and off-dialect RAISE") {
+    val D = "https://json-schema.org/draft/2019-09/schema"
+    // non-rebinding registry case: '#' = the resource root
+    val rec = s"""{"$$id": "https://example/rec", "$$schema": "$D",
+                   "minimum": 0, "$$defs": {"p": {"$$recursiveRef": "#"}}}"""
+    val c = SuiteLoader.parseSchema(
+      s"""{"$$schema": "$D", "$$ref": "https://example/rec#/$$defs/p"}""", Seq(rec))
+    assert(c === graft.suite.Constraint.Minimum(0))
+    // two anchored roots (entry + resource) = re-binding is possible → RAISE
+    val recA = s"""{"$$id": "https://example/reca", "$$schema": "$D", "$$recursiveAnchor": true,
+                    "minimum": 0, "$$defs": {"p": {"$$recursiveRef": "#"}}}"""
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema(
+        s"""{"$$schema": "$D", "$$recursiveAnchor": true,
+             "$$ref": "https://example/reca#/$$defs/p"}""", Seq(recA)))
+    // …but an UNANCHORED target root never starts the walk: the same
+    // anchored entry root is then irrelevant (REF:jsonschema.py:631-633)
+    val cNoWalk = SuiteLoader.parseSchema(
+      s"""{"$$schema": "$D", "$$recursiveAnchor": true,
+           "$$ref": "https://example/rec#/$$defs/p"}""", Seq(rec))
+    assert(cNoWalk === graft.suite.Constraint.Minimum(0))
+    // self-recursion at the entry root hits the cycle guard
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema(s"""{"$$schema": "$D", "$$recursiveRef": "#"}"""))
+    // only '#' is legal (2019-09 §8.2.4.2.1)
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema(s"""{"$$schema": "$D", "$$recursiveRef": "#/$$defs/p"}"""))
+    // a nested $id re-bases '#' — outside the static subset → RAISE
+    val recNested = s"""{"$$id": "https://example/recn", "$$schema": "$D", "minimum": 0,
+                         "$$defs": {"inner": {"$$id": "https://example/inner"},
+                                    "p": {"$$recursiveRef": "#"}}}"""
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema(
+        s"""{"$$schema": "$D", "$$ref": "https://example/recn#/$$defs/p"}""", Seq(recNested)))
+    // 2019-09-only vocabulary: the reference IGNORES it under 2020-12
+    // and under draft-7 → raising instead of diverging either way
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema("""{"$recursiveRef": "#"}"""))
+    intercept[IllegalArgumentException](
+      SuiteLoader.parseSchema(
+        """{"$schema": "http://json-schema.org/draft-07/schema#", "$recursiveRef": "#"}"""))
+  }
+
   test("legacy keyword forms RAISE under modern dialects instead of silently weakening") {
     // 2020-12 (no $schema): additionalItems and boolean exclusiveMinimum
     // are pre-2020 forms — loading them must error, not no-op
