@@ -278,6 +278,7 @@ def gen_row_group(i):
 
 D7 = "http://json-schema.org/draft-07/schema#"
 D4 = "http://json-schema.org/draft-04/schema#"
+D6 = "http://json-schema.org/draft-06/schema#"
 
 
 def int_leaf_d4():
@@ -302,7 +303,25 @@ def legacy_group(i):
     kind = rng.choice(["d7-items-array", "d7-ref-overrides", "d4-bool-exclusive",
                        "d7-scalar", "d4-items-array", "d3-scalar",
                        "d7-row-dependencies", "d3-row-required",
-                       "d2019-items-array", "d2019-row-dependent"])
+                       "d2019-items-array", "d2019-row-dependent",
+                       "d6-scalar", "d6-contains"])
+    if kind == "d6-contains":
+        # draft-6 introduced `contains` but NOT min/maxContains (2019-09):
+        # the reference ignores a minContains sibling there — contains
+        # stays "at least one" (contains_draft6_draft7,
+        # PJS:_legacy_keywords.py:220-231)
+        schema = {"$schema": D6, "contains": merge_leaves(int_leaf, 1)}
+        if rng.random() < 0.5:
+            schema["minContains"] = rng.randint(2, 3)  # must be ignored
+        if rng.random() < 0.4:
+            schema["minItems"] = rng.randint(0, 3)
+        cls = jsonschema.validators.validator_for(schema)
+        v = cls(schema)
+        insts = [array_instance(False) for _ in range(6)]
+        tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+                 for j, d in enumerate(insts)]
+        return {"description": f"fuzz-legacy[{i}] {kind} seed={SEED}",
+                "ctype": "array<int>", "schema": schema, "tests": tests}
     if kind == "d2019-items-array":
         # 2019-09 keeps the positional items ARRAY form (+additionalItems)
         # but already has minContains etc.
@@ -424,8 +443,10 @@ def legacy_group(i):
             schema["maximum"] = rng.choice(INTS)
             schema["exclusiveMaximum"] = rng.random() < 0.5
         ct, insts = "int", [int_instance() for _ in range(6)]
-    else:  # d7-scalar: modern-compatible keywords under the legacy dialect
-        schema = {"$schema": D7}
+    else:  # d7-scalar / d6-scalar: modern-compatible keywords under the
+        # legacy dialect (draft-6 already has numeric exclusive bounds
+        # and const, so int_leaf is in-vocabulary for both)
+        schema = {"$schema": D7 if kind == "d7-scalar" else D6}
         schema.update(merge_leaves(int_leaf, 2))
         schema.pop("type", None)  # draft-7 'integer' vs float quirks stay out
         if not schema or list(schema) == ["$schema"]:
