@@ -46,8 +46,12 @@ object SuiteLoader {
   private val Annotations = Set(
     "$id", "$schema", "$anchor", "$comment", "$vocabulary", "$defs",
     "definitions", "title", "description", "default", "examples",
-    "deprecated", "readOnly", "writeOnly", "contentMediaType",
-    "contentEncoding")
+    "deprecated", "readOnly", "writeOnly",
+    // the content-* trio is annotation-only in the reference under EVERY
+    // dialect (jsonschema 4.x keeps none of them in any VALIDATORS map —
+    // probed against the live validator; draft-7's optional content
+    // assertion mode was removed), so ignoring matches it exactly
+    "contentMediaType", "contentEncoding", "contentSchema")
 
   /** Dialect resolution (≙ validator_for, PJS:validators.py:1335-1410):
     * the `$schema` URI picks per-draft keyword semantics, carried as the

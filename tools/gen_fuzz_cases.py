@@ -304,7 +304,31 @@ def legacy_group(i):
                        "d7-scalar", "d4-items-array", "d3-scalar",
                        "d7-row-dependencies", "d3-row-required",
                        "d2019-items-array", "d2019-row-dependent",
-                       "d6-scalar", "d6-contains"])
+                       "d6-scalar", "d6-contains", "d2019-recursiveref"])
+    if kind == "d2019-recursiveref":
+        # the STATIC (non-rebinding) $recursiveRef subset: '#' inside a
+        # registry resource resolves to that resource's root (walks the
+        # dynamic scope only through anchored roots — here at most ONE
+        # root is anchored, so the walk is a no-op either way)
+        from referencing import Registry, Resource
+        res = {"$id": f"https://fuzz.example/rec{i}", "$schema": D2019}
+        res.update(merge_leaves(int_leaf, rng.randint(1, 2)))
+        res.pop("type", None)
+        if not any(k not in ("$id", "$schema") for k in res):
+            res["minimum"] = rng.choice(INTS)
+        res["$defs"] = {"probe": {"$recursiveRef": "#"}}
+        if rng.random() < 0.5:
+            res["$recursiveAnchor"] = True
+        schema = {"$schema": D2019, "$ref": f"https://fuzz.example/rec{i}#/$defs/probe"}
+        if rng.random() < 0.3 and not res.get("$recursiveAnchor"):
+            schema["$recursiveAnchor"] = True  # irrelevant: target unanchored
+        reg = Registry().with_resource(res["$id"], Resource.from_contents(res))
+        v = jsonschema.validators.validator_for(schema)(schema, registry=reg)
+        insts = [int_instance() for _ in range(6)]
+        tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+                 for j, d in enumerate(insts)]
+        return {"description": f"fuzz-legacy[{i}] {kind} seed={SEED}",
+                "ctype": "int", "schema": schema, "resources": [res], "tests": tests}
     if kind == "d6-contains":
         # draft-6 introduced `contains` but NOT min/maxContains (2019-09):
         # the reference ignores a minContains sibling there — contains
