@@ -437,8 +437,11 @@ object ConstraintCompiler {
   def withVerdicts(df: DataFrame, suite: Suite, fusedIntArrays: Set[String]): DataFrame = {
     val cs = suite.resolved.constraints.map(compile(_, fusedIntArrays))
     val withCols = cs.foldLeft(withProfiles(df, fusedIntArrays))((d, c) => d.withColumn(c.id, c.pass))
-    // constraint ids contain dots — backtick-quote to avoid field-access parsing
-    withCols.withColumn("row_valid", cs.map(c => col(s"`${c.id}`")).reduce(_ && _))
+    // constraint ids contain dots — backtick-quote to avoid field-access
+    // parsing; a suite whose keywords all discharge at compile time
+    // (e.g. propertyNames every column name satisfies) has ZERO row
+    // constraints and every row is vacuously valid
+    withCols.withColumn("row_valid", cs.map(c => col(s"`${c.id}`")).foldLeft(lit(true))(_ && _))
   }
 
   /** Keyword path of a constraint in the suite document, JSON-pointer

@@ -507,11 +507,27 @@ object SuiteLoader {
           rest.foreach(c => props.set[JsonNode](c, entry.getValue))
           parseProperties(props, localScope, root, s"${prefix}additionalProperties.", wrap, out, draft)
         case "additionalProperties" =>
-          // boolean form: strict-schema mode is compile-time column
-          // checking (Suite.checkSchema) — nothing to assert per row,
-          // but in annotation terms additionalProperties (any form)
-          // evaluates every remaining key, so unevaluatedProperties
-          // downstream sees nothing
+          // boolean form: `false` forbids the PRESENCE of any declared
+          // column matched by neither `properties` nor a
+          // `patternProperties` regex — the reference descends into
+          // present instance keys only (PJS:_keywords.py:42-56 via
+          // find_additional_properties), so an absent (null) column is a
+          // vacuous pass and a present one fails the `false` subschema
+          // outright. (Round-4 fuzz differential caught the old
+          // compile-time-only reading diverging from the reference.)
+          // `true` evaluates everything vacuously. Either way every
+          // remaining key counts as evaluated, so
+          // unevaluatedProperties downstream sees nothing.
+          if (!entry.getValue.asBoolean()) {
+            val cols = declaredColumns("additionalProperties")
+            val named = Option(n.get("properties"))
+              .map(_.properties().asScala.map(_.getKey).toSet).getOrElse(Set.empty[String])
+            val ppRes = Option(n.get("patternProperties"))
+              .map(_.properties().asScala.map(_.getKey.r).toSeq).getOrElse(Nil)
+            cols.filterNot(c => named(c) || ppRes.exists(_.findFirstIn(c).isDefined))
+              .foreach(c => out += FieldConstraint(s"${prefix}additionalProperties.$c", c,
+                wrap(WhenPresent(c, Always(false)))))
+          }
           docStateVar.value.foreach(_.evaluated ++= tableColumnsVar.value)
         case "unevaluatedProperties" =>
           requireDraft("unevaluatedProperties", 2019, draft)

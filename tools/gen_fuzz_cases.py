@@ -258,8 +258,52 @@ def row_instance():
     return o
 
 
+NAME_RE = {"doc_id": "^doc", "n_tok": "^n_", "source": "^source$", "tokens": "^tok"}
+
+
+def row_name_applicator_schema():
+    """additionalProperties / unevaluatedProperties over the declared
+    column universe. The SCHEMA form's subschema applies to every column
+    matched by neither properties nor patternProperties, so the
+    generator covers all but ONE column and types the subschema to the
+    leftover (a type-mismatched keyword is a compile-time error in the
+    engine's static model, vacuous in the reference — a documented
+    boundary, not fuzzed). The BOOLEAN form is type-free and gets any
+    leftover count. unevaluatedProperties additionally exercises the
+    evaluated-key closure through allOf.
+    """
+    cols = list(COLS)
+    rng.shuffle(cols)
+    kw = "unevaluatedProperties" if rng.random() < 0.45 else "additionalProperties"
+    schema_form = rng.random() < 0.5
+    covered = cols[:3] if schema_form else cols[:rng.randint(1, 3)]
+    props, pats = {}, {}
+    for c in covered:
+        if rng.random() < 0.3:
+            pats[NAME_RE[c]] = gated_field_schema(COLS[c])
+        else:
+            props[c] = gated_field_schema(COLS[c])
+    s = {}
+    if props:
+        items = list(props.items())
+        if kw == "unevaluatedProperties" and len(items) > 1 and rng.random() < 0.45:
+            # split the evaluating applicators across an allOf branch:
+            # unevaluatedProperties must still see them as evaluated
+            s["properties"] = dict(items[:1])
+            s["allOf"] = [{"properties": dict(items[1:])}]
+        else:
+            s["properties"] = props
+    if pats:
+        s["patternProperties"] = pats
+    s[kw] = gated_field_schema(COLS[cols[3]]) if schema_form else False
+    if rng.random() < 0.3:
+        s["required"] = rng.sample(list(COLS), 1)
+    return s
+
+
 def gen_row_group(i):
-    schema = row_schema(i)
+    schema = (row_name_applicator_schema() if rng.random() < 0.3
+              else row_schema(i))
     v = jsonschema.Draft202012Validator(schema)
     insts = [row_instance() for _ in range(6)]
     tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
