@@ -377,6 +377,13 @@ object ConstraintCompiler {
         // inner applies to THIS field only when `trigger` is present
         val (p, o) = go(inner)
         (!col(trigger).isNotNull || p, o)
+      case FieldPresent(nm) =>
+        // cross-field presence gate (conditionally-evaluated keys)
+        (col(nm).isNotNull, obsSelf)
+      case OnField(nm, inner) =>
+        // re-anchor: compile `inner` against the named field (branch-
+        // validity gates for conditionally-evaluated keys)
+        (compile(FieldConstraint(fc.id, nm, inner), fusedIntArrays).pass, obsSelf)
       case Ref(n) =>
         throw new IllegalStateException(s"unresolved $$ref '$n' — call Suite.resolved first")
     }

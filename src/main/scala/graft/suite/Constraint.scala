@@ -123,6 +123,22 @@ object Constraint {
     * loader from document-level `dependentSchemas: {trigger: subschema}`.
     */
   final case class WhenPresent(trigger: String, inner: Constraint) extends Constraint
+  /** Cross-field presence predicate: passes iff the NAMED column is
+    * non-null, regardless of the anchor field. Used as an evaluation
+    * gate for conditionally-evaluated keys under unevaluatedProperties
+    * (find_evaluated_property_keys_by_schema's dependentSchemas arm
+    * recurses only when the trigger key is in the instance —
+    * PJS:_utils.py:318-325).
+    */
+  final case class FieldPresent(name: String) extends Constraint
+  /** Re-anchors `inner` onto the NAMED field, regardless of which field
+    * the enclosing FieldConstraint targets. Used for anyOf/oneOf
+    * branch-validity gates under unevaluatedProperties: the tracker adds
+    * a branch's keys iff the row validates against the branch
+    * (PJS:_utils.py:327-334), and the branch constrains its own field,
+    * not the unevaluated column the gate guards.
+    */
+  final case class OnField(field: String, inner: Constraint) extends Constraint
   /** Intra-suite $ref: resolved (inlined) at suite-compile time, exactly
     * like the reference's subschema cache (PJS:validators.py:1070-1095).
     * An unresolved name raises at compile, mirroring
@@ -168,6 +184,7 @@ final case class Suite(
       case IfThenElse(i, t, e) =>
         IfThenElse(inline(i, seen), t.map(inline(_, seen)), e.map(inline(_, seen)))
       case WhenPresent(t, c) => WhenPresent(t, inline(c, seen))
+      case OnField(nm, c)    => OnField(nm, inline(c, seen))
       case other => other
     }
     copy(constraints = constraints.map(fc => fc.copy(constraint = inline(fc.constraint, Set.empty))))

@@ -125,17 +125,41 @@ object SuiteLoader {
     "dependentSchemas", "dependentRequired", "required",
     "minProperties", "maxProperties", "dependencies")
 
-  /** Per-document parse state for the STATIC-subset `unevaluated*`
-    * support: which fields the name-driven applicators evaluated, and
-    * whether any CONDITIONAL evaluation (doc-level anyOf/oneOf/not,
-    * dependentSchemas) occurred — annotation flow through those is
-    * data-dependent, which compile-time decomposition cannot represent,
-    * so unevaluatedProperties RAISES in their presence (never silently
-    * weakens). Scoped to one parseSuiteDocument call.
+  /** Per-document parse state for the decidable-subset `unevaluated*`
+    * support: which fields the name-driven applicators evaluated
+    * unconditionally, plus — r4 — which fields are evaluated only under
+    * a per-row GATE (dependentSchemas: trigger present; anyOf/oneOf:
+    * branch valid), mirroring
+    * find_evaluated_property_keys_by_schema (PJS:_utils.py:261-350)
+    * pointwise instead of raising. `not` branches contribute nothing
+    * (the tracker never recurses into `not`). Scoped to one
+    * parseSuiteDocument call.
     */
   private final class DocParseState {
     val evaluated = scala.collection.mutable.Set.empty[String]
-    var conditionalEval = false
+    // field -> alternative per-row gates under which it counts evaluated
+    val condEvaluated = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Constraint]]
+    // gates active for the subschema being parsed (innermost first);
+    // pushed by dependentSchemas (FieldPresent(trigger)), composed by AND
+    var gateStack: List[Constraint] = Nil
+    // while parsing an anyOf/oneOf/not branch, marks are buffered here —
+    // the branch-validity gate only exists once the branch has parsed
+    var markSink: Option[scala.collection.mutable.ArrayBuffer[(String, List[Constraint])]] = None
+    // >0 while parsing a combinator branch: an unevaluatedProperties
+    // found there must raise (its annotation scope is the branch)
+    var branchDepth = 0
+    def markEvaluated(field: String): Unit = commitMark(field, gateStack)
+    def commitMark(field: String, gates: List[Constraint]): Unit = markSink match {
+      case Some(buf)             => buf += ((field, gates))
+      case None if gates.isEmpty => evaluated += field
+      case None =>
+        condEvaluated.getOrElseUpdate(field,
+          scala.collection.mutable.ArrayBuffer.empty) += (gates match {
+            case g :: Nil => g
+            case gs       => AllOf(gs)
+          })
+    }
     var unevaluatedProps: Option[JsonNode] = None
     // >0 while parsing the target of a doc-level $ref. 2020-12
     // annotation flow is UPWARD only (the referrer's unevaluated* sees
@@ -271,29 +295,48 @@ object SuiteLoader {
     docStateVar.withValue(Some(state)) {
       parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
         draftOf(root, ModernDraft))
-      // STATIC unevaluatedProperties (2020-12 annotation semantics,
-      // PJS:_keywords.py:407-436, restricted to the decidable subset):
-      // evaluation here flows only from properties / patternProperties /
-      // additionalProperties — including through allOf branches and
-      // inlined $refs, which is exactly what distinguishes it from
-      // additionalProperties — and is UNCONDITIONAL by the
-      // conditionalEval guard, so the evaluated-key set is a
-      // compile-time constant and the leftover columns get the
-      // subschema like any other name-driven applicator.
+      // unevaluatedProperties (2020-12 annotation semantics,
+      // PJS:_keywords.py:407-436, decidable subset): evaluation flows
+      // from properties / patternProperties / additionalProperties —
+      // including through allOf branches and inlined $refs, which is
+      // exactly what distinguishes it from additionalProperties.
+      // Unconditional evaluation lands in state.evaluated (compile-time
+      // constant); conditional evaluation (dependentSchemas,
+      // anyOf/oneOf branches) lands in state.condEvaluated as per-row
+      // gates (r4).
       state.unevaluatedProps.foreach { up =>
-        require(!state.conditionalEval,
-          "unevaluatedProperties supports only unconditional evaluation " +
-            "(no doc-level anyOf/oneOf/not/dependentSchemas) — raising instead of silently weakening")
+        // r4: columns evaluated only CONDITIONALLY (under a
+        // dependentSchemas trigger or a valid anyOf/oneOf branch) carry
+        // per-row gates — the column is exempt from unevaluatedProperties
+        // exactly when some gate holds, so each gate becomes an AnyOf
+        // alternative alongside the subschema (pointwise mirror of
+        // find_evaluated_property_keys_by_schema, PJS:_utils.py:261-350)
         val rest = declaredColumns("unevaluatedProperties").filterNot(state.evaluated)
+        def gatesFor(c: String): Seq[Constraint] =
+          state.condEvaluated.get(c).map(_.toSeq).getOrElse(Nil)
         if (up.isBoolean) {
           if (!up.asBoolean())
-            rest.foreach(c => cs += FieldConstraint(s"$c.unevaluatedProperties", c,
-              WhenPresent(c, Always(false))))
+            rest.foreach { c =>
+              val inner = gatesFor(c) match {
+                case Nil => Always(false)
+                case gs  => AnyOf(gs) // evaluated under some gate → exempt
+              }
+              cs += FieldConstraint(s"$c.unevaluatedProperties", c, WhenPresent(c, inner))
+            }
         } else {
-          val props = mapper.createObjectNode()
-          rest.foreach(c => props.set[JsonNode](c, up))
-          parseProperties(props, nodeDefs(root), root, "unevaluatedProperties.",
-            identity, cs, draftOf(root, ModernDraft))
+          val (gated, ungated) = rest.partition(c => gatesFor(c).nonEmpty)
+          if (ungated.nonEmpty) {
+            val props = mapper.createObjectNode()
+            ungated.foreach(c => props.set[JsonNode](c, up))
+            parseProperties(props, nodeDefs(root), root, "unevaluatedProperties.",
+              identity, cs, draftOf(root, ModernDraft))
+          }
+          gated.foreach { c =>
+            val props = mapper.createObjectNode()
+            props.set[JsonNode](c, up)
+            parseProperties(props, nodeDefs(root), root, "unevaluatedProperties.",
+              cc => AnyOf(gatesFor(c) :+ cc), cs, draftOf(root, ModernDraft))
+          }
         }
       }
     }
@@ -345,11 +388,16 @@ object SuiteLoader {
       } else {
         require(sub.isObject, s"$kw['$trigger'] must be a schema")
         // evaluation under dependentSchemas is CONDITIONAL on the
-        // trigger's presence — outside the unevaluated* static subset
-        docStateVar.value.foreach(_.conditionalEval = true)
-        parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
+        // trigger's presence: the reference's key tracker recurses into
+        // the subschema exactly when the trigger key is in the instance
+        // (PJS:_utils.py:318-325, with NO validity check on the
+        // subschema), so every key it evaluates is gated on
+        // FieldPresent(trigger) — pointwise-exact, no raise needed (r4)
+        docStateVar.value.foreach(s => s.gateStack = FieldPresent(trigger) :: s.gateStack)
+        try parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
           s"$prefix$trigger.$kw.",
           c => wrap(WhenPresent(trigger, c)), activeRefs, out, draft)
+        finally docStateVar.value.foreach(s => s.gateStack = s.gateStack.tail)
       }
 
     n.properties().asScala.foreach { entry =>
@@ -404,26 +452,43 @@ object SuiteLoader {
           // independent per-field constraints and keep RAISING — never
           // silently dropped.
           // branch evaluation is data-dependent (a branch's annotations
-          // apply only when it succeeds) — outside the unevaluated*
-          // static subset
-          docStateVar.value.foreach(_.conditionalEval = true)
+          // apply only when it succeeds) — but POINTWISE: the
+          // reference's key tracker adds a branch's keys iff the row
+          // validates against that branch (PJS:_utils.py:327-334), so
+          // each mark made while parsing a branch is re-committed under
+          // that branch's validity constraint as its gate (r4). `not`
+          // branches contribute nothing — the tracker never recurses
+          // into `not` — so their marks are dropped.
           val branchNodes =
             if (kw == "not") Seq(entry.getValue) else entry.getValue.asScala.toSeq
           val branches = branchNodes.zipWithIndex.map { case (branch, i) =>
             require(branch.isObject, s"doc-level $kw[$i] must be an object schema")
             val buf = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
-            parseObjectLevel(branch, localScope ++ nodeDefs(branch), root, "",
+            val marks = scala.collection.mutable.ArrayBuffer.empty[(String, List[Constraint])]
+            val (savedSink, st) = (docStateVar.value.map(_.markSink), docStateVar.value)
+            st.foreach { s => s.markSink = Some(marks); s.branchDepth += 1 }
+            try parseObjectLevel(branch, localScope ++ nodeDefs(branch), root, "",
               identity, activeRefs, buf, draft)
+            finally st.foreach { s => s.markSink = savedSink.flatten; s.branchDepth -= 1 }
             require(buf.nonEmpty, s"doc-level $kw[$i] asserts nothing — cannot decompose")
-            buf.toSeq
+            (buf.toSeq, marks.toSeq)
           }
-          val fields = branches.flatten.map(_.field).distinct
+          val fields = branches.flatMap(_._1).map(_.field).distinct
           require(fields.size == 1,
             s"doc-level $kw supported only for the decomposable subset (every branch " +
               s"constrains the same single field); branches touch $fields")
           val bfield = fields.head
-          val per = branches.map(fcs =>
-            if (fcs.size == 1) fcs.head.constraint else AllOf(fcs.map(_.constraint)))
+          val per = branches.map { case (fcs, _) =>
+            if (fcs.size == 1) fcs.head.constraint else AllOf(fcs.map(_.constraint))
+          }
+          if (kw != "not")
+            branches.zip(per).foreach { case ((_, marks), branchGate) =>
+              marks.foreach { case (f, gates) =>
+                // the gate must evaluate against the BRANCH's field, not
+                // the unevaluated column it will guard — re-anchor
+                docStateVar.value.foreach(_.commitMark(f, OnField(bfield, branchGate) :: gates))
+              }
+            }
           val comb = kw match {
             case "anyOf" => AnyOf(per)
             case "oneOf" => OneOf(per)
@@ -528,7 +593,7 @@ object SuiteLoader {
               .foreach(c => out += FieldConstraint(s"${prefix}additionalProperties.$c", c,
                 wrap(WhenPresent(c, Always(false)))))
           }
-          docStateVar.value.foreach(_.evaluated ++= tableColumnsVar.value)
+          docStateVar.value.foreach(st => tableColumnsVar.value.foreach(st.markEvaluated))
         case "unevaluatedProperties" =>
           requireDraft("unevaluatedProperties", 2019, draft)
           // deferred to parseSuiteDocument's post-pass (the evaluated-key
@@ -545,6 +610,10 @@ object SuiteLoader {
               require(st.refDepth == 0,
                 "unevaluatedProperties inside a $ref target is outside the static subset " +
                   "(the referrer's evaluated keys must not be visible to it) — raising instead of silently weakening")
+              // inside an anyOf/oneOf/not branch its annotation scope is
+              // the branch, not the document — raise, don't weaken
+              require(st.branchDepth == 0,
+                "unevaluatedProperties inside a combinator branch is outside the supported subset")
               // two occurrences can reach the root closure (e.g. root +
               // a doc-level $ref target) — last-wins would silently DROP
               // one assertion, so raise (round-3 review)
@@ -587,9 +656,10 @@ object SuiteLoader {
       val (field, sub) = (p.getKey, p.getValue)
       require(sub.isObject || sub.isBoolean, s"field '$field' subschema must be object or boolean")
       // properties/patternProperties/additionalProperties all funnel
-      // through here: record the field as EVALUATED for the
-      // unevaluatedProperties static subset
-      docStateVar.value.foreach(_.evaluated += field)
+      // through here: record the field as EVALUATED for
+      // unevaluatedProperties — gated when inside a conditionally-
+      // applied subschema (dependentSchemas / combinator branch)
+      docStateVar.value.foreach(_.markEvaluated(field))
       if (sub.isBoolean) {
         // a boolean subschema applies only when the key is PRESENT
         // (PJS:_keywords.py:290-301 descends only for keys in the
@@ -997,19 +1067,27 @@ object SuiteLoader {
           require(legacyItems(draft), "additionalItems is a pre-2020-12 keyword; use prefixItems+items")
         case "unevaluatedItems" =>
           requireDraft("unevaluatedItems", 2019, draft)
-          // STATIC subset of the annotation semantics
-          // (PJS:_keywords.py:392-404): with only prefixItems/items as
+          // Decidable subset of the annotation semantics
+          // (PJS:_keywords.py:392-404): with prefixItems/items as
           // sibling element applicators the evaluated-index set is a
           // compile-time constant — `items` evaluates everything
           // (unevaluatedItems vacuous), else elements past the
-          // prefixItems length are unevaluated. `contains` (marks
-          // MATCHING elements) and combinator/$ref siblings (branch-
-          // dependent annotations) are data-dependent and RAISE.
-          val dyn = Seq("contains", "allOf", "anyOf", "oneOf", "not", "if", "$ref")
+          // prefixItems length are unevaluated. A `contains` sibling
+          // marks its MATCHING elements evaluated (the reference applies
+          // this under BOTH 2019-09 and 2020-12 —
+          // find_evaluated_item_indexes_by_schema), which is data-
+          // dependent per element but still pointwise-expressible: an
+          // element past the prefix is unevaluated iff it does NOT match
+          // contains, so `unevaluatedItems: U` becomes
+          // "matches contains OR U" over those positions (r4; exact, not
+          // an approximation — minContains/maxContains don't change the
+          // per-element annotation). Combinator/$ref siblings (branch-
+          // dependent annotations) still RAISE.
+          val dyn = Seq("allOf", "anyOf", "oneOf", "not", "if", "$ref")
             .filter(n.has(_))
           require(dyn.isEmpty,
-            s"unevaluatedItems static subset: sibling $dyn makes the evaluated-index set " +
-              "data-dependent — raising instead of silently dropping")
+            s"unevaluatedItems decidable subset: sibling $dyn makes the evaluated-index set " +
+              "branch-dependent — raising instead of silently dropping")
           val itemsNode = Option(n.get("items"))
           val legacyArray = itemsNode.exists(_.isArray) // 2019-09 positional form
           // vacuous when every element is already evaluated: 2020-12
@@ -1020,7 +1098,11 @@ object SuiteLoader {
             val plen =
               if (legacyArray) itemsNode.get.size()
               else Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
-            cs += ItemsFrom(plen, sub(v))
+            val u = sub(v)
+            cs += ItemsFrom(plen, Option(n.get("contains")) match {
+              case Some(c) => AnyOf(Seq(sub(c), u))
+              case None    => u
+            })
           }
         case "contains" =>
           requireDraft("contains", 6, draft)

@@ -125,6 +125,13 @@ def array_schema():
     for extra in ("minItems", "maxItems", "uniqueItems"):
         if rng.random() < 0.25:
             s[extra] = rng.randint(0, 5) if extra != "uniqueItems" else True
+    if rng.random() < 0.35:
+        # unevaluatedItems over whatever siblings landed above — all
+        # decidable in the engine: schema-form items makes it vacuous,
+        # prefixItems sets the unevaluated offset, and contains exempts
+        # its matching elements pointwise (r4)
+        s["unevaluatedItems"] = (False if rng.random() < 0.5
+                                 else merge_leaves(int_leaf, 1))
     return s or {"minItems": rng.randint(0, 3)}
 
 
@@ -295,6 +302,21 @@ def row_name_applicator_schema():
             s["properties"] = props
     if pats:
         s["patternProperties"] = pats
+    leftover = [c for c in cols if c not in covered]
+    if kw == "unevaluatedProperties" and leftover and rng.random() < 0.5:
+        # conditionally-evaluated keys (r4): dependentSchemas gates a
+        # leftover column on the trigger's presence; anyOf/oneOf gate it
+        # on branch validity — only uP honors these (the reference's
+        # additionalProperties consults properties/patternProperties
+        # alone). Subschemas stay type-gated to their column.
+        dep = rng.choice(leftover)
+        if rng.random() < 0.5:
+            trig = rng.choice(cols)
+            s["dependentSchemas"] = {trig: {"properties": {dep: gated_field_schema(COLS[dep])}}}
+        else:
+            comb = rng.choice(["anyOf", "oneOf"])
+            s[comb] = [{"properties": {dep: gated_field_schema(COLS[dep])}},
+                       {"properties": {dep: gated_field_schema(COLS[dep])}}]
     s[kw] = gated_field_schema(COLS[cols[3]]) if schema_form else False
     if rng.random() < 0.3:
         s["required"] = rng.sample(list(COLS), 1)
