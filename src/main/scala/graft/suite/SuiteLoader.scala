@@ -281,9 +281,11 @@ object SuiteLoader {
     * WhenPresent wrap), `allOf` (branches recursed and concatenated —
     * the common real-world "allOf of partial suites" wrapping, round-2
     * VERDICT item 5), `$ref` (pointer-resolved then recursed), `$defs`.
-    * Doc-level `anyOf`/`oneOf`/`not`/`if` cannot decompose into
-    * independent per-field constraints and RAISE (explicitly, never
-    * silently dropped).
+    * Doc-level `anyOf`/`oneOf`/`not`/`if`/`then`/`else` (r4 general
+    * form) compose branch validity as anchor-independent predicates:
+    * each branch's FieldConstraints are re-anchored onto their own
+    * fields via [[Constraint.OnField]] and conjoined, so branches may
+    * constrain any mix of fields.
     */
   def parseSuiteDocument(json: String): Suite = {
     val root = mapper.readTree(json)
@@ -441,16 +443,15 @@ object SuiteLoader {
           }
         case kw @ ("anyOf" | "oneOf" | "not") =>
           requireDraft(kw, 4, draft)
-          // Decomposable subset of doc-level anyOf/oneOf/not (round-2
-          // VERDICT item 6): when every branch constrains the SAME
-          // single field, the combinator commutes with the per-field
-          // decomposition — "anyOf of single-field branches" IS that
-          // field's AnyOf, with the reference's branch semantics
-          // (PJS:_keywords.py:337-373) preserved exactly (a branch is
-          // valid iff ALL its keywords pass → AllOf per branch).
-          // Branches touching different fields cannot decompose into
-          // independent per-field constraints and keep RAISING — never
-          // silently dropped.
+          // Doc-level anyOf/oneOf/not, GENERAL form (r4): a branch is
+          // valid iff ALL its keywords pass (PJS:_keywords.py:337-373),
+          // so each branch compiles to an AllOf over its parsed
+          // FieldConstraints with every constraint re-anchored onto its
+          // own field via OnField — making the branch validity an
+          // anchor-independent row predicate. Branches may therefore
+          // constrain ANY mix of fields (the round-2/3 single-field
+          // restriction is lifted); the emitted FieldConstraint is
+          // attributed to the first constrained field.
           // branch evaluation is data-dependent (a branch's annotations
           // apply only when it succeeds) — but POINTWISE: the
           // reference's key tracker adds a branch's keys iff the row
@@ -473,18 +474,16 @@ object SuiteLoader {
             require(buf.nonEmpty, s"doc-level $kw[$i] asserts nothing — cannot decompose")
             (buf.toSeq, marks.toSeq)
           }
-          val fields = branches.flatMap(_._1).map(_.field).distinct
-          require(fields.size == 1,
-            s"doc-level $kw supported only for the decomposable subset (every branch " +
-              s"constrains the same single field); branches touch $fields")
-          val bfield = fields.head
+          val bfield = branches.head._1.head.field
           val per = branches.map { case (fcs, _) =>
-            if (fcs.size == 1) fcs.head.constraint else AllOf(fcs.map(_.constraint))
+            val cs = fcs.map(fc =>
+              if (fc.field == bfield) fc.constraint else OnField(fc.field, fc.constraint))
+            if (cs.size == 1) cs.head else AllOf(cs)
           }
           if (kw != "not")
             branches.zip(per).foreach { case ((_, marks), branchGate) =>
               marks.foreach { case (f, gates) =>
-                // the gate must evaluate against the BRANCH's field, not
+                // the gate must evaluate against the BRANCH's fields, not
                 // the unevaluated column it will guard — re-anchor
                 docStateVar.value.foreach(_.commitMark(f, OnField(bfield, branchGate) :: gates))
               }
@@ -495,6 +494,62 @@ object SuiteLoader {
             case _       => Not(per.head)
           }
           out += FieldConstraint(s"$prefix$bfield.$kw", bfield, wrap(comb))
+        case "if" =>
+          requireDraft("if", 7, draft)
+          // Doc-level conditional (PJS:_keywords.py:382-389): row
+          // validity is `cond ? then : else`, every arm an
+          // anchor-independent AllOf of OnField-wrapped constraints
+          // (same composition as the general combinators above).
+          // Evaluated-key marks mirror the reference tracker exactly
+          // (find_evaluated_property_keys_by_schema's `if` arm,
+          // PJS:_utils.py:337-350): marks from `if` and `then` count
+          // when the row validates against `if`; marks from `else`
+          // when it does NOT.
+          def parseArm(node: JsonNode, label: String)
+              : (Option[Constraint], Option[String], Seq[(String, List[Constraint])]) =
+            if (node.isBoolean) (Some(Always(node.asBoolean())), None, Nil)
+            else {
+              require(node.isObject, s"doc-level $label must be an object or boolean schema")
+              val buf = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
+              val marks = scala.collection.mutable.ArrayBuffer.empty[(String, List[Constraint])]
+              val (savedSink, st) = (docStateVar.value.map(_.markSink), docStateVar.value)
+              st.foreach { s => s.markSink = Some(marks); s.branchDepth += 1 }
+              try parseObjectLevel(node, localScope ++ nodeDefs(node), root, "",
+                identity, activeRefs, buf, draft)
+              finally st.foreach { s => s.markSink = savedSink.flatten; s.branchDepth -= 1 }
+              val armCs: Seq[Constraint] = buf.toSeq.map(fc => OnField(fc.field, fc.constraint))
+              val c: Option[Constraint] = armCs match {
+                case Seq()    => None // annotation-only arm: asserts nothing
+                case Seq(one) => Some(one)
+                case cs       => Some(AllOf(cs))
+              }
+              (c, buf.headOption.map(_.field), marks.toSeq)
+            }
+          val (condC, condField, condMarks) = parseArm(entry.getValue, "if")
+          val thenArm = Option(n.get("then")).map(parseArm(_, "then"))
+          val elseArm = Option(n.get("else")).map(parseArm(_, "else"))
+          val (thenC, elseC) = (thenArm.flatMap(_._1), elseArm.flatMap(_._1))
+          if (thenC.nonEmpty || elseC.nonEmpty) {
+            val anchor = (thenArm.flatMap(_._2) orElse elseArm.flatMap(_._2) orElse
+              condField).getOrElse(declaredColumns("if").head)
+            out += FieldConstraint(s"${prefix}if", anchor,
+              wrap(IfThenElse(condC.getOrElse(Always(true)), thenC, elseC)))
+          }
+          docStateVar.value.foreach { st =>
+            def commitGated(marks: Seq[(String, List[Constraint])],
+                            gate: Option[Constraint]): Unit =
+              marks.foreach { case (f, gates) => st.commitMark(f, gate.fold(gates)(_ :: gates)) }
+            commitGated(condMarks, condC)
+            thenArm.foreach(a => commitGated(a._3, condC))
+            // an assertion-free `if` is always valid → `else` never
+            // applies, so its marks are dropped (reference: elif branch
+            // unreachable when is_valid is constant-true)
+            condC.foreach(g => elseArm.foreach(a => commitGated(a._3, Some(Not(g)))))
+          }
+        case "then" | "else" => // consumed by the sibling `if` case;
+          // without one the reference never descends into them
+          // (the if_ validator is the only reader — PJS:_keywords.py:382-389)
+          ()
         case "$ref" =>
           val ref = entry.getValue.asText()
           require(!activeRefs.contains(refKey(root, ref)), s"circular doc-level $$ref '$ref'")

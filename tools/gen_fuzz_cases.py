@@ -323,8 +323,51 @@ def row_name_applicator_schema():
     return s
 
 
+def multi_branch():
+    """A combinator / conditional branch touching 1-2 fields (r4 general
+    form: branches are no longer single-field). Null-gated keywords only
+    (absent key ≙ NULL column is exact), plus `required` so branch
+    validity actually depends on the row.
+    """
+    fields = rng.sample(list(COLS), rng.randint(1, 2))
+    b = {"properties": {f: gated_field_schema(COLS[f]) for f in fields}}
+    if rng.random() < 0.7:
+        b["required"] = rng.sample(fields, rng.randint(1, len(fields)))
+    return b
+
+
+def row_conditional_schema(i):
+    """Doc-level if/then/else and MULTI-FIELD anyOf/oneOf/not (r4),
+    optionally under unevaluatedProperties: false so the reference's
+    conditional evaluated-key tracking (if/then gate on if-validity,
+    else on its negation, combinator branches on branch validity) is
+    fuzzed against the engine's per-row gates.
+    """
+    s = {}
+    if rng.random() < 0.45:
+        s["if"] = multi_branch()
+        if rng.random() < 0.85:
+            s["then"] = multi_branch() if rng.random() < 0.9 else False
+        if rng.random() < 0.6 or ("then" not in s):
+            s["else"] = multi_branch()
+    else:
+        comb = rng.choice(["anyOf", "oneOf", "not"])
+        if comb == "not":
+            s["not"] = multi_branch()
+        else:
+            s[comb] = [multi_branch() for _ in range(rng.randint(2, 3))]
+    if rng.random() < 0.4:
+        f = rng.choice(list(COLS))
+        s.setdefault("properties", {})[f] = gated_field_schema(COLS[f])
+    if rng.random() < 0.35:
+        s["unevaluatedProperties"] = False
+    return s
+
+
 def gen_row_group(i):
-    schema = (row_name_applicator_schema() if rng.random() < 0.3
+    r = rng.random()
+    schema = (row_conditional_schema(i) if r < 0.3
+              else row_name_applicator_schema() if r < 0.55
               else row_schema(i))
     v = jsonschema.Draft202012Validator(schema)
     insts = [row_instance() for _ in range(6)]
