@@ -260,6 +260,45 @@ object ValidationQueries {
   def objectKeywords(s: SparkSession, dir: String): DataFrame =
     ConstraintCompiler.failCounts(toks(s, dir), ObjectKeywordsSuite)
 
+  /** The round-4 DOC-level conditional surface driven end-to-end through
+    * `parseSuiteDocument`: if/then/else with multi-field arms
+    * (PJS:_keywords.py:382-389), anyOf/oneOf/not whose branches
+    * constrain DIFFERENT fields (the lifted single-field restriction —
+    * branch validity composes as OnField-re-anchored AllOf predicates),
+    * and unevaluatedProperties over keys evaluated only CONDITIONALLY by
+    * a `then` arm (the reference's if-gated evaluated-key tracking,
+    * PJS:_utils.py:337-350). Three documents so the generated constraint
+    * ids stay distinct; doc C sits inside allOf to prefix its `if`.
+    */
+  private val DocCondC =
+    """{"allOf": [{
+         "if":   {"properties": {"source": {"pattern": "^(web|forums)$"}}, "required": ["source"]},
+         "then": {"properties": {"n_tok": {"maximum": 400}}, "required": ["n_tok"]},
+         "else": {"properties": {"doc_id": {"minLength": 6}}}}]}"""
+  private val DocCombD =
+    """{"oneOf": [
+         {"properties": {"source": {"pattern": "^w"}}, "required": ["source", "n_tok"]},
+         {"properties": {"n_tok": {"maximum": 120}, "doc_id": {"maxLength": 14}}, "required": ["doc_id"]}],
+       "anyOf": [
+         {"properties": {"n_tok": {"minimum": 256}}, "required": ["n_tok"]},
+         {"properties": {"doc_id": {"pattern": "[02468]$"}, "source": {"minLength": 4}}, "required": ["doc_id"]}],
+       "not": {"required": ["source"], "properties": {"n_tok": {"maximum": 300}}}}"""
+  private val DocCondUnevalF =
+    """{"if": {"properties": {"n_tok": {"minimum": 256}}, "required": ["n_tok"]},
+       "then": {"properties": {"source": {"minLength": 3}}},
+       "properties": {"doc_id": {"minLength": 1}, "tokens": {"minItems": 1}, "n_tok": {"minimum": 0}},
+       "unevaluatedProperties": false}"""
+
+  lazy val DocConditionalSuite: graft.suite.Suite = {
+    import graft.suite.SuiteLoader
+    val docs = Seq(DocCondC, DocCombD, DocCondUnevalF)
+      .map(SuiteLoader.parseSuiteDocument(_, Nil, TableColumns))
+    graft.suite.Suite("doc-conditional", docs.flatMap(_.constraints))
+  }
+
+  def docConditional(s: SparkSession, dir: String): DataFrame =
+    ConstraintCompiler.failCounts(toks(s, dir), DocConditionalSuite)
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. The driver verifies at sf0.01; the token parquet
   // for that sf is generated by TokenData.ensure under a fixed path.
@@ -428,6 +467,37 @@ object ValidationQueries {
       }.mkString(" UNION ALL ")
     },
 
+    "v_doc_conditional" -> {
+      // fail predicates mirroring what parseSuiteDocument compiles the
+      // doc-level conditional surface into (arm validity = AllOf of
+      // null-gated keywords AND required presence), in DuckDB dialect
+      val ifC = "(source IS NOT NULL AND regexp_matches(source, '^(web|forums)$'))"
+      val thenC = "(n_tok IS NOT NULL AND n_tok <= 400)"
+      val elseC = "coalesce(length(doc_id) >= 6, true)"
+      val one1 = "(source IS NOT NULL AND n_tok IS NOT NULL AND regexp_matches(source, '^w'))"
+      val one2 = "(doc_id IS NOT NULL AND coalesce(n_tok <= 120, true) AND length(doc_id) <= 14)"
+      val any1 = "(n_tok IS NOT NULL AND n_tok >= 256)"
+      val any2 = "(doc_id IS NOT NULL AND regexp_matches(doc_id, '[02468]$') AND coalesce(length(source) >= 4, true))"
+      val checks: Seq[(String, String)] = Seq(
+        // doc C: multi-field if/then/else under allOf
+        ("allOf[0].if", s"NOT (CASE WHEN $ifC THEN $thenC ELSE $elseC END)"),
+        // doc D: multi-field combinator branches
+        ("source.oneOf", s"NOT (($one1::INT + $one2::INT) = 1)"),
+        ("n_tok.anyOf", s"NOT ($any1 OR $any2)"),
+        ("source.not", "(source IS NOT NULL AND coalesce(n_tok <= 300, true))"),
+        // doc F: root if/then (no else) + unconditional properties
+        ("if", s"($any1 AND NOT coalesce(length(source) >= 3, true))"),
+        ("doc_id.minLength", "NOT coalesce(length(doc_id) >= 1, true)"),
+        ("tokens.minItems", "NOT coalesce(len(tokens) >= 1, true)"),
+        ("n_tok.minimum", "NOT coalesce(n_tok >= 0, true)"),
+        // doc F: source is evaluated only when the row validates
+        // against `if` — present + if-invalid rows are unevaluated
+        ("source.unevaluatedProperties", s"(source IS NOT NULL AND NOT $any1)"))
+      checks.map { case (cid, failp) =>
+        s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM $T"
+      }.mkString(" UNION ALL ")
+    },
+
     "v_keyword_matrix" -> {
       // fail predicates mirroring ConstraintCompiler's null-gated
       // compilation of each keyword, in DuckDB dialect
@@ -471,6 +541,7 @@ object ValidationQueries {
     "v_ks_sketch_summary" -> (ksSketchSummary _),
     "v_best_violation" -> (bestViolation _),
     "v_keyword_matrix" -> (keywordMatrix _),
-    "v_object_keywords" -> (objectKeywords _)
+    "v_object_keywords" -> (objectKeywords _),
+    "v_doc_conditional" -> (docConditional _)
   )
 }

@@ -177,6 +177,15 @@ class SuiteDocumentSpec extends SparkSpec {
            "dependencies": {"a": ["b"]}}"""))
   }
 
+  test("v_doc_conditional suite compiles to the oracle's exact constraint ids") {
+    // the DuckDB oracle for v_doc_conditional hardcodes these generated
+    // ids — loader id drift must fail HERE, not as a driver hash mismatch
+    assert(ValidationQueries.DocConditionalSuite.constraints.map(_.id) ===
+      Seq("allOf[0].if", "source.oneOf", "n_tok.anyOf", "source.not",
+        "if", "doc_id.minLength", "tokens.minItems", "n_tok.minimum",
+        "source.unevaluatedProperties"))
+  }
+
   test("later-draft keywords RAISE under earlier dialects (vocabulary gate)") {
     // draft-4 has no numeric exclusive bounds and no const — the
     // reference IGNORES them there, so compiling them would make the
