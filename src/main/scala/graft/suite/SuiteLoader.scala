@@ -172,17 +172,45 @@ object SuiteLoader {
   }
   private val docStateVar = new scala.util.DynamicVariable[Option[DocParseState]](None)
 
-  /** The document the parse ENTERED at. Registry resources are reached
-    * from it, so it is always in the reference's dynamic scope — the
-    * `$recursiveRef` re-binding guard must therefore see its root even
-    * though it never appears in the registry itself.
+  /** The chain of schema RESOURCES the parse has entered, innermost
+    * first (head = the resource currently being parsed). Because `$ref`
+    * resolution here is compile-time INLINING, the reference's runtime
+    * "dynamic scope" (REF:_core.py:709-725, the `_previous` stack
+    * appended on every base-URI change) is STATICALLY KNOWN at every
+    * inlining site — which is what makes full `$dynamicRef` re-binding
+    * and the 2019-09 `$recursiveRef` outward walk exactly resolvable at
+    * compile time (r4). Recursion through a re-bound target still
+    * raises via the cycle guards: an infinite inlining cannot validate
+    * a flat row, and the cyclic shapes are precisely the tree-schema
+    * idioms a relational column model cannot hold anyway.
     */
-  private val entryRootVar = new scala.util.DynamicVariable[Option[JsonNode]](None)
+  private val dynScopeVar = new scala.util.DynamicVariable[List[JsonNode]](Nil)
+
+  /** Whether a document can appear in the dynamic scope at all: the
+    * reference only pushes a base URI into `_previous` when it is
+    * NON-EMPTY (`_evolve`: `if self._base_uri and ...`,
+    * REF:_core.py:717-725) — an ANONYMOUS entry schema (no `$id`) is
+    * never part of the walk, so its `$dynamicAnchor`s are invisible to
+    * re-binding (verified against the live validator; pinned by the
+    * anonymous-entry golden group).
+    */
+  private def hasBaseUri(d: JsonNode): Boolean =
+    Option(d.get("$id")).exists(_.isTextual)
+
+  /** Run `body` with `tRoot` as the current resource, pushing it onto
+    * the dynamic scope unless it is anonymous or already the head
+    * (mirrors referencing's push-on-base-change, REF:_core.py:717-725).
+    */
+  private def inResource[A](tRoot: JsonNode)(body: => A): A = {
+    val cur = dynScopeVar.value
+    if (!hasBaseUri(tRoot) || cur.headOption.exists(_ eq tRoot)) body
+    else dynScopeVar.withValue(tRoot :: cur)(body)
+  }
 
   /** Parse one JSON Schema (subset) document into a Constraint. */
   def parseSchema(json: String): Constraint = {
     val n = mapper.readTree(json)
-    entryRootVar.withValue(Some(n)) {
+    dynScopeVar.withValue(if (hasBaseUri(n)) List(n) else Nil) {
       toConstraint(n, Map.empty, n, Set.empty, draftOf(n, ModernDraft))
     }
   }
@@ -293,7 +321,7 @@ object SuiteLoader {
     val name = Option(root.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
     val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
     val state = new DocParseState
-    entryRootVar.withValue(Some(root)) {
+    dynScopeVar.withValue(List(root)) {
     docStateVar.withValue(Some(state)) {
       parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
         draftOf(root, ModernDraft))
@@ -375,8 +403,9 @@ object SuiteLoader {
       val (tScope, tDraft) =
         if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
       docStateVar.value.foreach(_.refDepth += 1)
-      try parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
-      finally docStateVar.value.foreach(_.refDepth -= 1)
+      try inResource(tRoot) {
+        parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
+      } finally docStateVar.value.foreach(_.refDepth -= 1)
       return
     }
 
@@ -558,8 +587,9 @@ object SuiteLoader {
           val (tScope, tDraft) =
             if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
           docStateVar.value.foreach(_.refDepth += 1)
-          try parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
-          finally docStateVar.value.foreach(_.refDepth -= 1)
+          try inResource(tRoot) {
+            parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
+          } finally docStateVar.value.foreach(_.refDepth -= 1)
         case "$recursiveRef" =>
           require2019Only("$recursiveRef", draft)
           // static non-rebinding subset: resolves to the owning document
@@ -571,9 +601,10 @@ object SuiteLoader {
             "circular doc-level $recursiveRef '#' — compile-time inlining cannot represent cycles")
           require(tRoot.isObject, "doc-level $recursiveRef must target an object schema")
           docStateVar.value.foreach(_.refDepth += 1)
-          try parseObjectLevel(tRoot, nodeDefs(tRoot), tRoot, prefix, wrap, activeRefs + key, out,
-            draftOf(tRoot, draft))
-          finally docStateVar.value.foreach(_.refDepth -= 1)
+          try inResource(tRoot) {
+            parseObjectLevel(tRoot, nodeDefs(tRoot), tRoot, prefix, wrap, activeRefs + key, out,
+              draftOf(tRoot, draft))
+          } finally docStateVar.value.foreach(_.refDepth -= 1)
         case "$recursiveAnchor" =>
           require2019Only("$recursiveAnchor", draft)
           require(entry.getValue.isBoolean, "$recursiveAnchor must be a boolean")
@@ -891,19 +922,27 @@ object SuiteLoader {
     out.toSeq
   }
 
-  /** STATIC subset of `$dynamicRef` (round-3 VERDICT item 7): when no
-    * `$dynamicAnchor` RE-BINDING can exist — the anchor name occurs at
-    * most ONCE across the whole reachable closure (this document plus
-    * every registry resource) — dynamic resolution degenerates to plain
-    * `$ref` resolution (REF:_core.py:709: the dynamic scope walk finds
-    * the same single anchor no matter the entry path). The common
-    * non-recursive schema-reuse pattern inlines; true re-binding (the
-    * same anchor name declared in more than one reachable place, where
-    * resolution depends on the runtime dynamic scope) RAISES — never
-    * silently mis-resolved. With no `$dynamicAnchor` of that name at
-    * all, the ref behaves exactly like `$ref` to a plain `$anchor`
-    * (2020-12 §8.2.3.2: bookending requires a $dynamicAnchor for the
-    * dynamic behavior to activate).
+  /** FULL compile-time `$dynamicRef` resolution (r4; upgraded from the
+    * round-3 non-rebinding static subset). Compile-time `$ref` inlining
+    * makes the reference's runtime dynamic scope STATIC at every
+    * inlining site (dynScopeVar), so the runtime walk
+    * (REF:jsonschema.py:595-620, `DynamicAnchor.resolve`) is reproduced
+    * exactly, re-binding included:
+    *  1. INITIAL resolution happens in the ref's OWN resource (2020-12
+    *     §8.2.3.2): a `$dynamicAnchor` there activates the dynamic
+    *     walk; a plain `$anchor` there bookends to ordinary `$ref`
+    *     semantics; nothing there is UNRESOLVABLE — a foreign anchor
+    *     never substitutes for a failed local resolution.
+    *  2. When active, EVERY resource in the dynamic scope is checked
+    *     (the reference `continue`s past non-declaring entries — the
+    *     walk is NOT contiguous) and the OUTERMOST one declaring a
+    *     same-name `$dynamicAnchor` wins (the reference's `last`
+    *     overwrite in the innermost→outermost loop); plain `$anchor`s
+    *     in scope never participate (isinstance DynamicAnchor check).
+    *  3. Recursion through a re-bound target still raises via the
+    *     cycle guard at the call site, and a declaring document with a
+    *     NESTED `$id` sub-resource raises — the flat registry does not
+    *     model anchor ownership across embedded resources.
     */
   private def resolveDynamicTarget(ref: String, root: JsonNode): (JsonNode, JsonNode) = {
     val hash = ref.indexOf('#')
@@ -915,47 +954,50 @@ object SuiteLoader {
       else registryVar.value.getOrElse(ref.substring(0, hash).stripSuffix("#"),
         throw new IllegalArgumentException(
           s"$$dynamicRef '$ref' base not in the resource registry (zero-egress closed world)"))
-    // INITIAL resolution happens in the ref's OWN resource (2020-12
-    // §8.2.3.2): a $dynamicAnchor there activates dynamic behavior, a
-    // plain $anchor there bookends to ordinary $ref semantics, and
-    // nothing there means UNRESOLVABLE — a foreign resource's anchor
-    // never substitutes for a failed local resolution (the reference
-    // raises Unresolvable; silently inlining a foreign schema would be
-    // wrong validation)
-    val ownDyn = findAnchors(owner, "$dynamicAnchor", name)
-    if (ownDyn.nonEmpty) {
-      // dynamic behavior is active: any OTHER declaration of the same
-      // name in the reachable closure (identity-distinct: root + every
-      // registry resource) makes resolution scope-dependent
-      val others = (root +: registryVar.value.values.toSeq)
-        .foldLeft(Vector.empty[JsonNode])((acc, d) => if (acc.exists(_ eq d)) acc else acc :+ d)
-        .filterNot(_ eq owner)
-        .flatMap(d => findAnchors(d, "$dynamicAnchor", name))
-      require(ownDyn.size == 1 && others.isEmpty,
-        s"$$dynamicRef '$ref': $$dynamicAnchor '$name' is declared ${ownDyn.size + others.size} times " +
-          "in scope — re-binding is possible, which compile-time inlining cannot represent (static subset raises)")
-      (owner, ownDyn.head)
+    // anchor-declaration test with the flat-registry soundness guard:
+    // an anchor found inside an embedded $id sub-resource would be
+    // mis-attributed to the outer document, so a declaring doc with a
+    // nested $id raises rather than risking a wrong winner
+    def declares(d: JsonNode): Boolean = {
+      val hit = findAnchors(d, "$dynamicAnchor", name).nonEmpty
+      if (hit) require(!hasNestedId(d),
+        s"$$dynamicRef '$ref': a document declaring $$dynamicAnchor '$name' embeds a nested $$id " +
+          "sub-resource — anchor ownership across embedded resources is not modeled (raises)")
+      hit
+    }
+    if (declares(owner)) {
+      // dynamic behavior active: walk the statically-known scope chain
+      // outermost-first; the first declaring resource IS the
+      // reference's final `last` (its loop runs innermost→outermost
+      // and keeps overwriting). Fallback = the initial resolution.
+      val winner = dynScopeVar.value.reverse.find(declares).getOrElse(owner)
+      val anchors = findAnchors(winner, "$dynamicAnchor", name)
+      require(anchors.size == 1,
+        s"$$dynamicRef '$ref': $$dynamicAnchor '$name' declared ${anchors.size} times in one " +
+          "resource — ambiguous (malformed schema)")
+      (winner, anchors.head)
     } else
-      findAnchor(owner, name).map(owner -> _)
-        .getOrElse(throw new IllegalArgumentException(s"unresolvable $$dynamicRef '$ref'"))
+      findAnchor(owner, name).map { a =>
+        require(!hasNestedId(owner),
+          s"$$dynamicRef '$ref': bookend resource embeds a nested $$id sub-resource — anchor " +
+            "ownership across embedded resources is not modeled (raises)")
+        owner -> a
+      }.getOrElse(throw new IllegalArgumentException(s"unresolvable $$dynamicRef '$ref'"))
   }
 
-  /** STATIC subset of 2019-09 `$recursiveRef`. The reference resolves
-    * `#` to the CURRENT resource root, then — only when that root
-    * carries a truthy `$recursiveAnchor` — walks the dynamic scope
-    * outward through contiguously-anchored resource roots and lands on
-    * the outermost one (REF:jsonschema.py:622-642, the `lookup("#")` +
-    * `dynamic_scope()` loop). Statically:
-    *  - target root NOT anchored → the walk never starts; plain `$ref`
-    *    to the resource root (the common predecessor-idiom case);
-    *  - target root anchored but NO OTHER reachable document root
-    *    anchored → the walk stops immediately; still the resource root
-    *    (the dynamic scope is a subset of entry doc + registry);
-    *  - a second anchored root anywhere in the closure → resolution
-    *    depends on the runtime entry path, which compile-time inlining
-    *    cannot represent → RAISE (never silently mis-resolved).
-    * A nested `$id` sub-resource would re-base `#` to an inner root the
-    * flat registry does not model → RAISE likewise.
+  /** FULL compile-time 2019-09 `$recursiveRef` resolution (r4; upgraded
+    * from the round-3 non-rebinding static subset). The reference
+    * resolves `#` to the CURRENT resource root, then — only when that
+    * root carries a truthy `$recursiveAnchor` — walks the dynamic scope
+    * OUTWARD, contiguously while each root is anchored, breaking at the
+    * first unanchored one, and lands on the outermost contiguously-
+    * anchored root (REF:jsonschema.py:622-642, the `lookup("#")` +
+    * `dynamic_scope()` loop with its `break`). The scope chain is
+    * statically known under inlining (dynScopeVar), so the walk runs at
+    * compile time. The genuinely recursive shapes (the re-bound outer
+    * root transitively re-reaches the ref) raise via the cycle guard at
+    * the call site; a nested `$id` sub-resource would re-base `#` to an
+    * inner root the flat registry does not model → RAISE likewise.
     */
   private def resolveRecursiveTarget(ref: String, root: JsonNode): JsonNode = {
     require(ref == "#",
@@ -963,21 +1005,31 @@ object SuiteLoader {
         s"REF:jsonschema.py:626-628) — got '$ref'")
     require(!hasNestedId(root),
       "$recursiveRef inside a document with a nested $id sub-resource — '#' would re-base " +
-        "to the inner resource root, which the flat registry cannot represent (static subset raises)")
-    def anchored(d: JsonNode): Boolean = Option(d.get("$recursiveAnchor")).exists { a =>
-      require(a.isBoolean, s"$$recursiveAnchor must be a boolean, got $a")
-      a.asBoolean()
+        "to the inner resource root, which the flat registry cannot represent (raises)")
+    def anchored(d: JsonNode): Boolean = d.isObject &&
+      Option(d.get("$recursiveAnchor")).exists { a =>
+        require(a.isBoolean, s"$$recursiveAnchor must be a boolean, got $a")
+        a.asBoolean()
+      }
+    if (!anchored(root)) root
+    else {
+      // outward walk over the scope OUTSIDE the current resource
+      // (the reference's `_previous` excludes the current base)
+      val outward = dynScopeVar.value match {
+        case h :: t if h eq root => t
+        case s                   => s
+      }
+      var resolved = root
+      var rest = outward
+      while (rest.nonEmpty && anchored(rest.head)) {
+        resolved = rest.head
+        rest = rest.tail
+      }
+      require(!hasNestedId(resolved),
+        "$recursiveRef '#': the re-bound outer root embeds a nested $id sub-resource — " +
+          "not modeled by the flat registry (raises)")
+      resolved
     }
-    if (anchored(root)) {
-      val others = (entryRootVar.value.toSeq ++ registryVar.value.values)
-        .foldLeft(Vector.empty[JsonNode])((acc, d) => if (acc.exists(_ eq d)) acc else acc :+ d)
-        .filterNot(_ eq root)
-        .filter(anchored)
-      require(others.isEmpty,
-        s"$$recursiveRef '#': $$recursiveAnchor declared on ${others.size + 1} reachable document " +
-          "roots — re-binding is possible, which compile-time inlining cannot represent (static subset raises)")
-    }
-    root
   }
 
   /** Any `$id` on an object STRICTLY BELOW `root` (an embedded
@@ -1050,7 +1102,9 @@ object SuiteLoader {
       if (tRoot eq root) toConstraint(target, defs, root, activeRefs + refKey(root, ref), draft)
       // cross-document: the resource's own $defs scope and $schema
       // dialect take over (lexical scoping, REF:_core.py resolver push)
-      else toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + refKey(root, ref), draftOf(tRoot, draft))
+      else inResource(tRoot) {
+        toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + refKey(root, ref), draftOf(tRoot, draft))
+      }
     }
 
     // pre-2019 drafts: $ref OVERRIDES its siblings — everything else in
@@ -1184,13 +1238,17 @@ object SuiteLoader {
         case "$ref" => cs += resolveRef(v.asText())
         case "$dynamicRef" =>
           requireDraft("$dynamicRef", 2020, draft)
-          // static non-rebinding subset — see resolveDynamicTarget
+          // full compile-time resolution incl. re-binding (r4) — see
+          // resolveDynamicTarget; the statically-known scope chain
+          // replaces the reference's runtime walk
           val (tRoot, target) = resolveDynamicTarget(v.asText(), root)
           val key = refKey(tRoot, "$dynamic:" + v.asText())
           require(!activeRefs.contains(key),
             s"circular $$dynamicRef '${v.asText()}' — compile-time inlining cannot represent cycles")
           cs += (if (tRoot eq root) toConstraint(target, defs, root, activeRefs + key, draft)
-                 else toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + key, draftOf(tRoot, draft)))
+                 else inResource(tRoot) {
+                   toConstraint(target, nodeDefs(tRoot), tRoot, activeRefs + key, draftOf(tRoot, draft))
+                 })
         case "$dynamicAnchor" =>
           requireDraft("$dynamicAnchor", 2020, draft)
           // declaration marker only (names this node); the re-binding
@@ -1198,12 +1256,15 @@ object SuiteLoader {
           require(v.isTextual, "$dynamicAnchor must be a string")
         case "$recursiveRef" =>
           require2019Only("$recursiveRef", draft)
-          // static non-rebinding subset — see resolveRecursiveTarget
+          // full compile-time resolution incl. the outward dynamic-scope
+          // walk (r4) — see resolveRecursiveTarget
           val tRoot = resolveRecursiveTarget(v.asText(), root)
           val key = refKey(tRoot, "$recursive:#")
           require(!activeRefs.contains(key),
             "circular $recursiveRef '#' — compile-time inlining cannot represent cycles")
-          cs += toConstraint(tRoot, nodeDefs(tRoot), tRoot, activeRefs + key, draftOf(tRoot, draft))
+          cs += inResource(tRoot) {
+            toConstraint(tRoot, nodeDefs(tRoot), tRoot, activeRefs + key, draftOf(tRoot, draft))
+          }
         case "$recursiveAnchor" =>
           require2019Only("$recursiveAnchor", draft)
           // declaration marker only; the re-binding guard lives at

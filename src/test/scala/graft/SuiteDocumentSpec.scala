@@ -120,7 +120,7 @@ class SuiteDocumentSpec extends SparkSpec {
       SuiteLoader.parseSchema("""{"$dynamicRef": "#nope"}""", Seq(farN)))
   }
 
-  test("$recursiveRef static subset: non-rebinding resolves; re-binding, recursion, and off-dialect RAISE") {
+  test("$recursiveRef full resolution: outward walk re-binds; recursion and off-dialect RAISE") {
     val D = "https://json-schema.org/draft/2019-09/schema"
     // non-rebinding registry case: '#' = the resource root
     val rec = s"""{"$$id": "https://example/rec", "$$schema": "$D",
@@ -128,12 +128,30 @@ class SuiteDocumentSpec extends SparkSpec {
     val c = SuiteLoader.parseSchema(
       s"""{"$$schema": "$D", "$$ref": "https://example/rec#/$$defs/p"}""", Seq(rec))
     assert(c === graft.suite.Constraint.Minimum(0))
-    // two anchored roots (entry + resource) = re-binding is possible → RAISE
+    // ANONYMOUS anchored entry: never enters the dynamic scope
+    // (REF:_core.py:717-725 pushes only non-empty base URIs), so the
+    // walk stops at the resource root — resolves, no re-binding
     val recA = s"""{"$$id": "https://example/reca", "$$schema": "$D", "$$recursiveAnchor": true,
                     "minimum": 0, "$$defs": {"p": {"$$recursiveRef": "#"}}}"""
+    val cAnon = SuiteLoader.parseSchema(
+      s"""{"$$schema": "$D", "$$recursiveAnchor": true,
+           "$$ref": "https://example/reca#/$$defs/p"}""", Seq(recA))
+    assert(cAnon === graft.suite.Constraint.Minimum(0))
+    // GENUINE re-binding (both roots $id'd + anchored): the walk lands
+    // on the outer root — resolvable when the outer root's constraint
+    // does not re-enter the ref chain (entered reca via a $defs branch)
+    val recOuter = s"""{"$$id": "https://example/reco", "$$schema": "$D",
+                        "$$recursiveAnchor": true, "maximum": 77,
+                        "$$defs": {"via": {"$$ref": "https://example/reca#/$$defs/p"}}}"""
+    val cRebind = SuiteLoader.parseSchema(
+      s"""{"$$schema": "$D", "$$ref": "https://example/reco#/$$defs/via"}""",
+      Seq(recOuter, recA))
+    assert(cRebind === graft.suite.Constraint.Maximum(77))
+    // …but re-binding to an outer root that transitively re-reaches the
+    // $recursiveRef is infinite inlining → cycle guard RAISES
     intercept[IllegalArgumentException](
       SuiteLoader.parseSchema(
-        s"""{"$$schema": "$D", "$$recursiveAnchor": true,
+        s"""{"$$id": "https://example/rece", "$$schema": "$D", "$$recursiveAnchor": true,
              "$$ref": "https://example/reca#/$$defs/p"}""", Seq(recA)))
     // …but an UNANCHORED target root never starts the walk: the same
     // anchored entry root is then irrelevant (REF:jsonschema.py:631-633)
