@@ -299,6 +299,95 @@ object ValidationQueries {
   def docConditional(s: SparkSession, dir: String): DataFrame =
     ConstraintCompiler.failCounts(toks(s, dir), DocConditionalSuite)
 
+  /** The round-4 FULL `$dynamicRef`/`$recursiveRef` resolution driven
+    * end-to-end through `parseSuiteDocument` against a multi-resource
+    * registry: compile-time `$ref` inlining makes the runtime dynamic
+    * scope statically known, so the re-binding walk (REF:_core.py:709;
+    * REF:jsonschema.py:622-642) resolves at compile time. Four suite
+    * documents pin the four distinguishing behaviors, each with a
+    * DuckDB fail-count oracle whose predicate only matches if the
+    * WINNING resource was chosen:
+    *  G: field-level `$dynamicRef` re-binding — the `$id`'d entry's
+    *     `$dynamicAnchor` (maximum 400) overrides the library's own
+    *     default (maximum 100);
+    *  H: bookend — the library resolves `#SLEN` to a plain `$anchor`,
+    *     so `$ref` semantics apply (minLength 4) and the entry's
+    *     `$dynamicAnchor` override must NOT re-bind;
+    *  I: 2019-09 `$recursiveRef` outward walk — `#` re-binds past the
+    *     library root (maxLength 3) to the outer anchored resource
+    *     (pattern), reached via a `$defs` branch so the inlining is
+    *     acyclic;
+    *  K: anonymous-entry invisibility — the entry (no `$id`) declares a
+    *     same-name `$dynamicAnchor` (maxItems 10) that must stay OUT of
+    *     the scope; the library's own default (maxItems 300) governs.
+    * Document J (doc-level `$dynamicRef` at the suite-document root,
+    * resolving to an OBJECT schema whose properties re-bind) exercises
+    * the parseObjectLevel path.
+    */
+  private val DynFieldEntry =
+    """{"$id": "https://graft.example/entry-dynfield",
+       "$defs": {"cap": {"$dynamicAnchor": "LIM", "maximum": 400}},
+       "properties": {"n_tok": {"$ref": "https://graft.example/dyn-lib#/$defs/limited"}}}"""
+  private val DynLib =
+    """{"$id": "https://graft.example/dyn-lib",
+       "$defs": {"limited": {"$dynamicRef": "#LIM", "minimum": 0},
+                 "default": {"$dynamicAnchor": "LIM", "maximum": 100}}}"""
+  private val BkdEntry =
+    """{"$id": "https://graft.example/entry-bkdfield",
+       "$defs": {"override": {"$dynamicAnchor": "SLEN", "minLength": 20}},
+       "properties": {"doc_id": {"$ref": "https://graft.example/bkd-lib#/$defs/sized"}}}"""
+  private val BkdLib =
+    """{"$id": "https://graft.example/bkd-lib",
+       "$defs": {"sized": {"$dynamicRef": "#SLEN"},
+                 "s": {"$anchor": "SLEN", "minLength": 4}}}"""
+  private val RecEntry =
+    """{"$schema": "https://json-schema.org/draft/2019-09/schema",
+       "properties": {"source": {"$ref": "https://graft.example/rec-outer#/$defs/via"}}}"""
+  private val RecOuter =
+    """{"$id": "https://graft.example/rec-outer",
+       "$schema": "https://json-schema.org/draft/2019-09/schema",
+       "$recursiveAnchor": true,
+       "pattern": "^(web|wiki|books|code|forums)$",
+       "$defs": {"via": {"$ref": "https://graft.example/rec-lib#/$defs/leaf"}}}"""
+  private val RecLib =
+    """{"$id": "https://graft.example/rec-lib",
+       "$schema": "https://json-schema.org/draft/2019-09/schema",
+       "$recursiveAnchor": true,
+       "maxLength": 3,
+       "$defs": {"leaf": {"$recursiveRef": "#"}}}"""
+  private val AnonEntry =
+    """{"$defs": {"invisible": {"$dynamicAnchor": "Z", "maxItems": 10}},
+       "properties": {"tokens": {"$ref": "https://graft.example/z-lib#/$defs/zl"}}}"""
+  private val ZLib =
+    """{"$id": "https://graft.example/z-lib",
+       "$defs": {"zl": {"$dynamicRef": "#Z"},
+                 "zd": {"$dynamicAnchor": "Z", "maxItems": 300}}}"""
+  private val DocDynEntry =
+    """{"$id": "https://graft.example/entry-docdyn",
+       "$defs": {"strict": {"$dynamicAnchor": "ROWS",
+                            "properties": {"tokens": {"maxItems": 512}}}},
+       "$ref": "https://graft.example/doc-lib"}"""
+  private val DocDynLib =
+    """{"$id": "https://graft.example/doc-lib",
+       "$defs": {"lax": {"$dynamicAnchor": "ROWS",
+                         "properties": {"tokens": {"maxItems": 100000}}}},
+       "$dynamicRef": "#ROWS"}"""
+
+  lazy val DynamicRefsSuite: graft.suite.Suite = {
+    import graft.suite.SuiteLoader
+    val docs = Seq(
+      (DynFieldEntry, Seq(DynLib)),
+      (BkdEntry, Seq(BkdLib)),
+      (RecEntry, Seq(RecOuter, RecLib)),
+      (AnonEntry, Seq(ZLib)),
+      (DocDynEntry, Seq(DocDynLib)))
+      .map { case (doc, res) => SuiteLoader.parseSuiteDocument(doc, res, TableColumns) }
+    graft.suite.Suite("dynamic-refs", docs.flatMap(_.constraints))
+  }
+
+  def dynamicRefs(s: SparkSession, dir: String): DataFrame =
+    ConstraintCompiler.failCounts(toks(s, dir), DynamicRefsSuite)
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. The driver verifies at sf0.01; the token parquet
   // for that sf is generated by TokenData.ensure under a fixed path.
@@ -467,6 +556,32 @@ object ValidationQueries {
       }.mkString(" UNION ALL ")
     },
 
+    "v_dynamic_refs" -> {
+      // fail predicates mirroring what the full compile-time
+      // $dynamicRef/$recursiveRef resolution inlines each ref into;
+      // each predicate only matches if the WINNING resource was chosen
+      // (see DynamicRefsSuite)
+      val checks: Seq[(String, String)] = Seq(
+        // doc G: entry's $dynamicAnchor cap (max 400) re-binds over the
+        // library default (max 100); sibling minimum 0 rides along
+        ("n_tok.$ref", "NOT (coalesce(n_tok <= 400, true) AND coalesce(n_tok >= 0, true))"),
+        // doc H: plain-$anchor bookend — library minLength 4 governs,
+        // the entry's minLength-20 override must NOT apply
+        ("doc_id.$ref", "NOT coalesce(length(doc_id) >= 4, true)"),
+        // doc I: $recursiveRef walks outward past rec-lib (maxLength 3)
+        // to rec-outer's pattern
+        ("source.$ref", "NOT coalesce(regexp_matches(source, '^(web|wiki|books|code|forums)$'), true)"),
+        // doc K: anonymous entry's anchor (maxItems 10) is invisible —
+        // the library's own default (maxItems 300) governs
+        ("tokens.$ref", "NOT coalesce(len(tokens) <= 300, true)"),
+        // doc J: doc-level $dynamicRef re-binds to the entry's strict
+        // row schema (maxItems 512), not the library's lax one
+        ("tokens.maxItems", "NOT coalesce(len(tokens) <= 512, true)"))
+      checks.map { case (cid, failp) =>
+        s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM $T"
+      }.mkString(" UNION ALL ")
+    },
+
     "v_doc_conditional" -> {
       // fail predicates mirroring what parseSuiteDocument compiles the
       // doc-level conditional surface into (arm validity = AllOf of
@@ -542,6 +657,7 @@ object ValidationQueries {
     "v_best_violation" -> (bestViolation _),
     "v_keyword_matrix" -> (keywordMatrix _),
     "v_object_keywords" -> (objectKeywords _),
-    "v_doc_conditional" -> (docConditional _)
+    "v_doc_conditional" -> (docConditional _),
+    "v_dynamic_refs" -> (dynamicRefs _)
   )
 }

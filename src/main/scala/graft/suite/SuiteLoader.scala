@@ -321,7 +321,7 @@ object SuiteLoader {
     val name = Option(root.get("$id")).map(_.asText()).getOrElse("anonymous-suite")
     val cs = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
     val state = new DocParseState
-    dynScopeVar.withValue(List(root)) {
+    dynScopeVar.withValue(if (hasBaseUri(root)) List(root) else Nil) {
     docStateVar.withValue(Some(state)) {
       parseObjectLevel(root, nodeDefs(root), root, "", identity, Set.empty, cs,
         draftOf(root, ModernDraft))
@@ -608,6 +608,27 @@ object SuiteLoader {
         case "$recursiveAnchor" =>
           require2019Only("$recursiveAnchor", draft)
           require(entry.getValue.isBoolean, "$recursiveAnchor must be a boolean")
+        case "$dynamicRef" =>
+          requireDraft("$dynamicRef", 2020, draft)
+          // full compile-time resolution incl. re-binding (r4) — the
+          // statically-known scope chain replaces the runtime walk; same
+          // resolver as the column-constraint path
+          val ref = entry.getValue.asText()
+          val (tRoot, target) = resolveDynamicTarget(ref, root)
+          val key = refKey(tRoot, "$dynamic:" + ref)
+          require(!activeRefs.contains(key),
+            s"circular doc-level $$dynamicRef '$ref' — compile-time inlining cannot represent cycles")
+          require(target.isObject, s"doc-level $$dynamicRef '$ref' must target an object schema")
+          val (tScope, tDraft) =
+            if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
+          docStateVar.value.foreach(_.refDepth += 1)
+          try inResource(tRoot) {
+            parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + key, out, tDraft)
+          } finally docStateVar.value.foreach(_.refDepth -= 1)
+        case "$dynamicAnchor" =>
+          requireDraft("$dynamicAnchor", 2020, draft)
+          // declaration marker only (names this node for the resolver)
+          require(entry.getValue.isTextual, "$dynamicAnchor must be a string")
         case "properties" =>
           parseProperties(entry.getValue, localScope, root, prefix, wrap, out, draft)
         case "minProperties" =>

@@ -204,6 +204,21 @@ class SuiteDocumentSpec extends SparkSpec {
         "source.unevaluatedProperties"))
   }
 
+  test("v_dynamic_refs suite compiles to the oracle's exact ids AND winning constraints") {
+    import graft.suite.Constraint._
+    val cs = ValidationQueries.DynamicRefsSuite.constraints
+    assert(cs.map(_.id) ===
+      Seq("n_tok.$ref", "doc_id.$ref", "source.$ref", "tokens.$ref", "tokens.maxItems"))
+    // each resolved constraint pins WHICH resource won the walk — a
+    // wrong winner changes the constraint, failing here rather than as
+    // a driver hash mismatch
+    assert(cs(0).constraint === AllOf(Seq(Maximum(400), Minimum(0)))) // entry re-binds over lib default
+    assert(cs(1).constraint === MinLength(4))                         // bookend: no re-binding
+    assert(cs(2).constraint === Pattern("^(web|wiki|books|code|forums)$")) // recursiveRef outward walk
+    assert(cs(3).constraint === MaxItems(300))                        // anonymous entry invisible
+    assert(cs(4).constraint === MaxItems(512))                        // doc-level re-binding
+  }
+
   test("later-draft keywords RAISE under earlier dialects (vocabulary gate)") {
     // draft-4 has no numeric exclusive bounds and no const — the
     // reference IGNORES them there, so compiling them would make the
