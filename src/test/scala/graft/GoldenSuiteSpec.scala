@@ -153,3 +153,13 @@ class FuzzRowSuiteSpec extends GoldenCorpusSpec("golden/fuzz_row_cases.json")
   * validator (validator_for).
   */
 class FuzzLegacySuiteSpec extends GoldenCorpusSpec("golden/fuzz_legacy_cases.json")
+
+/** The dynamic-ref fuzz corpus: $dynamicRef/$dynamicAnchor re-binding,
+  * plain-$anchor bookends, anonymous-entry invisibility, 2019-09
+  * $recursiveRef chains with independently-random anchor flags, and
+  * doc-level $dynamicRef row schemas — the engine resolves the whole
+  * dynamic-scope walk at COMPILE time; each group is labeled by the
+  * reference running the walk at RUNTIME over a registry, so a wrong
+  * compile-time winner is a red test, never a silent divergence.
+  */
+class FuzzDynamicSuiteSpec extends GoldenCorpusSpec("golden/fuzz_dynamic_cases.json")

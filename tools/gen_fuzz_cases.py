@@ -610,3 +610,150 @@ out2 = "src/test/resources/golden/fuzz_row_cases.json"
 json.dump(row_groups, open(out2, "w"), indent=1)
 print(f"wrote {len(row_groups)} row groups / {rtotal} cases ({rvalid} valid, "
       f"{rtotal - rvalid} invalid) to {out2}")
+
+# ---------------------------------------------------------------------------
+# DYNAMIC-REF fuzz: $dynamicRef/$dynamicAnchor (2020-12) and
+# $recursiveRef/$recursiveAnchor (2019-09) re-binding, randomized over
+# which resource declares the winning anchor. The engine resolves the
+# entire dynamic-scope walk at COMPILE time (compile-time $ref inlining
+# makes the runtime scope statically known); every group here is labeled
+# by the live reference validator running the walk at RUNTIME with a
+# referencing.Registry — so any divergence between the two resolutions
+# is a test failure, not a silent wrong winner. Separate rng stream so
+# the three corpora above stay byte-identical under the same seed.
+# ---------------------------------------------------------------------------
+
+drng = random.Random(SEED + 1)
+from referencing import Registry, Resource
+from referencing.jsonschema import DRAFT202012
+
+
+def _bound(r):
+    k = r.choice(["minimum", "maximum", "exclusiveMinimum", "multipleOf"])
+    if k == "multipleOf":
+        return {k: r.choice([2, 3, 5, 7])}
+    return {k: r.choice(INTS)}
+
+
+def _label(schema, resources, insts):
+    regs = [Resource.from_contents(r, default_specification=DRAFT202012)
+            for r in resources]
+    registry = Registry().with_resources((r.id(), r) for r in regs)
+    cls = jsonschema.validators.validator_for(
+        schema, default=jsonschema.Draft202012Validator)
+    v = cls(schema, registry=registry)
+    return [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+            for j, d in enumerate(insts)]
+
+
+def dynamic_group(i):
+    kind = drng.choice(["dyn-field-rebind", "dyn-bookend", "dyn-anon-invisible",
+                        "dyn-local", "rec-chain", "dyn-doclevel"])
+    ent_uri = f"https://fuzz.example/dynent{i}"
+    lib_uri = f"https://fuzz.example/dynlib{i}"
+    if kind in ("dyn-field-rebind", "dyn-bookend", "dyn-anon-invisible"):
+        # entry --$ref--> lib.limited {$dynamicRef: "#L"}; lib also holds
+        # the bookend anchor. Randomize: does the ENTRY re-declare the
+        # anchor (re-binding it) and is the lib's anchor dynamic (true
+        # bookend) or plain (→ $ref semantics, no re-binding)?
+        lib_dynamic = kind != "dyn-bookend"
+        entry_rebinds = (kind == "dyn-field-rebind" or
+                         (kind != "dyn-field-rebind" and drng.random() < 0.7))
+        anchor_kw = "$dynamicAnchor" if lib_dynamic else "$anchor"
+        limited = {"$dynamicRef": "#L"}
+        if drng.random() < 0.4:
+            limited.update(_bound(drng))  # sibling rides along
+        lib = {"$id": lib_uri,
+               "$defs": {"limited": limited,
+                         "default": {anchor_kw: "L", **_bound(drng)}}}
+        schema = {"$ref": f"{lib_uri}#/$defs/limited"}
+        if kind != "dyn-anon-invisible":
+            schema["$id"] = ent_uri  # entry resource enters the scope
+        if entry_rebinds:
+            schema["$defs"] = {"cap": {"$dynamicAnchor": "L", **_bound(drng)}}
+        insts = [drng.choice(INTS + [None]) for _ in range(6)]
+        return {"description": f"fuzz-dyn[{i}] {kind} seed={SEED}",
+                "ctype": "int", "schema": schema, "resources": [lib],
+                "tests": _label(schema, [lib], insts)}
+    if kind == "dyn-local":
+        # $dynamicRef resolving within the entry's own resource (no
+        # registry hop): the local $dynamicAnchor is simultaneously the
+        # bookend and the outermost (only) scope entry
+        schema = {"$id": ent_uri,
+                  "$defs": {"n": {"$dynamicAnchor": "M", **_bound(drng)}},
+                  "$dynamicRef": "#M"}
+        if drng.random() < 0.4:
+            schema.update(_bound(drng))  # root keyword alongside the ref
+        insts = [drng.choice(INTS + [None]) for _ in range(6)]
+        return {"description": f"fuzz-dyn[{i}] {kind} seed={SEED}",
+                "ctype": "int", "schema": schema, "resources": [],
+                "tests": _label(schema, [], insts)}
+    if kind == "rec-chain":
+        # 2019-09 outward walk over a 2-resource chain, every
+        # $recursiveAnchor flag independently random: leaf's '#' lands on
+        # rec-lib's root, then re-binds outward only while roots stay
+        # contiguously anchored (entry is anonymous → never in scope)
+        a_uri = f"https://fuzz.example/recA{i}"
+        b_uri = f"https://fuzz.example/recB{i}"
+        a = {"$id": a_uri, "$schema": D2019, **_bound(drng),
+             "$defs": {"via": {"$ref": f"{b_uri}#/$defs/leaf"}}}
+        b = {"$id": b_uri, "$schema": D2019, **_bound(drng),
+             "$defs": {"leaf": {"$recursiveRef": "#"}}}
+        if drng.random() < 0.7:
+            a["$recursiveAnchor"] = True
+        if drng.random() < 0.7:
+            b["$recursiveAnchor"] = True
+        schema = {"$schema": D2019, "$ref": f"{a_uri}#/$defs/via"}
+        insts = [drng.choice(INTS + [None]) for _ in range(6)]
+        return {"description": f"fuzz-dyn[{i}] {kind} seed={SEED}",
+                "ctype": "int", "schema": schema, "resources": [a, b],
+                "tests": _label(schema, [a, b], insts)}
+    # dyn-doclevel: the suite DOCUMENT's row schema arrives through a
+    # doc-level $dynamicRef; the entry optionally re-binds it
+    f1, f2 = drng.sample(list(COLS), 2)
+    lax = {"$dynamicAnchor": "ROWS",
+           "properties": {f1: gated_field_schema(COLS[f1])}}
+    if drng.random() < 0.4:
+        lax["required"] = [drng.choice(list(COLS))]
+    lib = {"$id": lib_uri, "$defs": {"lax": lax}, "$dynamicRef": "#ROWS"}
+    schema = {"$id": ent_uri, "$ref": lib_uri}
+    if drng.random() < 0.7:
+        strict = {"$dynamicAnchor": "ROWS",
+                  "properties": {f2: gated_field_schema(COLS[f2])}}
+        if drng.random() < 0.4:
+            strict["required"] = [drng.choice(list(COLS))]
+        schema["$defs"] = {"strict": strict}
+    if drng.random() < 0.4:
+        f3 = drng.choice(list(COLS))
+        schema["properties"] = {f3: gated_field_schema(COLS[f3])}
+    insts = []
+    for _ in range(6):
+        insts.append(row_instance_with(drng))
+    return {"description": f"fuzz-dyn[{i}] {kind} seed={SEED}",
+            "ctype": "row", "columns": COLS, "schema": schema,
+            "resources": [lib], "tests": _label(schema, [lib], insts)}
+
+
+def row_instance_with(r):
+    o = {}
+    for c, ct in COLS.items():
+        if r.random() < 0.25:
+            continue
+        if ct == "int":
+            o[c] = r.choice(INTS)
+        elif ct == "string":
+            o[c] = r.choice([x for x in STRINGS if x is not None])
+        else:
+            o[c] = [r.choice(INTS) for _ in range(r.randint(0, 5))]
+    return o
+
+
+ND = max(60, N // 4)
+dyn_groups = [dynamic_group(i) for i in range(ND)]
+dvalid = sum(1 for g in dyn_groups for t in g["tests"] if t["valid"])
+dtotal = sum(len(g["tests"]) for g in dyn_groups)
+out4 = "src/test/resources/golden/fuzz_dynamic_cases.json"
+json.dump(dyn_groups, open(out4, "w"), indent=1)
+print(f"wrote {len(dyn_groups)} dynamic-ref groups / {dtotal} cases "
+      f"({dvalid} valid, {dtotal - dvalid} invalid) to {out4}")
+
