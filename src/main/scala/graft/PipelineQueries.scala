@@ -196,6 +196,26 @@ object PipelineQueries {
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > cap)
 
+  /** Dedup CLUSTERS: connected components over the verified LSH
+    * near-dup pair graph (the step after [[lshPairs]] that a real
+    * curation pipeline needs — keep one representative per cluster, not
+    * per pair). Alternating large-star/small-star
+    * ([[graft.pipeline.ConnectedComponents]]) gives O(log n) rounds
+    * independent of cluster diameter — a CHAIN of near-dups (A≈B≈C≈…)
+    * still resolves to one cluster in logarithmic rounds at 100 TB.
+    * Output: (doc_id, cluster_id = min doc_id of the component,
+    * cluster_size); the DuckDB oracle recomputes the whole pipeline and
+    * closes the graph with a recursive CTE.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = lshPairs(s, dir).filter(col("is_dup"))
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.pipeline.ConnectedComponents.components(edges)
+    comp.select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
   /** Exact 3-gram Jaccard near-dup baseline, blocked by (lang, source):
     * pair histogram by Jaccard decile. Verification oracle for LSH.
     */
@@ -398,6 +418,7 @@ object PipelineQueries {
     "d_minhash_sigs" -> (minhashSigs _),
     "d_lsh_buckets" -> (lshBuckets _),
     "d_lsh_pairs" -> (lshPairs _),
+    "d_dup_clusters" -> (dupClusters _),
     "d_ngram_jaccard_hist" -> (ngramJaccardHist _),
     "d_simhashes" -> (simhashes _),
     "m_binary_meta" -> (binaryMeta _),
@@ -431,6 +452,23 @@ object PipelineQueries {
        list_sum(list_transform(list_zip($ae, $be), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
        (sqrt(list_sum(list_transform($ae, x -> x::DOUBLE * x::DOUBLE))) *
         sqrt(list_sum(list_transform($be, x -> x::DOUBLE * x::DOUBLE)))), 4)"""
+
+  /** The d_lsh_pairs pipeline as a shared CTE list (sigs → banded long
+    * form → cap guard → bucket join → per-pair max), reused verbatim by
+    * the d_dup_clusters closure so both oracles pin the SAME pairs.
+    */
+  private val LshPairsCtes: String =
+    s"""sigs AS (SELECT doc_id, list_distinct($SH3) AS sh,
+         ${(0 until 4).map(b => s"${MH(2 * b)}::VARCHAR || '_' || ${MH(2 * b + 1)}::VARCHAR AS band$b").mkString(", ")}
+       FROM documents),
+       long AS (${(0 until 4).map(b => s"SELECT doc_id, sh, $b AS band, band$b AS sig FROM sigs").mkString(" UNION ALL ")}),
+       kept AS (SELECT doc_id, sh, band, sig FROM
+         (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM long) WHERE bn <= $LshBucketCap),
+       cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             ((len(a.sh) + len(b.sh))::DOUBLE - len(list_intersect(a.sh, b.sh))), 6) AS jac
+         FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       uniq AS (SELECT id_a, id_b, max(jac) AS jac FROM cand GROUP BY id_a, id_b)"""
 
   private val docSuiteOracle: String = {
     val checks: Seq[(String, String)] = Seq(
@@ -531,18 +569,21 @@ object PipelineQueries {
          SELECT band, sig, count(*)::BIGINT AS n_docs FROM long GROUP BY band, sig HAVING count(*) > 1""".replaceAll("\\s+", " "),
 
     "d_lsh_pairs" ->
-      s"""WITH sigs AS (SELECT doc_id, list_distinct($SH3) AS sh,
-           ${(0 until 4).map(b => s"${MH(2 * b)}::VARCHAR || '_' || ${MH(2 * b + 1)}::VARCHAR AS band$b").mkString(", ")}
-         FROM documents),
-         long AS (${(0 until 4).map(b => s"SELECT doc_id, sh, $b AS band, band$b AS sig FROM sigs").mkString(" UNION ALL ")}),
-         kept AS (SELECT doc_id, sh, band, sig FROM
-           (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM long) WHERE bn <= $LshBucketCap),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-               ((len(a.sh) + len(b.sh))::DOUBLE - len(list_intersect(a.sh, b.sh))), 6) AS jac
-           FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         uniq AS (SELECT id_a, id_b, max(jac) AS jac FROM cand GROUP BY id_a, id_b)
+      s"""WITH $LshPairsCtes
          SELECT id_a, id_b, jac, (jac >= 0.5) AS is_dup FROM uniq""".replaceAll("\\s+", " "),
+
+    "d_dup_clusters" ->
+      // the LSH pipeline's dup pairs closed into components with a
+      // recursive CTE — cluster_id = min doc_id reachable
+      s"""WITH RECURSIVE $LshPairsCtes,
+         dups AS (SELECT id_a, id_b FROM uniq WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM dups UNION SELECT id_b, id_a FROM dups),
+         reach(u, v) AS (SELECT u, v FROM edges
+           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+         SELECT doc_id, cluster_id,
+           (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+         FROM comp""".replaceAll("\\s+", " "),
 
     "d_lsh_dropped_buckets" ->
       s"""WITH sigs AS (SELECT doc_id,

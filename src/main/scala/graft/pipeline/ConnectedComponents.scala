@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list, by alternating
+  * large-star / small-star (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14 — the algorithm behind GraphFrames'
+  * default CC). Converges in O(log n) rounds regardless of component
+  * DIAMETER — the property naive min-label propagation lacks (a chain
+  * of near-dup docs propagates one hop per round there), and the reason
+  * this is the shape that survives a 100-TB dedup graph.
+  *
+  * Per round: two groupBy-min shuffles keyed on node id (no collect_set
+  * — a high-degree hub contributes one MIN per partition via partial
+  * aggregation, so boilerplate mega-clusters don't skew a reducer), and
+  * one `localCheckpoint` to truncate the iterative lineage (swap for
+  * reliable `checkpoint` + a checkpoint dir on a real cluster). The
+  * driver-side loop carries only a (count, checksum) pair per round.
+  *
+  * Result: one row per node that appears in any edge — (node,
+  * component) with component = MIN node id of the connected component
+  * (deterministic, engine-independent: the DuckDB oracle recomputes it
+  * via a recursive-CTE transitive closure).
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame of undirected edges; self-loops
+    *              and duplicates are tolerated. Column ORDER (not name)
+    *              selects (u, v).
+    * @param maxRounds convergence guard: the round bound is log2(n)ish,
+    *                  so 25 covers any graph that fits on hardware;
+    *                  hitting it RAISES (never a silently-partial
+    *                  clustering).
+    */
+  def components(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val Seq(uc, vc) = edges.columns.take(2).toSeq
+    var e = symmetrize(
+      edges.select(col(uc).as("u"), col(vc).as("v")).filter(col("u") =!= col("v")))
+      .localCheckpoint(true)
+    var prev = (-1L, -1L)
+    var cur = checksum(e)
+    var round = 0
+    while (cur != prev && round < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      prev = cur
+      cur = checksum(e)
+      round += 1
+    }
+    require(cur == prev,
+      s"connected components did not converge in $maxRounds rounds — " +
+        "raise maxRounds (bound is ~log2(n) rounds)")
+    // converged ⇒ star forest: every non-root's sole smaller neighbor is
+    // its component min; roots (no smaller neighbor) map to themselves
+    val nonRoots = e.filter(col("v") < col("u"))
+      .select(col("u").as("node"), col("v").as("component"))
+    nonRoots.unionByName(
+      nonRoots.select(col("component")).distinct()
+        .select(col("component").as("node"), col("component")))
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+  /** min(N(u) ∪ {u}) per center node, joined back onto the edges. */
+  private def withMin(e: DataFrame): DataFrame =
+    e.join(
+      e.groupBy("u").agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m")), "u")
+
+  /** Large-star: every neighbor v > u is connected to u's min m. */
+  private def largeStar(e: DataFrame): DataFrame =
+    symmetrize(withMin(e).filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")))
+
+  /** Small-star: over edges oriented big→small, every smaller neighbor
+    * (and u itself) is connected to the min m.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val d = e.filter(col("v") < col("u"))
+    val dm = withMin(d)
+    symmetrize(
+      dm.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v"))
+        .unionByName(dm.select(col("u"), col("m").as("v")).distinct())
+        .filter(col("u") =!= col("v")))
+  }
+
+  /** (count, xor-of-hashes) set fingerprint — order-independent,
+    * overflow-free under ANSI mode (the edge set is distinct, so xor
+    * cancellation of duplicates cannot occur).
+    */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

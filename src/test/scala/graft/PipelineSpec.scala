@@ -201,6 +201,35 @@ class PipelineSpec extends SparkSpec {
       truth.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("connected components: chains, merges, and singleton pairs resolve to min-id clusters") {
+    import spark.implicits._
+    // a 12-node CHAIN (diameter 11 — one-hop label propagation would
+    // need 11 rounds; large-star/small-star must do it in O(log n)),
+    // a triangle merging with the chain's tail via a bridge, and an
+    // isolated pair
+    val chain = (0 until 11).map(i => (f"c$i%02d", f"c${i + 1}%02d"))
+    val tri = Seq(("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("c11", "t1"))
+    val pair = Seq(("p9", "p8"))
+    val edges = (chain ++ tri ++ pair).toDF("a", "b")
+    val got = graft.pipeline.ConnectedComponents.components(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val chainAndTri = ((0 to 11).map(i => f"c$i%02d") ++ Seq("t1", "t2", "t3"))
+    chainAndTri.foreach(n => assert(got(n) == "c00", s"$n -> ${got(n)}"))
+    assert(got("p8") == "p8" && got("p9") == "p8")
+    assert(got.size == chainAndTri.size + 2)
+  }
+
+  test("connected components: duplicate/reversed/self edges tolerated; empty graph is empty") {
+    import spark.implicits._
+    val edges = Seq(("b", "a"), ("a", "b"), ("a", "a"), ("b", "a")).toDF("x", "y")
+    val got = graft.pipeline.ConnectedComponents.components(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set("a" -> "a", "b" -> "a"))
+    val empty = graft.pipeline.ConnectedComponents.components(
+      Seq.empty[(String, String)].toDF("x", "y"))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("node", "component"))
+  }
+
   test("plan quality: failCounts is one scan + partial/final agg; only agg state shuffles") {
     val df = graft.gen.TokenData.read(spark, "/root/testdata/sf0.001")
     val q = graft.compilex.ConstraintCompiler.failCounts(
