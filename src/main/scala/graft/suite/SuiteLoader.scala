@@ -135,11 +135,30 @@ object SuiteLoader {
     * (the tracker never recurses into `not`). Scoped to one
     * parseSuiteDocument call.
     */
-  private final class DocParseState {
+  /** One `unevaluatedProperties` annotation SCOPE: the document root, or
+    * the target of a doc-level $ref/$recursiveRef/$dynamicRef. 2020-12
+    * annotation flow is UPWARD only (the referrer's unevaluated* sees
+    * the target's annotations, never vice versa —
+    * find_evaluated_property_keys_by_schema recurses INTO $ref), so a
+    * frame is pushed on entering a ref target and every mark is
+    * committed to ALL open frames: the referrer's siblings stay
+    * invisible to the target's own uP, while the target's evaluations
+    * exempt the referrer's (round-3 ADVICE, medium — was a raise, now
+    * exact).
+    */
+  private final class UpFrame {
     val evaluated = scala.collection.mutable.Set.empty[String]
     // field -> alternative per-row gates under which it counts evaluated
     val condEvaluated = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.ArrayBuffer[Constraint]]
+    // the frame's own unevaluatedProperties subschema, if any
+    var up: Option[JsonNode] = None
+  }
+
+  private final class DocParseState {
+    val rootFrame = new UpFrame
+    // open annotation scopes, innermost first (head = current)
+    var frames: List[UpFrame] = List(rootFrame)
     // gates active for the subschema being parsed (innermost first);
     // pushed by dependentSchemas (FieldPresent(trigger)), composed by AND
     var gateStack: List[Constraint] = Nil
@@ -151,24 +170,16 @@ object SuiteLoader {
     var branchDepth = 0
     def markEvaluated(field: String): Unit = commitMark(field, gateStack)
     def commitMark(field: String, gates: List[Constraint]): Unit = markSink match {
-      case Some(buf)             => buf += ((field, gates))
-      case None if gates.isEmpty => evaluated += field
-      case None =>
-        condEvaluated.getOrElseUpdate(field,
+      case Some(buf) => buf += ((field, gates))
+      case None => frames.foreach { fr =>
+        if (gates.isEmpty) fr.evaluated += field
+        else fr.condEvaluated.getOrElseUpdate(field,
           scala.collection.mutable.ArrayBuffer.empty) += (gates match {
             case g :: Nil => g
             case gs       => AllOf(gs)
           })
+      }
     }
-    var unevaluatedProps: Option[JsonNode] = None
-    // >0 while parsing the target of a doc-level $ref. 2020-12
-    // annotation flow is UPWARD only (the referrer's unevaluated* sees
-    // the target's annotations, never vice versa —
-    // find_evaluated_property_keys_by_schema recurses INTO $ref), so an
-    // unevaluatedProperties inside a ref target must not share the
-    // document-global evaluated set with the referrer's siblings; it
-    // RAISES instead (round-3 ADVICE, medium).
-    var refDepth = 0
   }
   private val docStateVar = new scala.util.DynamicVariable[Option[DocParseState]](None)
 
@@ -330,45 +341,13 @@ object SuiteLoader {
       // from properties / patternProperties / additionalProperties —
       // including through allOf branches and inlined $refs, which is
       // exactly what distinguishes it from additionalProperties.
-      // Unconditional evaluation lands in state.evaluated (compile-time
-      // constant); conditional evaluation (dependentSchemas,
-      // anyOf/oneOf branches) lands in state.condEvaluated as per-row
-      // gates (r4).
-      state.unevaluatedProps.foreach { up =>
-        // r4: columns evaluated only CONDITIONALLY (under a
-        // dependentSchemas trigger or a valid anyOf/oneOf branch) carry
-        // per-row gates — the column is exempt from unevaluatedProperties
-        // exactly when some gate holds, so each gate becomes an AnyOf
-        // alternative alongside the subschema (pointwise mirror of
-        // find_evaluated_property_keys_by_schema, PJS:_utils.py:261-350)
-        val rest = declaredColumns("unevaluatedProperties").filterNot(state.evaluated)
-        def gatesFor(c: String): Seq[Constraint] =
-          state.condEvaluated.get(c).map(_.toSeq).getOrElse(Nil)
-        if (up.isBoolean) {
-          if (!up.asBoolean())
-            rest.foreach { c =>
-              val inner = gatesFor(c) match {
-                case Nil => Always(false)
-                case gs  => AnyOf(gs) // evaluated under some gate → exempt
-              }
-              cs += FieldConstraint(s"$c.unevaluatedProperties", c, WhenPresent(c, inner))
-            }
-        } else {
-          val (gated, ungated) = rest.partition(c => gatesFor(c).nonEmpty)
-          if (ungated.nonEmpty) {
-            val props = mapper.createObjectNode()
-            ungated.foreach(c => props.set[JsonNode](c, up))
-            parseProperties(props, nodeDefs(root), root, "unevaluatedProperties.",
-              identity, cs, draftOf(root, ModernDraft))
-          }
-          gated.foreach { c =>
-            val props = mapper.createObjectNode()
-            props.set[JsonNode](c, up)
-            parseProperties(props, nodeDefs(root), root, "unevaluatedProperties.",
-              cc => AnyOf(gatesFor(c) :+ cc), cs, draftOf(root, ModernDraft))
-          }
-        }
-      }
+      // Unconditional evaluation lands in the frame's evaluated set
+      // (compile-time constant); conditional evaluation
+      // (dependentSchemas, anyOf/oneOf branches) lands in condEvaluated
+      // as per-row gates (r4). Inner frames (ref targets) were already
+      // resolved at their pop; this is the root frame's turn.
+      resolveUnevaluated(state.rootFrame, root, nodeDefs(root), identity,
+        draftOf(root, ModernDraft), cs, state)
     }
     }
     // keep ids unique when allOf branches repeat a (field, keyword) pair
@@ -378,6 +357,75 @@ object SuiteLoader {
       if (n == 0) fc else fc.copy(id = s"${fc.id}#$n")
     }
     Suite(name, uniq)
+  }
+
+  /** Resolve one frame's `unevaluatedProperties` into FieldConstraints.
+    * Columns evaluated only CONDITIONALLY (under a dependentSchemas
+    * trigger or a valid anyOf/oneOf branch) carry per-row gates — the
+    * column is exempt exactly when some gate holds, so each gate becomes
+    * an AnyOf alternative alongside the subschema (pointwise mirror of
+    * find_evaluated_property_keys_by_schema, PJS:_utils.py:261-350).
+    * Called at frame POP for ref targets (their evaluated set is then
+    * complete and the referrer's siblings never entered it) and from the
+    * document post-pass for the root frame. When the frame carried a uP,
+    * every column in the universe is afterwards marked evaluated in the
+    * still-open OUTER frames — uP evaluates every key left in its scope,
+    * which is verdict-exact upward cascade (a row failing the inner uP
+    * is invalid regardless; a row passing it has those keys evaluated).
+    */
+  private def resolveUnevaluated(fr: UpFrame, root: JsonNode,
+                                 scope: Map[String, JsonNode],
+                                 wrap: Constraint => Constraint, draft: Int,
+                                 out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
+                                 st: DocParseState): Unit = fr.up.foreach { up =>
+    val rest = declaredColumns("unevaluatedProperties").filterNot(fr.evaluated)
+    def gatesFor(c: String): Seq[Constraint] =
+      fr.condEvaluated.get(c).map(_.toSeq).getOrElse(Nil)
+    if (up.isBoolean) {
+      if (!up.asBoolean())
+        rest.foreach { c =>
+          val inner = gatesFor(c) match {
+            case Nil => Always(false)
+            case gs  => AnyOf(gs) // evaluated under some gate → exempt
+          }
+          out += FieldConstraint(s"$c.unevaluatedProperties", c, wrap(WhenPresent(c, inner)))
+        }
+    } else {
+      val (gated, ungated) = rest.partition(c => gatesFor(c).nonEmpty)
+      if (ungated.nonEmpty) {
+        val props = mapper.createObjectNode()
+        ungated.foreach(c => props.set[JsonNode](c, up))
+        parseProperties(props, scope, root, "unevaluatedProperties.", wrap, out, draft)
+      }
+      gated.foreach { c =>
+        val props = mapper.createObjectNode()
+        props.set[JsonNode](c, up)
+        parseProperties(props, scope, root, "unevaluatedProperties.",
+          cc => wrap(AnyOf(gatesFor(c) :+ cc)), out, draft)
+      }
+    }
+    tableColumnsVar.value.foreach(st.markEvaluated)
+  }
+
+  /** Parse the target of a doc-level $ref/$recursiveRef/$dynamicRef
+    * inside its own annotation frame: marks made within flow upward into
+    * every open frame, the target's own unevaluatedProperties (if any)
+    * resolves at pop against only what the target subtree evaluated.
+    */
+  private def parseRefTarget(target: JsonNode, tScope: Map[String, JsonNode],
+                             tRoot: JsonNode, prefix: String,
+                             wrap: Constraint => Constraint, refs: Set[RefId],
+                             out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
+                             tDraft: Int): Unit = {
+    val st = docStateVar.value
+    st.foreach(s => s.frames = new UpFrame :: s.frames)
+    try inResource(tRoot) {
+      parseObjectLevel(target, tScope, tRoot, prefix, wrap, refs, out, tDraft)
+    } finally st.foreach { s =>
+      val fr = s.frames.head
+      s.frames = s.frames.tail
+      resolveUnevaluated(fr, tRoot, tScope, wrap, tDraft, out, s)
+    }
   }
 
   /** One object-level schema (document root, allOf branch, or a
@@ -402,10 +450,7 @@ object SuiteLoader {
       require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
       val (tScope, tDraft) =
         if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
-      docStateVar.value.foreach(_.refDepth += 1)
-      try inResource(tRoot) {
-        parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
-      } finally docStateVar.value.foreach(_.refDepth -= 1)
+      parseRefTarget(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
       return
     }
 
@@ -586,10 +631,7 @@ object SuiteLoader {
           require(target.isObject, s"doc-level $$ref '$ref' must target an object schema")
           val (tScope, tDraft) =
             if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
-          docStateVar.value.foreach(_.refDepth += 1)
-          try inResource(tRoot) {
-            parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
-          } finally docStateVar.value.foreach(_.refDepth -= 1)
+          parseRefTarget(target, tScope, tRoot, prefix, wrap, activeRefs + refKey(root, ref), out, tDraft)
         case "$recursiveRef" =>
           require2019Only("$recursiveRef", draft)
           // static non-rebinding subset: resolves to the owning document
@@ -600,11 +642,8 @@ object SuiteLoader {
           require(!activeRefs.contains(key),
             "circular doc-level $recursiveRef '#' — compile-time inlining cannot represent cycles")
           require(tRoot.isObject, "doc-level $recursiveRef must target an object schema")
-          docStateVar.value.foreach(_.refDepth += 1)
-          try inResource(tRoot) {
-            parseObjectLevel(tRoot, nodeDefs(tRoot), tRoot, prefix, wrap, activeRefs + key, out,
-              draftOf(tRoot, draft))
-          } finally docStateVar.value.foreach(_.refDepth -= 1)
+          parseRefTarget(tRoot, nodeDefs(tRoot), tRoot, prefix, wrap, activeRefs + key, out,
+            draftOf(tRoot, draft))
         case "$recursiveAnchor" =>
           require2019Only("$recursiveAnchor", draft)
           require(entry.getValue.isBoolean, "$recursiveAnchor must be a boolean")
@@ -621,10 +660,7 @@ object SuiteLoader {
           require(target.isObject, s"doc-level $$dynamicRef '$ref' must target an object schema")
           val (tScope, tDraft) =
             if (tRoot eq root) (localScope, draft) else (nodeDefs(tRoot), draftOf(tRoot, draft))
-          docStateVar.value.foreach(_.refDepth += 1)
-          try inResource(tRoot) {
-            parseObjectLevel(target, tScope, tRoot, prefix, wrap, activeRefs + key, out, tDraft)
-          } finally docStateVar.value.foreach(_.refDepth -= 1)
+          parseRefTarget(target, tScope, tRoot, prefix, wrap, activeRefs + key, out, tDraft)
         case "$dynamicAnchor" =>
           requireDraft("$dynamicAnchor", 2020, draft)
           // declaration marker only (names this node for the resolver)
@@ -711,23 +747,22 @@ object SuiteLoader {
             "unevaluatedProperties is supported at the document root only (static subset)")
           docStateVar.value match {
             case Some(st) =>
-              // inside a doc-level $ref target the referrer's siblings
-              // must be INVISIBLE (annotations flow upward only) — the
-              // shared evaluated set cannot express that, so raise
-              require(st.refDepth == 0,
-                "unevaluatedProperties inside a $ref target is outside the static subset " +
-                  "(the referrer's evaluated keys must not be visible to it) — raising instead of silently weakening")
               // inside an anyOf/oneOf/not branch its annotation scope is
               // the branch, not the document — raise, don't weaken
               require(st.branchDepth == 0,
                 "unevaluatedProperties inside a combinator branch is outside the supported subset")
-              // two occurrences can reach the root closure (e.g. root +
-              // a doc-level $ref target) — last-wins would silently DROP
-              // one assertion, so raise (round-3 review)
-              require(st.unevaluatedProps.isEmpty,
-                "multiple unevaluatedProperties in the document's unconditional closure — " +
-                  "the static subset supports exactly one")
-              st.unevaluatedProps = Some(entry.getValue)
+              // one uP per annotation SCOPE (frame): the document root
+              // and each doc-level ref target get their own frame (r4 —
+              // the in-ref-target raise is gone; annotations flow upward
+              // only, so the referrer's siblings stay invisible to a
+              // target's uP while the target's marks exempt the root's).
+              // Two reaching the SAME frame (e.g. via allOf) would
+              // last-wins-drop one assertion, so raise (round-3 review).
+              val fr = st.frames.head
+              require(fr.up.isEmpty,
+                "multiple unevaluatedProperties in the same annotation scope — " +
+                  "the static subset supports exactly one per scope")
+              fr.up = Some(entry.getValue)
             case None => throw new UnsupportedOperationException(
               "unevaluatedProperties requires parseSuiteDocument with declared table columns")
           }

@@ -64,26 +64,32 @@ class SuiteDocumentSpec extends SparkSpec {
       SuiteLoader.parseSuiteDocument(
         """{"properties": {"arr": {"$ref": "#/$defs/a", "unevaluatedItems": false}},
            "$defs": {"a": {"prefixItems": [{"type": "integer"}]}}}"""))
-    // two unevaluatedProperties reaching the root closure: last-wins
-    // would silently drop one assertion
-    intercept[IllegalArgumentException](
-      SuiteLoader.parseSuiteDocument(
-        """{"$ref": "#/$defs/base", "unevaluatedProperties": false,
-           "properties": {"a": {"minimum": 0}},
-           "$defs": {"base": {"unevaluatedProperties": {"type": "string"}}}}""",
-        Nil, Seq("a", "b")))
-    // unevaluatedProperties INSIDE a doc-level $ref target: annotations
-    // flow upward only, so the referrer's properties must be invisible
-    // to it — the shared evaluated set cannot express that, so the
-    // loader raises instead of silently passing rows the reference
-    // fails (round-3 ADVICE, medium: {"$ref": ..., "properties":
-    // {"a": ...}} with uP:false in the target must fail rows where a
-    // is present)
-    intercept[IllegalArgumentException](
-      SuiteLoader.parseSuiteDocument(
-        """{"$ref": "#/$defs/s", "properties": {"a": {"minimum": 0}},
-           "$defs": {"s": {"unevaluatedProperties": false}}}""",
-        Nil, Seq("a", "b")))
+  }
+
+  test("unevaluatedProperties inside a $ref target gets its OWN annotation frame (r4 — was a raise)") {
+    import graft.suite.Constraint._
+    // the round-3 ADVICE example: uP:false in the target must NOT see
+    // the referrer's properties — every column is unevaluated in the
+    // target's frame, so each present column fails (golden-pinned too)
+    val s1 = SuiteLoader.parseSuiteDocument(
+      """{"$ref": "#/$defs/s", "properties": {"a": {"minimum": 0}},
+         "$defs": {"s": {"unevaluatedProperties": false}}}""",
+      Nil, Seq("a", "b"))
+    assert(s1.constraints.map(_.id).toSet ===
+      Set("a.minimum", "a.unevaluatedProperties", "b.unevaluatedProperties"))
+    assert(s1.constraints.find(_.id == "a.unevaluatedProperties").get.constraint ===
+      WhenPresent("a", Always(false)))
+    // two uPs in DIFFERENT frames (root + target) are both asserted now:
+    // the target's schema-form uP lands on both columns (its frame saw
+    // nothing evaluated), the root's false on neither (the referrer's
+    // properties plus the inner uP's cascade cover everything)
+    val s2 = SuiteLoader.parseSuiteDocument(
+      """{"$ref": "#/$defs/base", "unevaluatedProperties": false,
+         "properties": {"a": {"minimum": 0}},
+         "$defs": {"base": {"unevaluatedProperties": {"minLength": 2}}}}""",
+      Nil, Seq("a", "b"))
+    assert(s2.constraints.map(_.id).sorted ===
+      Seq("a.minimum", "unevaluatedProperties.a.minLength", "unevaluatedProperties.b.minLength"))
   }
 
   test("$dynamicRef static subset: re-binding and recursion RAISE; single-anchor resolves") {
