@@ -646,9 +646,57 @@ def _label(schema, resources, insts):
             for j, d in enumerate(insts)]
 
 
+def up_in_ref_group(i):
+    """unevaluatedProperties inside a doc-level $ref target (r4 frame
+    stack): the target's uP sees only its own subtree's evaluations
+    (referrer siblings invisible), the root's uP sees the target's
+    (upward flow), and an inner uP's evaluations cascade outward.
+    Randomized over coverage split, bool/schema form, root/target uP
+    placement, pointer-vs-registry ref, and an optional anyOf gate in
+    the target's frame.
+    """
+    cols = list(COLS)
+    drng.shuffle(cols)
+    schema_form = drng.random() < 0.4
+    k = 3 if schema_form else drng.randint(0, 3)
+    covered = cols[:k]
+    target = {}
+    if covered:
+        target["properties"] = {c: gated_field_schema(COLS[c]) for c in covered}
+    if drng.random() < 0.3 and k < 4:
+        # conditionally evaluate one leftover inside the TARGET's frame
+        g = cols[k]
+        target["anyOf"] = [
+            {"properties": {g: gated_field_schema(COLS[g])}, "required": [g]},
+            {"properties": {covered[0] if covered else "doc_id":
+                            gated_field_schema(COLS[covered[0] if covered else "doc_id"])}}]
+    target["unevaluatedProperties"] = (
+        gated_field_schema(COLS[cols[3]]) if schema_form else False)
+    schema = {}
+    if drng.random() < 0.5:
+        f = drng.choice(cols)
+        schema["properties"] = {f: gated_field_schema(COLS[f])}
+    if drng.random() < 0.4:
+        schema["unevaluatedProperties"] = False  # root uP, second frame
+    resources = []
+    if drng.random() < 0.5:
+        schema["$defs"] = {"s": target}
+        schema["$ref"] = "#/$defs/s"
+    else:
+        lib_uri = f"https://fuzz.example/uplib{i}"
+        resources = [dict(target, **{"$id": lib_uri})]
+        schema["$ref"] = lib_uri
+    insts = [row_instance_with(drng) for _ in range(6)]
+    return {"description": f"fuzz-dyn[{i}] up-in-ref seed={SEED}",
+            "ctype": "row", "columns": COLS, "schema": schema,
+            "resources": resources, "tests": _label(schema, resources, insts)}
+
+
 def dynamic_group(i):
     kind = drng.choice(["dyn-field-rebind", "dyn-bookend", "dyn-anon-invisible",
-                        "dyn-local", "rec-chain", "dyn-doclevel"])
+                        "dyn-local", "rec-chain", "dyn-doclevel", "up-in-ref"])
+    if kind == "up-in-ref":
+        return up_in_ref_group(i)
     ent_uri = f"https://fuzz.example/dynent{i}"
     lib_uri = f"https://fuzz.example/dynlib{i}"
     if kind in ("dyn-field-rebind", "dyn-bookend", "dyn-anon-invisible"):
