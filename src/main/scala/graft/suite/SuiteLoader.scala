@@ -848,14 +848,16 @@ object SuiteLoader {
               "if"       -> Seq("then", "else"),
               "items"    -> Seq("prefixItems", "additionalItems"),
               // unevaluatedItems must SEE its sibling element applicators
-              // (they define the evaluated-index set; contains carried so
-              // the static-subset guard can raise on it)
-              // combinator/$ref siblings ride along ONLY so the
-              // static-subset guard can SEE and raise on them (round-3
-              // review: an invisible $ref sibling carrying prefixItems
-              // would silently shift the evaluated-index set)
+              // — they define the evaluated-index set, which the
+              // compile-time walk (evaluatedIndexInfo) computes through
+              // allOf branches and $ref targets (r4b); the truly
+              // branch-dependent siblings (anyOf/oneOf/not/if, dynamic
+              // refs) ride along so the walk's guard can SEE and raise
+              // on them (round-3 review: an invisible $ref sibling
+              // carrying prefixItems would silently shift the set)
               "unevaluatedItems" -> Seq("prefixItems", "items", "additionalItems",
-                "contains", "allOf", "anyOf", "oneOf", "not", "if", "$ref"),
+                "contains", "allOf", "anyOf", "oneOf", "not", "if", "$ref",
+                "$dynamicRef", "$recursiveRef"),
               "minimum"  -> Seq("exclusiveMinimum").filter(_ => anchored("exclusiveMinimum")),
               "maximum"  -> Seq("exclusiveMaximum").filter(_ => anchored("exclusiveMaximum")))
             carry.getOrElse(k, Nil)
@@ -884,11 +886,20 @@ object SuiteLoader {
                 (Option(sub.get("items")).exists(!_.isArray) ||
                   (Option(sub.get("items")).exists(_.isArray) && sub.has("additionalItems"))) =>
                 Constraint.Always(true)
+              // a BARE top-level ItemsFrom can only be unevaluatedItems'
+              // own emission (sibling applicators always emit their
+              // PrefixItems companion alongside, so theirs arrive inside
+              // an AllOf)
+              case x: Constraint.ItemsFrom if k == "unevaluatedItems" => x
               case Constraint.AllOf(xs) if k == "unevaluatedItems" =>
                 // unevaluatedItems' own ItemsFrom is appended FIRST
                 // (slice insertion order), before any additionalItems one
                 xs.collectFirst { case x: Constraint.ItemsFrom => x }
                   .getOrElse(Constraint.Always(true))
+              // r4b: vacuity discovered through a $ref target (the walk
+              // emitted nothing; whatever remains is carried context
+              // that asserts via its own slice)
+              case _ if k == "unevaluatedItems" => Constraint.Always(true)
               case other => other
             }
             out += FieldConstraint(s"$prefix$field.$k", field, wrap(cleaned))
@@ -910,6 +921,63 @@ object SuiteLoader {
     else if (n.isTextual) n.asText()
     else if (n.isNull) null
     else throw new IllegalArgumentException(s"unsupported constant: $n")
+
+  /** Static evaluated-index info for `unevaluatedItems` (the
+    * compile-time mirror of find_evaluated_item_indexes_by_schema,
+    * PJS:_utils.py:184-258): `prefixLen` = length of the contiguous
+    * evaluated prefix (union over all contributing applicators = max,
+    * since each contributes positions 0..len-1), `contains` = compiled
+    * contains subschemas whose matches are evaluated pointwise,
+    * `everything` = some applicator in the closure evaluates every
+    * element (uI vacuous). The walk recurses through `allOf` branches
+    * and `$ref` targets (r4b); branch-dependent shapes raise.
+    */
+  private final case class EvalIdx(prefixLen: Int, contains: Seq[Constraint],
+                                   everything: Boolean)
+
+  private def evaluatedIndexInfo(n: JsonNode, scope: Map[String, JsonNode],
+                                 root: JsonNode, seen: Set[RefId],
+                                 inheritedDraft: Int): EvalIdx = {
+    val dyn = Seq("anyOf", "oneOf", "not", "if", "$dynamicRef", "$recursiveRef")
+      .filter(n.has(_))
+    require(dyn.isEmpty,
+      s"unevaluatedItems decidable subset: sibling $dyn makes the evaluated-index set " +
+        "branch-dependent — raising instead of silently dropping")
+    val draft = draftOf(n, inheritedDraft)
+    val defs = scope ++ nodeDefs(n)
+    var plen = 0
+    var everything = false
+    val cont = Seq.newBuilder[Constraint]
+    def merge(e: EvalIdx): Unit = {
+      plen = math.max(plen, e.prefixLen)
+      everything ||= e.everything
+      cont ++= e.contains
+    }
+    Option(n.get("items")).foreach { it =>
+      if (!it.isArray) everything = true // 2020-12 schema form: evaluates the rest
+      else {
+        plen = math.max(plen, it.size()) // 2019-09 positional form
+        if (n.has("additionalItems")) everything = true
+      }
+    }
+    Option(n.get("prefixItems")).foreach(p => plen = math.max(plen, p.size()))
+    Option(n.get("contains")).foreach(c => cont += toConstraint(c, defs, root, seen, draft))
+    Option(n.get("allOf")).foreach(_.asScala.foreach { b =>
+      require(b.isObject, "unevaluatedItems walk: allOf branch must be an object schema")
+      merge(evaluatedIndexInfo(b, defs, root, seen, draft))
+    })
+    Option(n.get("$ref")).map(_.asText()).foreach { ref =>
+      val key = refKey(root, ref)
+      require(!seen.contains(key),
+        s"circular $$ref '$ref' in the unevaluatedItems evaluated-index walk")
+      val (tRoot, target) = resolveFragmentWithRoot(ref, root, defs)
+      merge(
+        if (tRoot eq root) evaluatedIndexInfo(target, defs, root, seen + key, draft)
+        else evaluatedIndexInfo(target, nodeDefs(tRoot), tRoot, seen + key,
+          draftOf(tRoot, draft)))
+    }
+    EvalIdx(plen, cont.result(), everything)
+  }
 
   // ---- $ref machinery (REF:_core.py:653-698 static subset) --------------
 
@@ -1233,40 +1301,28 @@ object SuiteLoader {
         case "unevaluatedItems" =>
           requireDraft("unevaluatedItems", 2019, draft)
           // Decidable subset of the annotation semantics
-          // (PJS:_keywords.py:392-404): with prefixItems/items as
-          // sibling element applicators the evaluated-index set is a
-          // compile-time constant — `items` evaluates everything
-          // (unevaluatedItems vacuous), else elements past the
-          // prefixItems length are unevaluated. A `contains` sibling
-          // marks its MATCHING elements evaluated (the reference applies
-          // this under BOTH 2019-09 and 2020-12 —
-          // find_evaluated_item_indexes_by_schema), which is data-
-          // dependent per element but still pointwise-expressible: an
-          // element past the prefix is unevaluated iff it does NOT match
-          // contains, so `unevaluatedItems: U` becomes
-          // "matches contains OR U" over those positions (r4; exact, not
-          // an approximation — minContains/maxContains don't change the
-          // per-element annotation). Combinator/$ref siblings (branch-
-          // dependent annotations) still RAISE.
-          val dyn = Seq("allOf", "anyOf", "oneOf", "not", "if", "$ref")
-            .filter(n.has(_))
-          require(dyn.isEmpty,
-            s"unevaluatedItems decidable subset: sibling $dyn makes the evaluated-index set " +
-              "branch-dependent — raising instead of silently dropping")
-          val itemsNode = Option(n.get("items"))
-          val legacyArray = itemsNode.exists(_.isArray) // 2019-09 positional form
-          // vacuous when every element is already evaluated: 2020-12
-          // `items` covers everything; the legacy ARRAY form covers only
-          // its positions, so unevaluatedItems still applies past it —
-          // unless sibling additionalItems already evaluates the rest
-          if (itemsNode.isEmpty || (legacyArray && !n.has("additionalItems"))) {
-            val plen =
-              if (legacyArray) itemsNode.get.size()
-              else Option(n.get("prefixItems")).map(_.size()).getOrElse(0)
+          // (PJS:_keywords.py:392-404): the evaluated-index set is
+          // computed at COMPILE time by [[evaluatedIndexInfo]] —
+          // prefixItems / items(-array) / additionalItems contribute
+          // contiguous prefixes (union = max), `items` schema form (or
+          // additionalItems after an items array) evaluates everything
+          // (unevaluatedItems vacuous), and — r4b — the walk follows
+          // `allOf` branches and `$ref` targets recursively, exactly
+          // like find_evaluated_item_indexes_by_schema. A `contains`
+          // anywhere in the closure marks its MATCHING elements
+          // evaluated (both 2019-09 and 2020-12), which is data-
+          // dependent per element but pointwise-expressible: an element
+          // past the prefix is unevaluated iff it matches NO contains,
+          // so `unevaluatedItems: U` becomes "matches any contains OR U"
+          // over those positions (exact — minContains/maxContains don't
+          // change the per-element annotation). Truly branch-dependent
+          // siblings (anyOf/oneOf/not/if, dynamic refs) still RAISE.
+          val info = evaluatedIndexInfo(n, scope, root, activeRefs, draft)
+          if (!info.everything) {
             val u = sub(v)
-            cs += ItemsFrom(plen, Option(n.get("contains")) match {
-              case Some(c) => AnyOf(Seq(sub(c), u))
-              case None    => u
+            cs += ItemsFrom(info.prefixLen, info.contains match {
+              case Seq() => u
+              case cns   => AnyOf(cns :+ u)
             })
           }
         case "contains" =>

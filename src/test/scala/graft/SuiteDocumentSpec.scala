@@ -58,12 +58,18 @@ class SuiteDocumentSpec extends SparkSpec {
   }
 
   test("unevaluated* static-subset guards RAISE on data-dependent shapes (round-3 review fixes)") {
-    // a $ref sibling can carry prefixItems — invisible to a naive
-    // per-keyword slice, so the guard must SEE it and raise
+    // a $ref sibling carrying prefixItems now FEEDS the evaluated-index
+    // walk (r4b — was a raise): the target's prefix offsets uI
+    val s = SuiteLoader.parseSuiteDocument(
+      """{"properties": {"arr": {"$ref": "#/$defs/a", "unevaluatedItems": false}},
+         "$defs": {"a": {"prefixItems": [{"type": "integer"}]}}}""")
+    assert(s.constraints.find(_.id == "arr.unevaluatedItems").get.constraint ===
+      graft.suite.Constraint.ItemsFrom(1, graft.suite.Constraint.Always(false)))
+    // truly branch-dependent siblings still raise
     intercept[IllegalArgumentException](
       SuiteLoader.parseSuiteDocument(
-        """{"properties": {"arr": {"$ref": "#/$defs/a", "unevaluatedItems": false}},
-           "$defs": {"a": {"prefixItems": [{"type": "integer"}]}}}"""))
+        """{"properties": {"arr": {"anyOf": [{"prefixItems": [{"type": "integer"}]}],
+           "unevaluatedItems": false}}}"""))
   }
 
   test("unevaluatedProperties inside a $ref target gets its OWN annotation frame (r4 — was a raise)") {

@@ -692,11 +692,56 @@ def up_in_ref_group(i):
             "resources": resources, "tests": _label(schema, resources, insts)}
 
 
+def ui_ref_group(i):
+    """unevaluatedItems with $ref/allOf siblings (r4b walk): the
+    evaluated-index set flows through ref targets and allOf branches —
+    prefix lengths union (max), contains matches exempt pointwise,
+    schema-form items anywhere makes uI vacuous.
+    """
+    def elem_apps():
+        s = {}
+        r = drng.random()
+        if r < 0.45:
+            s["prefixItems"] = [{"minimum": drng.choice(INTS)}
+                                for _ in range(drng.randint(1, 3))]
+            if drng.random() < 0.25:
+                s["items"] = {"minimum": drng.choice(INTS)}  # vacuous case
+        elif r < 0.7:
+            s["contains"] = {"minimum": drng.choice(INTS)}
+        else:
+            s["prefixItems"] = [{}]
+            s["contains"] = {"maximum": drng.choice(INTS)}
+        return s
+    inner = elem_apps()
+    schema = {"unevaluatedItems":
+              (False if drng.random() < 0.6 else {"maximum": drng.choice(INTS)})}
+    via = drng.random()
+    resources = []
+    if via < 0.4:
+        schema["$defs"] = {"a": inner}
+        schema["$ref"] = "#/$defs/a"
+    elif via < 0.7:
+        schema["allOf"] = [inner]
+    else:
+        lib_uri = f"https://fuzz.example/uilib{i}"
+        resources = [dict(inner, **{"$id": lib_uri})]
+        schema["$ref"] = lib_uri
+    if drng.random() < 0.4:  # local applicators compose with the ref'd ones
+        schema.update({k: v for k, v in elem_apps().items() if k not in schema})
+    insts = [array_instance(False) for _ in range(6)]
+    return {"description": f"fuzz-dyn[{i}] ui-ref seed={SEED}",
+            "ctype": "array<int>", "schema": schema, "resources": resources,
+            "tests": _label(schema, resources, insts)}
+
+
 def dynamic_group(i):
     kind = drng.choice(["dyn-field-rebind", "dyn-bookend", "dyn-anon-invisible",
-                        "dyn-local", "rec-chain", "dyn-doclevel", "up-in-ref"])
+                        "dyn-local", "rec-chain", "dyn-doclevel", "up-in-ref",
+                        "ui-ref"])
     if kind == "up-in-ref":
         return up_in_ref_group(i)
+    if kind == "ui-ref":
+        return ui_ref_group(i)
     ent_uri = f"https://fuzz.example/dynent{i}"
     lib_uri = f"https://fuzz.example/dynlib{i}"
     if kind in ("dyn-field-rebind", "dyn-bookend", "dyn-anon-invisible"):
@@ -796,7 +841,7 @@ def row_instance_with(r):
     return o
 
 
-ND = max(60, N // 4)
+ND = max(96, N // 4)
 dyn_groups = [dynamic_group(i) for i in range(ND)]
 dvalid = sum(1 for g in dyn_groups for t in g["tests"] if t["valid"])
 dtotal = sum(len(g["tests"]) for g in dyn_groups)
