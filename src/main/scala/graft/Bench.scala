@@ -437,9 +437,14 @@ object Bench {
     }
     val threadRounds = math.max(1, math.min(2, (remaining / 90).toInt))
     if (phases("threads") && remaining > 45) {
+      // degrade reps when the tail budget is thin — this phase is a
+      // DIAGNOSTIC (the criterion ran first); 3 reps on a contended
+      // host overran the whole-run budget by ~135 s in the archived
+      // bench_1786992359 window
+      val reps = if (remaining < 120) 1 else 3
       val rounds = (1 to threadRounds).map { r =>
-        if (r % 2 == 1) { val a = measureOn("local[8]", 3); val b = measureOn("local[32]", 3); (a, b) }
-        else { val b = measureOn("local[32]", 3); val a = measureOn("local[8]", 3); (a, b) }
+        if (r % 2 == 1) { val a = measureOn("local[8]", reps); val b = measureOn("local[32]", reps); (a, b) }
+        else { val b = measureOn("local[32]", reps); val a = measureOn("local[8]", reps); (a, b) }
       }
       val thr8 = rows / rounds.map(_._1).min
       val thr32 = rows / rounds.map(_._2).min
