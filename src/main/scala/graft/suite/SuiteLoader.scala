@@ -146,7 +146,7 @@ object SuiteLoader {
     * exempt the referrer's (round-3 ADVICE, medium — was a raise, now
     * exact).
     */
-  private final class UpFrame {
+  private final class UpFrame(val baseGates: Int) {
     val evaluated = scala.collection.mutable.Set.empty[String]
     // field -> alternative per-row gates under which it counts evaluated
     val condEvaluated = scala.collection.mutable.Map
@@ -156,7 +156,7 @@ object SuiteLoader {
   }
 
   private final class DocParseState {
-    val rootFrame = new UpFrame
+    val rootFrame = new UpFrame(0)
     // open annotation scopes, innermost first (head = current)
     var frames: List[UpFrame] = List(rootFrame)
     // gates active for the subschema being parsed (innermost first);
@@ -172,9 +172,15 @@ object SuiteLoader {
     def commitMark(field: String, gates: List[Constraint]): Unit = markSink match {
       case Some(buf) => buf += ((field, gates))
       case None => frames.foreach { fr =>
-        if (gates.isEmpty) fr.evaluated += field
+        // gates RELATIVE to the frame: the gateStack suffix active when
+        // the frame was pushed is the frame's own existence condition
+        // (a dependentSchemas subschema's marks are UNCONDITIONAL within
+        // its own frame — the trigger gate conditions the whole frame,
+        // wrap() included), while outer frames keep the full chain
+        val rel = gates.dropRight(math.min(fr.baseGates, gates.length))
+        if (rel.isEmpty) fr.evaluated += field
         else fr.condEvaluated.getOrElseUpdate(field,
-          scala.collection.mutable.ArrayBuffer.empty) += (gates match {
+          scala.collection.mutable.ArrayBuffer.empty) += (rel match {
             case g :: Nil => g
             case gs       => AllOf(gs)
           })
@@ -346,7 +352,7 @@ object SuiteLoader {
       // (dependentSchemas, anyOf/oneOf branches) lands in condEvaluated
       // as per-row gates (r4). Inner frames (ref targets) were already
       // resolved at their pop; this is the root frame's turn.
-      resolveUnevaluated(state.rootFrame, root, nodeDefs(root), identity,
+      resolveUnevaluated(state.rootFrame, root, nodeDefs(root), "", identity,
         draftOf(root, ModernDraft), cs, state)
     }
     }
@@ -375,6 +381,7 @@ object SuiteLoader {
     */
   private def resolveUnevaluated(fr: UpFrame, root: JsonNode,
                                  scope: Map[String, JsonNode],
+                                 prefix: String,
                                  wrap: Constraint => Constraint, draft: Int,
                                  out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
                                  st: DocParseState): Unit = fr.up.foreach { up =>
@@ -388,19 +395,19 @@ object SuiteLoader {
             case Nil => Always(false)
             case gs  => AnyOf(gs) // evaluated under some gate → exempt
           }
-          out += FieldConstraint(s"$c.unevaluatedProperties", c, wrap(WhenPresent(c, inner)))
+          out += FieldConstraint(s"$prefix$c.unevaluatedProperties", c, wrap(WhenPresent(c, inner)))
         }
     } else {
       val (gated, ungated) = rest.partition(c => gatesFor(c).nonEmpty)
       if (ungated.nonEmpty) {
         val props = mapper.createObjectNode()
         ungated.foreach(c => props.set[JsonNode](c, up))
-        parseProperties(props, scope, root, "unevaluatedProperties.", wrap, out, draft)
+        parseProperties(props, scope, root, s"${prefix}unevaluatedProperties.", wrap, out, draft)
       }
       gated.foreach { c =>
         val props = mapper.createObjectNode()
         props.set[JsonNode](c, up)
-        parseProperties(props, scope, root, "unevaluatedProperties.",
+        parseProperties(props, scope, root, s"${prefix}unevaluatedProperties.",
           cc => wrap(AnyOf(gatesFor(c) :+ cc)), out, draft)
       }
     }
@@ -418,13 +425,13 @@ object SuiteLoader {
                              out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
                              tDraft: Int): Unit = {
     val st = docStateVar.value
-    st.foreach(s => s.frames = new UpFrame :: s.frames)
+    st.foreach(s => s.frames = new UpFrame(s.gateStack.length) :: s.frames)
     try inResource(tRoot) {
       parseObjectLevel(target, tScope, tRoot, prefix, wrap, refs, out, tDraft)
     } finally st.foreach { s =>
       val fr = s.frames.head
       s.frames = s.frames.tail
-      resolveUnevaluated(fr, tRoot, tScope, wrap, tDraft, out, s)
+      resolveUnevaluated(fr, tRoot, tScope, prefix, wrap, tDraft, out, s)
     }
   }
 
@@ -469,11 +476,23 @@ object SuiteLoader {
         // (PJS:_utils.py:318-325, with NO validity check on the
         // subschema), so every key it evaluates is gated on
         // FieldPresent(trigger) — pointwise-exact, no raise needed (r4)
-        docStateVar.value.foreach(s => s.gateStack = FieldPresent(trigger) :: s.gateStack)
+        docStateVar.value.foreach { s =>
+          s.gateStack = FieldPresent(trigger) :: s.gateStack
+          // own annotation scope whose base includes the trigger gate
+          s.frames = new UpFrame(s.gateStack.length) :: s.frames
+        }
         try parseObjectLevel(sub, localScope ++ nodeDefs(sub), root,
           s"$prefix$trigger.$kw.",
           c => wrap(WhenPresent(trigger, c)), activeRefs, out, draft)
-        finally docStateVar.value.foreach(s => s.gateStack = s.gateStack.tail)
+        finally docStateVar.value.foreach { s =>
+          val fr = s.frames.head
+          s.frames = s.frames.tail
+          // resolve BEFORE popping the gate so the cascade marks stay
+          // conditioned on the trigger's presence
+          resolveUnevaluated(fr, root, localScope ++ nodeDefs(sub),
+            s"$prefix$trigger.$kw.", c => wrap(WhenPresent(trigger, c)), draft, out, s)
+          s.gateStack = s.gateStack.tail
+        }
       }
 
     n.properties().asScala.foreach { entry =>
@@ -512,8 +531,19 @@ object SuiteLoader {
           requireDraft("allOf", 4, draft) // draft-3 spells it `extends`
           entry.getValue.asScala.zipWithIndex.foreach { case (branch, i) =>
             require(branch.isObject, s"doc-level allOf[$i] must be an object schema")
-            parseObjectLevel(branch, localScope ++ nodeDefs(branch), root,
+            // each branch is its own annotation scope (r4b): a uP inside
+            // it sees only the branch subtree; its marks still flow
+            // upward into every open frame
+            val st0 = docStateVar.value
+            st0.foreach(s => s.frames = new UpFrame(s.gateStack.length) :: s.frames)
+            try parseObjectLevel(branch, localScope ++ nodeDefs(branch), root,
               s"${prefix}allOf[$i].", wrap, activeRefs, out, draft)
+            finally st0.foreach { s =>
+              val fr = s.frames.head
+              s.frames = s.frames.tail
+              resolveUnevaluated(fr, root, localScope ++ nodeDefs(branch),
+                s"${prefix}allOf[$i].", wrap, draft, out, s)
+            }
           }
         case kw @ ("anyOf" | "oneOf" | "not") =>
           requireDraft(kw, 4, draft)
@@ -743,8 +773,6 @@ object SuiteLoader {
           // set must be complete first); only meaningful at the document
           // ROOT — annotation flow INTO branches is out of the static
           // subset
-          require(prefix.isEmpty,
-            "unevaluatedProperties is supported at the document root only (static subset)")
           docStateVar.value match {
             case Some(st) =>
               // inside an anyOf/oneOf/not branch its annotation scope is

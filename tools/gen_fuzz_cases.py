@@ -679,13 +679,23 @@ def up_in_ref_group(i):
     if drng.random() < 0.4:
         schema["unevaluatedProperties"] = False  # root uP, second frame
     resources = []
-    if drng.random() < 0.5:
+    via = drng.random()
+    if via < 0.3:
         schema["$defs"] = {"s": target}
         schema["$ref"] = "#/$defs/s"
-    else:
+    elif via < 0.5:
         lib_uri = f"https://fuzz.example/uplib{i}"
         resources = [dict(target, **{"$id": lib_uri})]
         schema["$ref"] = lib_uri
+    elif via < 0.8:
+        # r4b: an allOf BRANCH is its own annotation scope too
+        schema["allOf"] = [target]
+    else:
+        # r4b: a dependentSchemas subschema's scope, conditioned on the
+        # trigger's presence (the trigger key itself stays unevaluated
+        # within the subschema)
+        trig = drng.choice(cols)
+        schema["dependentSchemas"] = {trig: target}
     insts = [row_instance_with(drng) for _ in range(6)]
     return {"description": f"fuzz-dyn[{i}] up-in-ref seed={SEED}",
             "ctype": "row", "columns": COLS, "schema": schema,
