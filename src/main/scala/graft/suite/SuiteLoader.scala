@@ -384,6 +384,21 @@ object SuiteLoader {
                                  prefix: String,
                                  wrap: Constraint => Constraint, draft: Int,
                                  out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
+                                 st: DocParseState): Unit = if (fr.up.nonEmpty) {
+    resolveUnevaluatedCore(fr, root, scope, prefix, wrap, draft, out, st)
+    tableColumnsVar.value.foreach(st.markEvaluated)
+  }
+
+  /** Constraint emission only — the caller decides how the frame's
+    * "uP evaluates everything left" cascade reaches outer scopes
+    * (directly for unconditional frames, via the branch-mark buffer
+    * under the branch-validity gate for combinator/conditional arms).
+    */
+  private def resolveUnevaluatedCore(fr: UpFrame, root: JsonNode,
+                                 scope: Map[String, JsonNode],
+                                 prefix: String,
+                                 wrap: Constraint => Constraint, draft: Int,
+                                 out: scala.collection.mutable.ArrayBuffer[FieldConstraint],
                                  st: DocParseState): Unit = fr.up.foreach { up =>
     val rest = declaredColumns("unevaluatedProperties").filterNot(fr.evaluated)
     def gatesFor(c: String): Seq[Constraint] =
@@ -411,7 +426,38 @@ object SuiteLoader {
           cc => wrap(AnyOf(gatesFor(c) :+ cc)), out, draft)
       }
     }
-    tableColumnsVar.value.foreach(st.markEvaluated)
+  }
+
+  /** Commit a combinator branch's (or conditional arm's) buffered marks
+    * into its own frame and resolve the frame's uP INTO the branch's
+    * constraint buffer — the uP becomes part of branch VALIDITY (2020-12
+    * semantics: every branch is applied; a failing uP fails the branch).
+    * The frame's "evaluates everything" cascade is appended to the mark
+    * buffer so outer scopes see it under the branch-validity gate, like
+    * any other branch mark; resolution-time marks are suppressed (they
+    * would reach outer frames UNgated).
+    */
+  private def resolveBranchFrame(fr: UpFrame,
+      marks: scala.collection.mutable.ArrayBuffer[(String, List[Constraint])],
+      root: JsonNode, scope: Map[String, JsonNode], prefix: String, draft: Int,
+      buf: scala.collection.mutable.ArrayBuffer[FieldConstraint],
+      st: DocParseState): Unit = {
+    marks.foreach { case (f, gates) =>
+      val rel = gates.dropRight(math.min(fr.baseGates, gates.length))
+      if (rel.isEmpty) fr.evaluated += f
+      else fr.condEvaluated.getOrElseUpdate(f,
+        scala.collection.mutable.ArrayBuffer.empty) += (rel match {
+          case g :: Nil => g
+          case gs       => AllOf(gs)
+        })
+    }
+    if (fr.up.nonEmpty) {
+      val saved = st.markSink
+      st.markSink = Some(scala.collection.mutable.ArrayBuffer.empty)
+      try resolveUnevaluatedCore(fr, root, scope, prefix, identity, draft, buf, st)
+      finally st.markSink = saved
+      tableColumnsVar.value.foreach(c => marks += ((c, st.gateStack)))
+    }
   }
 
   /** Parse the target of a doc-level $ref/$recursiveRef/$dynamicRef
@@ -571,10 +617,20 @@ object SuiteLoader {
             val buf = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
             val marks = scala.collection.mutable.ArrayBuffer.empty[(String, List[Constraint])]
             val (savedSink, st) = (docStateVar.value.map(_.markSink), docStateVar.value)
-            st.foreach { s => s.markSink = Some(marks); s.branchDepth += 1 }
+            st.foreach { s =>
+              s.markSink = Some(marks); s.branchDepth += 1
+              s.frames = new UpFrame(s.gateStack.length) :: s.frames // r4b
+            }
             try parseObjectLevel(branch, localScope ++ nodeDefs(branch), root, "",
               identity, activeRefs, buf, draft)
-            finally st.foreach { s => s.markSink = savedSink.flatten; s.branchDepth -= 1 }
+            finally st.foreach { s =>
+              s.markSink = savedSink.flatten; s.branchDepth -= 1
+              val fr = s.frames.head
+              s.frames = s.frames.tail
+              // a uP in the branch is part of BRANCH validity (r4b)
+              resolveBranchFrame(fr, marks, root, localScope ++ nodeDefs(branch),
+                "", draft, buf, s)
+            }
             require(buf.nonEmpty, s"doc-level $kw[$i] asserts nothing — cannot decompose")
             (buf.toSeq, marks.toSeq)
           }
@@ -617,10 +673,20 @@ object SuiteLoader {
               val buf = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
               val marks = scala.collection.mutable.ArrayBuffer.empty[(String, List[Constraint])]
               val (savedSink, st) = (docStateVar.value.map(_.markSink), docStateVar.value)
-              st.foreach { s => s.markSink = Some(marks); s.branchDepth += 1 }
+              st.foreach { s =>
+                s.markSink = Some(marks); s.branchDepth += 1
+                s.frames = new UpFrame(s.gateStack.length) :: s.frames // r4b
+              }
               try parseObjectLevel(node, localScope ++ nodeDefs(node), root, "",
                 identity, activeRefs, buf, draft)
-              finally st.foreach { s => s.markSink = savedSink.flatten; s.branchDepth -= 1 }
+              finally st.foreach { s =>
+                s.markSink = savedSink.flatten; s.branchDepth -= 1
+                val fr = s.frames.head
+                s.frames = s.frames.tail
+                // a uP in the arm is part of ARM validity (r4b)
+                resolveBranchFrame(fr, marks, root, localScope ++ nodeDefs(node),
+                  "", draft, buf, s)
+              }
               val armCs: Seq[Constraint] = buf.toSeq.map(fc => OnField(fc.field, fc.constraint))
               val c: Option[Constraint] = armCs match {
                 case Seq()    => None // annotation-only arm: asserts nothing
@@ -775,10 +841,6 @@ object SuiteLoader {
           // subset
           docStateVar.value match {
             case Some(st) =>
-              // inside an anyOf/oneOf/not branch its annotation scope is
-              // the branch, not the document — raise, don't weaken
-              require(st.branchDepth == 0,
-                "unevaluatedProperties inside a combinator branch is outside the supported subset")
               // one uP per annotation SCOPE (frame): the document root
               // and each doc-level ref target get their own frame (r4 —
               // the in-ref-target raise is gone; annotations flow upward

@@ -687,15 +687,25 @@ def up_in_ref_group(i):
         lib_uri = f"https://fuzz.example/uplib{i}"
         resources = [dict(target, **{"$id": lib_uri})]
         schema["$ref"] = lib_uri
-    elif via < 0.8:
+    elif via < 0.65:
         # r4b: an allOf BRANCH is its own annotation scope too
         schema["allOf"] = [target]
-    else:
+    elif via < 0.8:
         # r4b: a dependentSchemas subschema's scope, conditioned on the
         # trigger's presence (the trigger key itself stays unevaluated
         # within the subschema)
         trig = drng.choice(cols)
         schema["dependentSchemas"] = {trig: target}
+    elif via < 0.9:
+        # r4b: a uP inside an anyOf branch is part of BRANCH validity
+        alt = drng.choice(cols)
+        schema["anyOf"] = [target,
+                           {"properties": {alt: gated_field_schema(COLS[alt])},
+                            "required": [alt]}]
+    else:
+        # r4b: a uP inside a then ARM applies when `if` holds, arm-scoped
+        schema["if"] = {"required": [drng.choice(cols)]}
+        schema["then"] = target
     insts = [row_instance_with(drng) for _ in range(6)]
     return {"description": f"fuzz-dyn[{i}] up-in-ref seed={SEED}",
             "ctype": "row", "columns": COLS, "schema": schema,
