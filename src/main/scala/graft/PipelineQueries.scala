@@ -216,6 +216,58 @@ object PipelineQueries {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
 
+  /** Deterministic hash sampling (the curation primitive behind "keep
+    * 10% of the corpus, reproducibly, with no coordination"): a row is
+    * kept iff md5(doc_id) mod 1000 < 100 — embarrassingly parallel, no
+    * shuffle for the decision, stable across reruns/engines (DuckDB
+    * recomputes the identical predicate). Output: per-source totals,
+    * sampled counts, and realized rate.
+    */
+  def sampleHash(s: SparkSession, dir: String): DataFrame = {
+    val keep = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000) < 100
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(keep.cast("long")).as("n_sampled"),
+        round(sum(keep.cast("long")).cast("double") / count(lit(1)), 6).as("rate"))
+  }
+
+  /** Sequence PACKING (balanced bins for training batches): within each
+    * deterministic hash SHARD, docs are ranked by descending size and
+    * dealt round-robin into bins — the classic LPT-style balance
+    * approximation, done per shard so the sort window is partitioned
+    * (shard count scales with the corpus; no global sort at 100 TB).
+    * Output: per (shard, bin) doc counts and total chars — bounded rows
+    * at any scale.
+    */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 16
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs(s, dir)
+      .withColumn("shard", shard)
+      .withColumn("bin", (row_number().over(w) - 1) % 4)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Data-mix RE-WEIGHTING: per-source sampling weights that would
+    * equalize the mix (target share = 1/#sources) — the knob a training
+    * pipeline turns to hit a prescribed source distribution. One
+    * aggregation; weights join back in one broadcast at apply time.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val bySource = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = bySource.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_sources"))
+    bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        round(col("total").cast("double") /
+          (col("n_sources") * col("n_docs")), 6).as("weight"))
+  }
+
   /** Exact 3-gram Jaccard near-dup baseline, blocked by (lang, source):
     * pair histogram by Jaccard decile. Verification oracle for LSH.
     */
@@ -419,6 +471,9 @@ object PipelineQueries {
     "d_lsh_buckets" -> (lshBuckets _),
     "d_lsh_pairs" -> (lshPairs _),
     "d_dup_clusters" -> (dupClusters _),
+    "d_sample_hash" -> (sampleHash _),
+    "d_pack_bins" -> (packBins _),
+    "d_mix_weights" -> (mixWeights _),
     "d_ngram_jaccard_hist" -> (ngramJaccardHist _),
     "d_simhashes" -> (simhashes _),
     "m_binary_meta" -> (binaryMeta _),
@@ -527,6 +582,26 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "d_sample_hash" ->
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN ${H("doc_id::VARCHAR")} % 1000 < 100 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+         round(sum(CASE WHEN ${H("doc_id::VARCHAR")} % 1000 < 100 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rate
+         FROM documents GROUP BY source""".replaceAll("\\s+", " "),
+
+    "d_pack_bins" ->
+      s"""WITH sharded AS (SELECT doc_id, n_chars, ${H("doc_id::VARCHAR")} % 16 AS shard FROM documents),
+         ranked AS (SELECT shard, n_chars,
+           (row_number() OVER (PARTITION BY shard ORDER BY n_chars DESC, doc_id ASC) - 1) % 4 AS bin
+         FROM sharded)
+         SELECT shard, bin::INT AS bin, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+         FROM ranked GROUP BY shard, bin""".replaceAll("\\s+", " "),
+
+    "d_mix_weights" ->
+      s"""WITH s AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+         t AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM s)
+         SELECT source, n_docs, round(t.total::DOUBLE / (t.n_sources * s.n_docs), 6) AS weight
+         FROM s CROSS JOIN t""".replaceAll("\\s+", " "),
+
     "d_doc_suite" -> docSuiteOracle,
     "e_lsh_hyperplane_hist" -> lshOracle,
     "e_neardup_pairs" -> neardupOracle,
