@@ -230,6 +230,29 @@ class PipelineSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("node", "component"))
   }
 
+  test("pack bins: the window's shard partitioning serves the aggregation — no third shuffle") {
+    val q = PipelineQueries.packBins(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString()
+    // exchange 1: the docs() parallelism repartition; exchange 2:
+    // hash(shard) for the window — groupBy(shard, bin) clusters on a
+    // SUPERSET of the window keys, so HashPartitioning(shard) already
+    // satisfies it and no further exchange may appear
+    assert("Exchange".r.findAllIn(plan).length === 2, s"expected 2 exchanges:\n$plan")
+    assert(!plan.contains("SinglePartition"), "window must stay partitioned")
+    val rows = q.collect()
+    assert(rows.length <= 16 * 4 && rows.map(_.getLong(3)).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum(col("n_chars"))).head().getLong(0))
+  }
+
+  test("hash sampling: deterministic across runs and shuffle-minimal") {
+    val a = PipelineQueries.sampleHash(spark, dir).collect().map(_.toString).sorted.toSeq
+    val b = PipelineQueries.sampleHash(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(a === b, "md5-mod sampling must be bit-stable across runs")
+    val plan = PipelineQueries.sampleHash(spark, dir).queryExecution.executedPlan.toString()
+    // repartition + the two-phase agg's single state exchange
+    assert("Exchange".r.findAllIn(plan).length === 2, s"expected 2 exchanges:\n$plan")
+  }
+
   test("plan quality: failCounts is one scan + partial/final agg; only agg state shuffles") {
     val df = graft.gen.TokenData.read(spark, "/root/testdata/sf0.001")
     val q = graft.compilex.ConstraintCompiler.failCounts(
