@@ -928,7 +928,14 @@ object SuiteLoader {
             .filter(k => booleanExclusive(subDraft) && Option(sub.get(k)).exists(_.isBoolean))
         sub.properties().asScala.foreach { e =>
           val k = e.getKey
-          if (!anchored.contains(k) && !Annotations.contains(k)) {
+          if (k == "unevaluatedItems") {
+            // compiled against the FULL sibling context (the walk reads
+            // prefixItems/items/contains/combinators/refs from the node
+            // itself — no slice, no extraction); vacuous → no constraint
+            requireDraft("unevaluatedItems", 2019, subDraft)
+            unevaluatedItemsConstraint(sub, scope ++ nodeDefs(sub), root, Set.empty, subDraft)
+              .foreach(c => out += FieldConstraint(s"$prefix$field.$k", field, wrap(c)))
+          } else if (!anchored.contains(k) && !Annotations.contains(k)) {
             // single-keyword slice, carrying the anchored siblings +
             // document $defs scope along
             val slice = mapper.createObjectNode()
@@ -937,17 +944,6 @@ object SuiteLoader {
               "contains" -> Seq("minContains", "maxContains"),
               "if"       -> Seq("then", "else"),
               "items"    -> Seq("prefixItems", "additionalItems"),
-              // unevaluatedItems must SEE its sibling element applicators
-              // — they define the evaluated-index set, which the
-              // compile-time walk (evaluatedIndexInfo) computes through
-              // allOf branches and $ref targets (r4b); the truly
-              // branch-dependent siblings (anyOf/oneOf/not/if, dynamic
-              // refs) ride along so the walk's guard can SEE and raise
-              // on them (round-3 review: an invisible $ref sibling
-              // carrying prefixItems would silently shift the set)
-              "unevaluatedItems" -> Seq("prefixItems", "items", "additionalItems",
-                "contains", "allOf", "anyOf", "oneOf", "not", "if", "$ref",
-                "$dynamicRef", "$recursiveRef"),
               "minimum"  -> Seq("exclusiveMinimum").filter(_ => anchored("exclusiveMinimum")),
               "maximum"  -> Seq("exclusiveMaximum").filter(_ => anchored("exclusiveMaximum")))
             carry.getOrElse(k, Nil)
@@ -966,30 +962,6 @@ object SuiteLoader {
               case Constraint.AllOf(xs) if k == "items" && sub.has("prefixItems") =>
                 xs.find(x => x.isInstanceOf[Constraint.ItemsFrom] || x.isInstanceOf[Constraint.Items])
                   .getOrElse(c)
-              // the unevaluatedItems slice carries its sibling element
-              // applicators for CONTEXT only — they emit their own
-              // constraints from their own slices; keep just what
-              // unevaluatedItems contributed. Vacuity mirrors the
-              // toConstraint branch: 2020-12 items evaluates everything,
-              // the legacy ARRAY form only with additionalItems.
-              case _ if k == "unevaluatedItems" &&
-                (Option(sub.get("items")).exists(!_.isArray) ||
-                  (Option(sub.get("items")).exists(_.isArray) && sub.has("additionalItems"))) =>
-                Constraint.Always(true)
-              // a BARE top-level ItemsFrom can only be unevaluatedItems'
-              // own emission (sibling applicators always emit their
-              // PrefixItems companion alongside, so theirs arrive inside
-              // an AllOf)
-              case x: Constraint.ItemsFrom if k == "unevaluatedItems" => x
-              case Constraint.AllOf(xs) if k == "unevaluatedItems" =>
-                // unevaluatedItems' own ItemsFrom is appended FIRST
-                // (slice insertion order), before any additionalItems one
-                xs.collectFirst { case x: Constraint.ItemsFrom => x }
-                  .getOrElse(Constraint.Always(true))
-              // r4b: vacuity discovered through a $ref target (the walk
-              // emitted nothing; whatever remains is carried context
-              // that asserts via its own slice)
-              case _ if k == "unevaluatedItems" => Constraint.Always(true)
               case other => other
             }
             out += FieldConstraint(s"$prefix$field.$k", field, wrap(cleaned))
@@ -1023,25 +995,39 @@ object SuiteLoader {
     * and `$ref` targets (r4b); branch-dependent shapes raise.
     */
   private final case class EvalIdx(prefixLen: Int, contains: Seq[Constraint],
-                                   everything: Boolean)
+                                   everything: Boolean,
+                                   cond: Seq[(Constraint, EvalIdx)]) {
+    def base: EvalIdx = copy(cond = Nil)
+    def nonEmptyBase: Boolean = prefixLen > 0 || contains.nonEmpty || everything
+  }
 
   private def evaluatedIndexInfo(n: JsonNode, scope: Map[String, JsonNode],
                                  root: JsonNode, seen: Set[RefId],
                                  inheritedDraft: Int): EvalIdx = {
-    val dyn = Seq("anyOf", "oneOf", "not", "if", "$dynamicRef", "$recursiveRef")
-      .filter(n.has(_))
-    require(dyn.isEmpty,
-      s"unevaluatedItems decidable subset: sibling $dyn makes the evaluated-index set " +
-        "branch-dependent — raising instead of silently dropping")
+    if (n.isBoolean) return EvalIdx(0, Nil, everything = false, Nil)
+    // the one shape left outside the walk (legacy dynamic scope)
+    require(!n.has("$recursiveRef"),
+      "unevaluatedItems decidable subset: a $recursiveRef sibling is outside the walk — " +
+        "raising instead of silently dropping")
     val draft = draftOf(n, inheritedDraft)
     val defs = scope ++ nodeDefs(n)
     var plen = 0
     var everything = false
     val cont = Seq.newBuilder[Constraint]
+    val cond = Seq.newBuilder[(Constraint, EvalIdx)]
     def merge(e: EvalIdx): Unit = {
       plen = math.max(plen, e.prefixLen)
       everything ||= e.everything
       cont ++= e.contains
+      cond ++= e.cond
+    }
+    // a contribution that only counts when `gate` holds for the row;
+    // nested conditionals flatten with AND-composed gates (the tracker
+    // recurses into a VALID branch, whose own gated parts then apply
+    // under their own validity)
+    def gatedMerge(gate: Constraint, e: EvalIdx): Unit = {
+      if (e.nonEmptyBase) cond += (gate -> e.base)
+      e.cond.foreach { case (g2, e2) => cond += (AllOf(Seq(gate, g2)) -> e2) }
     }
     Option(n.get("items")).foreach { it =>
       if (!it.isArray) everything = true // 2020-12 schema form: evaluates the rest
@@ -1052,21 +1038,88 @@ object SuiteLoader {
     }
     Option(n.get("prefixItems")).foreach(p => plen = math.max(plen, p.size()))
     Option(n.get("contains")).foreach(c => cont += toConstraint(c, defs, root, seen, draft))
+    // allOf merges UNCONDITIONALLY: the tracker gates on branch validity,
+    // but a failing allOf branch fails the row anyway — verdict-exact
     Option(n.get("allOf")).foreach(_.asScala.foreach { b =>
       require(b.isObject, "unevaluatedItems walk: allOf branch must be an object schema")
       merge(evaluatedIndexInfo(b, defs, root, seen, draft))
     })
-    Option(n.get("$ref")).map(_.asText()).foreach { ref =>
-      val key = refKey(root, ref)
+    // anyOf/oneOf: each branch contributes iff the row VALIDATES against
+    // it (find_evaluated_item_indexes_by_schema's errs-is-None gate)
+    Seq("anyOf", "oneOf").foreach { kw =>
+      Option(n.get(kw)).foreach(_.asScala.foreach { b =>
+        gatedMerge(toConstraint(b, defs, root, seen, draft),
+          evaluatedIndexInfo(b, defs, root, seen, draft))
+      })
+    }
+    // if/then under if-validity; else under its negation. `not` is NOT
+    // in the tracker's keyword set — it contributes nothing and is
+    // deliberately ignored here (it asserts via its own slice).
+    Option(n.get("if")).foreach { ifN =>
+      val g = toConstraint(ifN, defs, root, seen, draft)
+      val ifInfo = evaluatedIndexInfo(ifN, defs, root, seen, draft)
+      val thenInfo = Option(n.get("then"))
+        .map(evaluatedIndexInfo(_, defs, root, seen, draft))
+        .getOrElse(EvalIdx(0, Nil, everything = false, Nil))
+      gatedMerge(g, EvalIdx(
+        math.max(ifInfo.prefixLen, thenInfo.prefixLen),
+        ifInfo.contains ++ thenInfo.contains,
+        ifInfo.everything || thenInfo.everything,
+        ifInfo.cond ++ thenInfo.cond))
+      Option(n.get("else")).foreach(e =>
+        gatedMerge(Not(g), evaluatedIndexInfo(e, defs, root, seen, draft)))
+    }
+    def follow(ref: String, cycleTag: String, resolve: => (JsonNode, JsonNode)): Unit = {
+      val (tRoot, target) = resolve
+      val key = refKey(tRoot, cycleTag + ref)
       require(!seen.contains(key),
-        s"circular $$ref '$ref' in the unevaluatedItems evaluated-index walk")
-      val (tRoot, target) = resolveFragmentWithRoot(ref, root, defs)
+        s"circular '$ref' in the unevaluatedItems evaluated-index walk")
       merge(
         if (tRoot eq root) evaluatedIndexInfo(target, defs, root, seen + key, draft)
         else evaluatedIndexInfo(target, nodeDefs(tRoot), tRoot, seen + key,
           draftOf(tRoot, draft)))
     }
-    EvalIdx(plen, cont.result(), everything)
+    Option(n.get("$ref")).map(_.asText()).foreach(r =>
+      follow(r, "", resolveFragmentWithRoot(r, root, defs)))
+    Option(n.get("$dynamicRef")).map(_.asText()).foreach(r =>
+      follow(r, "$dynamic:", resolveDynamicTarget(r, root)))
+    EvalIdx(plen, cont.result(), everything, cond.result())
+  }
+
+  /** Compile `unevaluatedItems` with its full sibling context `n`
+    * (NOT a slice): base evaluated-prefix/contains from the walk, plus
+    * one IfThenElse level per conditionally-valid contributor (anyOf/
+    * oneOf branch validity, if-validity) — a 2^k compile-time expansion
+    * over at most [[MaxCondContribs]] contributors, each subexpression
+    * mentioned once (no accumulator duplication). Returns None when
+    * every element is provably evaluated (vacuous).
+    */
+  private val MaxCondContribs = 3
+
+  private def unevaluatedItemsConstraint(n: JsonNode, scope: Map[String, JsonNode],
+                                         root: JsonNode, seen: Set[RefId],
+                                         draft: Int): Option[Constraint] = {
+    val info = evaluatedIndexInfo(n, scope, root, seen, draft)
+    require(info.cond.length <= MaxCondContribs,
+      s"unevaluatedItems: ${info.cond.length} conditionally-valid sibling contributions " +
+        s"exceed the 2^k expansion cap ($MaxCondContribs) — raising instead of approximating")
+    val defs = scope ++ nodeDefs(n)
+    val u = toConstraint(n.get("unevaluatedItems"), defs, root, seen, draft)
+    def build(i: Int, plen: Int, conts: Seq[Constraint], everything: Boolean): Option[Constraint] =
+      if (everything) None
+      else if (i == info.cond.length)
+        Some(ItemsFrom(plen, if (conts.isEmpty) u else AnyOf(conts :+ u)))
+      else {
+        val (g, e) = info.cond(i)
+        val withC = build(i + 1, math.max(plen, e.prefixLen), conts ++ e.contains, e.everything)
+        val without = build(i + 1, plen, conts, everything = false)
+        (withC, without) match {
+          case (None, None) => None
+          case (a, b) => Some(IfThenElse(g,
+            Some(a.getOrElse(Always(true))), Some(b.getOrElse(Always(true)))))
+        }
+      }
+    build(0, info.prefixLen, info.contains, info.everything)
   }
 
   // ---- $ref machinery (REF:_core.py:653-698 static subset) --------------
@@ -1407,14 +1460,7 @@ object SuiteLoader {
           // over those positions (exact — minContains/maxContains don't
           // change the per-element annotation). Truly branch-dependent
           // siblings (anyOf/oneOf/not/if, dynamic refs) still RAISE.
-          val info = evaluatedIndexInfo(n, scope, root, activeRefs, draft)
-          if (!info.everything) {
-            val u = sub(v)
-            cs += ItemsFrom(info.prefixLen, info.contains match {
-              case Seq() => u
-              case cns   => AnyOf(cns :+ u)
-            })
-          }
+          unevaluatedItemsConstraint(n, scope, root, activeRefs, draft).foreach(cs += _)
         case "contains" =>
           requireDraft("contains", 6, draft)
           // min/maxContains are 2019-09+: under draft-6/7 the reference

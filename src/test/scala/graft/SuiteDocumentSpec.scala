@@ -65,10 +65,19 @@ class SuiteDocumentSpec extends SparkSpec {
          "$defs": {"a": {"prefixItems": [{"type": "integer"}]}}}""")
     assert(s.constraints.find(_.id == "arr.unevaluatedItems").get.constraint ===
       graft.suite.Constraint.ItemsFrom(1, graft.suite.Constraint.Always(false)))
-    // truly branch-dependent siblings still raise
+    // an anyOf sibling now compiles to a branch-validity conditional
+    // (r4b): valid branch -> its prefix counts as evaluated
+    val s2 = SuiteLoader.parseSuiteDocument(
+      """{"properties": {"arr": {"anyOf": [{"prefixItems": [{"type": "integer"}]}],
+         "unevaluatedItems": false}}}""")
+    val ui = s2.constraints.find(_.id == "arr.unevaluatedItems").get.constraint
+    assert(ui.isInstanceOf[graft.suite.Constraint.IfThenElse], ui.toString)
+    // the 2^k expansion is capped: 4 conditional contributors raise
     intercept[IllegalArgumentException](
       SuiteLoader.parseSuiteDocument(
-        """{"properties": {"arr": {"anyOf": [{"prefixItems": [{"type": "integer"}]}],
+        """{"properties": {"arr": {
+           "anyOf": [{"prefixItems": [{}]}, {"prefixItems": [{}, {}]}],
+           "oneOf": [{"prefixItems": [{}]}, {"prefixItems": [{}, {}, {}]}],
            "unevaluatedItems": false}}}"""))
   }
 

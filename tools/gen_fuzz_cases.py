@@ -737,11 +737,20 @@ def ui_ref_group(i):
               (False if drng.random() < 0.6 else {"maximum": drng.choice(INTS)})}
     via = drng.random()
     resources = []
-    if via < 0.4:
+    if via < 0.25:
         schema["$defs"] = {"a": inner}
         schema["$ref"] = "#/$defs/a"
-    elif via < 0.7:
+    elif via < 0.45:
         schema["allOf"] = [inner]
+    elif via < 0.6:
+        # r4c: a branch contributes iff the row VALIDATES against it
+        schema["anyOf"] = [inner, {"minItems": drng.randint(0, 2)}]
+    elif via < 0.8:
+        # r4c: if/then under if-validity, else under its negation
+        schema["if"] = {"minItems": drng.randint(1, 3)}
+        schema["then"] = inner
+        if drng.random() < 0.5:
+            schema["else"] = elem_apps()
     else:
         lib_uri = f"https://fuzz.example/uilib{i}"
         resources = [dict(inner, **{"$id": lib_uri})]
