@@ -1005,10 +1005,6 @@ object SuiteLoader {
                                  root: JsonNode, seen: Set[RefId],
                                  inheritedDraft: Int): EvalIdx = {
     if (n.isBoolean) return EvalIdx(0, Nil, everything = false, Nil)
-    // the one shape left outside the walk (legacy dynamic scope)
-    require(!n.has("$recursiveRef"),
-      "unevaluatedItems decidable subset: a $recursiveRef sibling is outside the walk — " +
-        "raising instead of silently dropping")
     val draft = draftOf(n, inheritedDraft)
     val defs = scope ++ nodeDefs(n)
     var plen = 0
@@ -1083,6 +1079,10 @@ object SuiteLoader {
       follow(r, "", resolveFragmentWithRoot(r, root, defs)))
     Option(n.get("$dynamicRef")).map(_.asText()).foreach(r =>
       follow(r, "$dynamic:", resolveDynamicTarget(r, root)))
+    Option(n.get("$recursiveRef")).map(_.asText()).foreach { r =>
+      val tRoot = resolveRecursiveTarget(r, root) // legacy tracker follows it too
+      follow(r, "$recursive:", (tRoot, tRoot))
+    }
     EvalIdx(plen, cont.result(), everything, cond.result())
   }
 
