@@ -268,6 +268,73 @@ object PipelineQueries {
           (col("n_sources") * col("n_docs")), 6).as("weight"))
   }
 
+  /** DECONTAMINATION (train vs benchmark n-gram overlap — the GPT-3/PaLM
+    * 13-gram rule, word 8-grams here to fit the short synthetic docs):
+    * the held-out "benchmark" slice is the docs whose md5(doc_id) leads
+    * with hex '0' (~1/16 — in production this is the eval-suite dim
+    * table); a train doc is contaminated when any of its word 8-grams
+    * appears verbatim in the benchmark slice. Scale shape: the benchmark
+    * n-gram set is tiny relative to the corpus → distinct + BROADCAST
+    * into a hash semi-join against the exploded train n-grams (no
+    * shuffle of the big side); the only shuffles key on (doc_id) over
+    * the MATCHED rows (rare by construction) and on the 5-row per-source
+    * rollup. Output is the per-source contamination ledger a curation
+    * run reports before training.
+    */
+  def decontam(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val ng = when(size(w) >= 8,
+      transform(sequence(lit(1), size(w) - 7), i =>
+        md5(concat_ws(" ", slice(w, i, lit(8))))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"),
+      ng.as("ng"))
+    val benchNg = base.filter(col("is_bench")).select(explode(col("ng")).as("ng")).distinct()
+    val trainNg = base.filter(!col("is_bench"))
+      .select(col("doc_id"), col("source"), explode(col("ng")).as("ng"))
+    val perDocHits = trainNg.join(broadcast(benchNg), Seq("ng"))
+      .groupBy(col("doc_id"), col("source")).agg(count(lit(1)).as("hits"))
+    val checked = base.filter(!col("is_bench"))
+      .groupBy(col("source")).agg(count(lit(1)).as("docs_checked"))
+    checked.join(
+        perDocHits.groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_contaminated"), sum(col("hits")).as("ngram_hits")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("docs_contaminated", "ngram_hits"))
+  }
+
+  /** Intra-document REPETITION metrics (the Gopher quality-filter
+    * family): duplicate-word fraction, duplicate-bigram fraction, and
+    * the top-bigram share per document. The fractions are single-pass
+    * codegen'd array expressions; the top-bigram mode is the one signal
+    * that genuinely needs an aggregation — explode + two keyed aggs
+    * ((doc_id, bigram) then doc_id), both on well-spread keys, so a
+    * 100k-word document never materializes an O(len²) per-row loop the
+    * way a filter-count-per-distinct-element projection would.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val bg = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val d = docs(s, dir).select(col("doc_id"), w.as("w"), bg.as("bg"))
+    val perDoc = d.select(col("doc_id"),
+      size(col("w")).as("n_words"),
+      round((size(col("w")) - size(array_distinct(col("w")))).cast("double") /
+        greatest(size(col("w")), lit(1)), 6).as("dup_word_frac"),
+      size(col("bg")).as("n_bigrams"),
+      round((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+        greatest(size(col("bg")), lit(1)), 6).as("dup_bigram_frac"),
+      col("bg"))
+    val top = perDoc.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"), sum(col("n")).as("tot"))
+      .select(col("doc_id"), round(col("top_n").cast("double") / col("tot"), 6).as("top_bigram_frac"))
+    perDoc.drop("bg").join(top, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+  }
+
   /** Exact 3-gram Jaccard near-dup baseline, blocked by (lang, source):
     * pair histogram by Jaccard decile. Verification oracle for LSH.
     */
@@ -474,6 +541,8 @@ object PipelineQueries {
     "d_sample_hash" -> (sampleHash _),
     "d_pack_bins" -> (packBins _),
     "d_mix_weights" -> (mixWeights _),
+    "d_decontam" -> (decontam _),
+    "d_repetition" -> (repetition _),
     "d_ngram_jaccard_hist" -> (ngramJaccardHist _),
     "d_simhashes" -> (simhashes _),
     "m_binary_meta" -> (binaryMeta _),
@@ -601,6 +670,37 @@ object PipelineQueries {
          t AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM s)
          SELECT source, n_docs, round(t.total::DOUBLE / (t.n_sources * s.n_docs), 6) AS weight
          FROM s CROSS JOIN t""".replaceAll("\\s+", " "),
+
+    "d_decontam" ->
+      s"""WITH d AS (SELECT doc_id, source, $W AS ws,
+           substr(md5(doc_id::VARCHAR),1,1) = '0' AS is_bench FROM documents),
+         ng AS (SELECT doc_id, source, is_bench,
+           unnest(list_transform(range(1, greatest(len(ws)-6,1)), i -> md5(array_to_string(ws[i:i+7],' ')))) AS ng
+           FROM d),
+         bench AS (SELECT DISTINCT ng FROM ng WHERE is_bench),
+         hits AS (SELECT t.doc_id, t.source, count(*)::BIGINT AS hits
+           FROM ng t JOIN bench b USING (ng) WHERE NOT t.is_bench GROUP BY t.doc_id, t.source),
+         bysrc AS (SELECT source, count(*)::BIGINT AS docs_contaminated, sum(hits)::BIGINT AS ngram_hits
+           FROM hits GROUP BY source),
+         checked AS (SELECT source, count(*)::BIGINT AS docs_checked FROM d WHERE NOT is_bench GROUP BY source)
+         SELECT c.source, c.docs_checked,
+           coalesce(b.docs_contaminated, 0)::BIGINT AS docs_contaminated,
+           coalesce(b.ngram_hits, 0)::BIGINT AS ngram_hits
+         FROM checked c LEFT JOIN bysrc b ON c.source = b.source""".replaceAll("\\s+", " "),
+
+    "d_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $W AS ws,
+           list_transform(range(1, greatest(len($W),1)), i -> $W[i] || ' ' || $W[i+1]) AS bg
+           FROM documents),
+         e AS (SELECT doc_id, unnest(bg) AS b FROM d),
+         c AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM e GROUP BY doc_id, b),
+         t AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) AS top_bigram_frac FROM c GROUP BY doc_id)
+         SELECT d.doc_id, len(ws)::INT AS n_words,
+           round((len(ws) - len(list_distinct(ws)))::DOUBLE / greatest(len(ws),1), 6) AS dup_word_frac,
+           len(bg)::INT AS n_bigrams,
+           round((len(bg) - len(list_distinct(bg)))::DOUBLE / greatest(len(bg),1), 6) AS dup_bigram_frac,
+           coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+         FROM d LEFT JOIN t ON d.doc_id = t.doc_id""".replaceAll("\\s+", " "),
 
     "d_doc_suite" -> docSuiteOracle,
     "e_lsh_hyperplane_hist" -> lshOracle,

@@ -253,6 +253,52 @@ class PipelineSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length === 2, s"expected 2 exchanges:\n$plan")
   }
 
+  test("decontam: benchmark n-grams broadcast; ledger matches a driver-side recompute") {
+    val q = PipelineQueries.decontam(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"bench n-gram set must broadcast:\n$plan")
+    val got = q.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // -1 limit: Spark's split keeps trailing empty tokens
+    def ngrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Seq.empty else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+    }
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0).toString, r.getString(1), r.getString(2)))
+    val (bench, train) = rows.partition { case (id, _, _) => md5hex(id).head == '0' }
+    val benchSet = bench.flatMap(t => ngrams(t._3)).toSet
+    val expected = train.groupBy(_._2).map { case (src, ds) =>
+      val hits = ds.toSeq.map(d => ngrams(d._3).count(benchSet.contains).toLong)
+      src -> ((ds.length.toLong, hits.count(_ > 0).toLong, hits.sum))
+    }
+    assert(got === expected)
+  }
+
+  test("repetition: per-doc dup fractions and top-bigram share match a driver-side recompute") {
+    val q = PipelineQueries.repetition(spark, dir)
+    val got = q.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val rows = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size === rows.length)
+    rows.foreach { case (id, text) =>
+      val w = text.split(" ", -1).toSeq
+      val bg = if (w.length < 2) Seq.empty[String] else w.sliding(2).map(_.mkString(" ")).toSeq
+      val (nw, nb, dw, db, gotRow) = (w.length, bg.length,
+        (w.length - w.distinct.length).toDouble / math.max(w.length, 1),
+        (bg.length - bg.distinct.length).toDouble / math.max(bg.length, 1),
+        got(id))
+      val topFrac = if (bg.isEmpty) 0.0
+        else bg.groupBy(identity).values.map(_.length).max.toDouble / bg.length
+      assert(gotRow._1 === nw && gotRow._3 === nb, s"doc $id sizes")
+      assert(math.abs(gotRow._2 - dw) < 1e-6, s"doc $id dup_word_frac ${gotRow._2} vs $dw")
+      assert(math.abs(gotRow._4 - db) < 1e-6, s"doc $id dup_bigram_frac ${gotRow._4} vs $db")
+      assert(math.abs(gotRow._5 - topFrac) < 1e-6, s"doc $id top_bigram_frac ${gotRow._5} vs $topFrac")
+    }
+  }
+
   test("plan quality: failCounts is one scan + partial/final agg; only agg state shuffles") {
     val df = graft.gen.TokenData.read(spark, "/root/testdata/sf0.001")
     val q = graft.compilex.ConstraintCompiler.failCounts(
