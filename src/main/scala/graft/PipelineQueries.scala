@@ -268,6 +268,30 @@ object PipelineQueries {
           (col("n_sources") * col("n_docs")), 6).as("weight"))
   }
 
+  /** TOKENIZATION (docs → the north-star token-table shape): the BPE-ish
+    * lexer projects each document to array<int> token ids, id =
+    * md5(token-string) first-8-hex mod 2^18 — the deterministic
+    * vocabulary hash both engines recompute exactly. Map-only: zero
+    * shuffle, whole-stage codegen'd, embarrassingly parallel at any
+    * corpus size — this is the ingest step that feeds the validation
+    * engine's (doc_id, tokens, n_tok, source) input. The driver-gate
+    * output is the per-doc ledger (n_tok, ORDER-SENSITIVE positional
+    * checksum, boundary tokens) so the hash gate compares scalars, not
+    * reader-dependent array renderings.
+    */
+  def tokenize(s: SparkSession, dir: String): DataFrame = {
+    val ids = transform(
+      regexp_extract_all(col("text"), lit(graft.pipeline.TextOps.bpeishPattern), lit(0)),
+      t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 262144L).cast("int"))
+    docs(s, dir).select(col("doc_id"), col("source"), ids.as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_tok"),
+        aggregate(transform(col("toks"), (t, i) => (i + 1).cast("long") * t),
+          lit(0L), (acc, x) => acc + x).as("tok_checksum"),
+        try_element_at(col("toks"), lit(1)).as("first_tok"),
+        try_element_at(col("toks"), lit(-1)).as("last_tok"))
+  }
+
   /** DECONTAMINATION (train vs benchmark n-gram overlap — the GPT-3/PaLM
     * 13-gram rule, word 8-grams here to fit the short synthetic docs):
     * the held-out "benchmark" slice is the docs whose md5(doc_id) leads
@@ -541,6 +565,7 @@ object PipelineQueries {
     "d_sample_hash" -> (sampleHash _),
     "d_pack_bins" -> (packBins _),
     "d_mix_weights" -> (mixWeights _),
+    "d_tokenize" -> (tokenize _),
     "d_decontam" -> (decontam _),
     "d_repetition" -> (repetition _),
     "d_ngram_jaccard_hist" -> (ngramJaccardHist _),
@@ -670,6 +695,16 @@ object PipelineQueries {
          t AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM s)
          SELECT source, n_docs, round(t.total::DOUBLE / (t.n_sources * s.n_docs), 6) AS weight
          FROM s CROSS JOIN t""".replaceAll("\\s+", " "),
+
+    "d_tokenize" ->
+      s"""WITH t AS (SELECT doc_id, source,
+           list_transform(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]'),
+             w -> (('0x' || substr(md5(w),1,8))::BIGINT % 262144)::INT) AS toks
+           FROM documents)
+         SELECT doc_id, source, len(toks)::INT AS n_tok,
+           coalesce(list_sum(list_transform(range(1, len(toks)+1), i -> i::BIGINT * toks[i])), 0)::BIGINT AS tok_checksum,
+           toks[1] AS first_tok, toks[-1] AS last_tok
+         FROM t""".replaceAll("\\s+", " "),
 
     "d_decontam" ->
       s"""WITH d AS (SELECT doc_id, source, $W AS ws,

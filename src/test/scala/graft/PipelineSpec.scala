@@ -253,6 +253,27 @@ class PipelineSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length === 2, s"expected 2 exchanges:\n$plan")
   }
 
+  test("tokenize: md5-vocab ids and positional checksum match a driver-side recompute; map-only plan") {
+    val q = PipelineQueries.tokenize(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString()
+    // the docs() parallelism repartition is the ONLY exchange — tokenization itself never shuffles
+    assert("Exchange".r.findAllIn(plan).length === 1, s"tokenize must stay map-only:\n$plan")
+    val got = q.collect().map(r => r.getLong(0) ->
+      ((r.getInt(2), r.getLong(3), Option(r.get(4)), Option(r.get(5))))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rx = java.util.regex.Pattern.compile(TextOps.bpeishPattern)
+    val rows = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { case (id, text) =>
+      val m = rx.matcher(text)
+      val toks = Iterator.continually(m).takeWhile(_.find())
+        .map(mm => (java.lang.Long.parseLong(md5hex(mm.group(0)).take(8), 16) % 262144L).toInt).toSeq
+      val checksum = toks.zipWithIndex.map { case (t, i) => (i + 1).toLong * t }.sum
+      val exp = (toks.length, checksum, toks.headOption, toks.lastOption)
+      assert(got(id) === exp, s"doc $id")
+    }
+  }
+
   test("decontam: benchmark n-grams broadcast; ledger matches a driver-side recompute") {
     val q = PipelineQueries.decontam(spark, dir)
     val plan = q.queryExecution.executedPlan.toString()
