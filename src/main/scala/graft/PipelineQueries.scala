@@ -306,11 +306,7 @@ object PipelineQueries {
     * run reports before training.
     */
   def decontam(s: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val ng = when(size(w) >= 8,
-      transform(sequence(lit(1), size(w) - 7), i =>
-        md5(concat_ws(" ", slice(w, i, lit(8))))))
-      .otherwise(array().cast("array<string>"))
+    val ng = graft.pipeline.TextOps.wordNgramHashes(col("text"), 8)
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"),
       ng.as("ng"))

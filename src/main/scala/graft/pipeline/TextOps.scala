@@ -27,6 +27,19 @@ object TextOps {
   val bpeishPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
   def bpeishCount(text: Column): Column = size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
 
+  /** md5 hashes of the word n-grams of `text` (all positions, the
+    * decontamination unit — GPT-3's 13-gram rule shape); empty for
+    * texts shorter than n words. Codegen'd; DuckDB recomputes it as
+    * md5(array_to_string(ws[i:i+n-1], ' ')).
+    */
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => md5(concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word 3-gram shingles: "w1 w2 w3" strings (n-2 of them; empty for
     * <3 words — guard needed because sequence(1,0) would be DESCENDING).
     */

@@ -99,6 +99,21 @@ object StreamingValidate {
     agg.select(col("window"), col("rows"), round(psi, 6).as("psi"))
   }
 
+  /** Streaming DECONTAMINATION: the in-flight face of the batch
+    * d_decontam ledger — each arriving document's word-8-gram hashes
+    * are checked against the STATIC benchmark n-gram dimension via a
+    * stream-static broadcast join (the supported stream-static inner
+    * join; the static side is tiny by construction, so nothing of the
+    * stream ever shuffles). Stateless — append-safe at any scale; one
+    * output row per contaminated (doc, n-gram) occurrence, the
+    * violation-stream shape a curation pipeline quarantines on.
+    */
+  def decontamStream(stream: DataFrame, benchNgrams: DataFrame): DataFrame =
+    stream.select(col("doc_id"), col("source"),
+        explode(graft.pipeline.TextOps.wordNgramHashes(col("text"), 8)).as("ng"))
+      .join(broadcast(benchNgrams.select(col("ng"))), Seq("ng"))
+      .select(col("doc_id"), col("source"), col("ng"))
+
   /** Lifetime running verdict per source via custom state
     * (mapGroupsWithState): each micro-batch folds its rows into the
     * per-source state and emits the updated totals — the streaming

@@ -154,4 +154,29 @@ class StreamingSpec extends SparkSpec {
         s"null-source rows must land in the unknown-source PSI term, got ${rows(0).getDouble(1)} want $expected")
     } finally q.stop()
   }
+
+  test("decontam stream: stream-static broadcast join flags only n-gram-sharing docs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(benchText).toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.pipeline.TextOps.wordNgramHashes(org.apache.spark.sql.functions.col("text"), 8)).as("ng"))
+      .distinct()
+    val mem = MemoryStream[(String, String, String)]
+    val df = mem.toDF().toDF("doc_id", "source", "text")
+    val q = StreamingValidate.decontamStream(df, bench)
+      .writeStream.format("memory").queryName("decontam").outputMode("append").start()
+    try {
+      mem.addData(
+        // contains bench 8-gram "beta...iota" verbatim -> 2 hits (positions 1,2 of its own 9 words)
+        ("doc-hit", "web", "beta gamma delta epsilon zeta eta theta iota kappa"),
+        ("doc-clean", "web", "one two three four five six seven eight nine ten"),
+        ("doc-short", "web", "alpha beta gamma"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, ng FROM decontam").collect()
+      assert(rows.map(_.getString(0)).toSet == Set("doc-hit"), rows.mkString(","))
+      assert(rows.length == 2, s"expected the two overlapping 8-gram positions, got ${rows.length}")
+    } finally q.stop()
+  }
 }
