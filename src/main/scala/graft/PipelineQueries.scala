@@ -335,9 +335,7 @@ object PipelineQueries {
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
-    val bg = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bg = graft.pipeline.TextOps.wordBigrams(col("text"))
     val d = docs(s, dir).select(col("doc_id"), w.as("w"), bg.as("bg"))
     val perDoc = d.select(col("doc_id"),
       size(col("w")).as("n_words"),
@@ -353,6 +351,38 @@ object PipelineQueries {
       .select(col("doc_id"), round(col("top_n").cast("double") / col("tot"), 6).as("top_bigram_frac"))
     perDoc.drop("bg").join(top, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("top_bigram_frac"))
+  }
+
+  /** QUALITY-FILTER FUNNEL (the RefinedWeb/FineWeb-style curation
+    * ledger): cumulative per-stage survival counts per source — length
+    * floor → stopword-ratio floor → duplicate-word ceiling →
+    * duplicate-bigram ceiling. All four signals come out of ONE
+    * codegen'd projection over the same scan (thresholds compare the
+    * round-6 signals, so both engines compare identical doubles); the
+    * only shuffle is the per-source rollup of five conditional sums —
+    * the report a pipeline prints before committing a filter config.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextOps.{stopwordRatio, wordBigrams}
+    val w = split(col("text"), " ")
+    val bgc = wordBigrams(col("text"))
+    val d = docs(s, dir).select(col("source"),
+      size(w).as("nw"),
+      stopwordRatio(col("text")).as("sr"),
+      round((size(w) - size(array_distinct(w))).cast("double") /
+        greatest(size(w), lit(1)), 6).as("dw"),
+      round((size(bgc) - size(array_distinct(bgc))).cast("double") /
+        greatest(size(bgc), lit(1)), 6).as("db"))
+    val c1 = col("nw") >= 25
+    val c2 = c1 && col("sr") >= 0.02
+    val c3 = c2 && col("dw") <= 0.65
+    val c4 = c3 && col("db") <= 0.08
+    d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(c1.cast("long")).as("s1_minlen"),
+      sum(c2.cast("long")).as("s2_stopword"),
+      sum(c3.cast("long")).as("s3_dupword"),
+      sum(c4.cast("long")).as("s4_dupbigram"))
   }
 
   /** Exact 3-gram Jaccard near-dup baseline, blocked by (lang, source):
@@ -564,6 +594,7 @@ object PipelineQueries {
     "d_tokenize" -> (tokenize _),
     "d_decontam" -> (decontam _),
     "d_repetition" -> (repetition _),
+    "d_filter_funnel" -> (filterFunnel _),
     "d_ngram_jaccard_hist" -> (ngramJaccardHist _),
     "d_simhashes" -> (simhashes _),
     "m_binary_meta" -> (binaryMeta _),
@@ -732,6 +763,28 @@ object PipelineQueries {
            round((len(bg) - len(list_distinct(bg)))::DOUBLE / greatest(len(bg),1), 6) AS dup_bigram_frac,
            coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
          FROM d LEFT JOIN t ON d.doc_id = t.doc_id""".replaceAll("\\s+", " "),
+
+    "d_filter_funnel" ->
+      s"""WITH d AS (SELECT source, $W AS ws,
+           list_transform(range(1, greatest(len($W),1)), i -> $W[i] || ' ' || $W[i+1]) AS bg
+           FROM documents),
+         m AS (SELECT source, len(ws) AS nw,
+           round(len(list_filter(ws, x -> x IN $STOP))::DOUBLE / greatest(len(ws),1), 6) AS sr,
+           round((len(ws) - len(list_distinct(ws)))::DOUBLE / greatest(len(ws),1), 6) AS dw,
+           round((len(bg) - len(list_distinct(bg)))::DOUBLE / greatest(len(bg),1), 6) AS db
+           FROM d),
+         f AS (SELECT source,
+           (nw >= 25) AS c1,
+           (nw >= 25 AND sr >= 0.02::DOUBLE) AS c2,
+           (nw >= 25 AND sr >= 0.02::DOUBLE AND dw <= 0.65::DOUBLE) AS c3,
+           (nw >= 25 AND sr >= 0.02::DOUBLE AND dw <= 0.65::DOUBLE AND db <= 0.08::DOUBLE) AS c4
+           FROM m)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS s1_minlen,
+           sum(CASE WHEN c2 THEN 1 ELSE 0 END)::BIGINT AS s2_stopword,
+           sum(CASE WHEN c3 THEN 1 ELSE 0 END)::BIGINT AS s3_dupword,
+           sum(CASE WHEN c4 THEN 1 ELSE 0 END)::BIGINT AS s4_dupbigram
+         FROM f GROUP BY source""".replaceAll("\\s+", " "),
 
     "d_doc_suite" -> docSuiteOracle,
     "e_lsh_hyperplane_hist" -> lshOracle,

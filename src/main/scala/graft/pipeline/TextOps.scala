@@ -40,6 +40,17 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word bigrams as "w1 w2" strings (n-1 of them; empty for <2 words).
+    * DuckDB mirror: list_transform(range(1, greatest(len(ws),1)),
+    * i -> ws[i] || ' ' || ws[i+1]).
+    */
+  def wordBigrams(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word 3-gram shingles: "w1 w2 w3" strings (n-2 of them; empty for
     * <3 words — guard needed because sequence(1,0) would be DESCENDING).
     */

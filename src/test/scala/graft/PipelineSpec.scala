@@ -320,6 +320,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("filter funnel: cumulative per-stage survivors match a driver-side recompute; one scan") {
+    val q = PipelineQueries.filterFunnel(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(plan).length === 2, s"parallelism repartition + agg state only:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length === 1, s"expected ONE scan:\n$plan")
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val stop = TextOps.Stopwords.toSet
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, ds) =>
+        var n, a, b, c, e = 0L
+        ds.foreach { case (_, text) =>
+          val w = text.split(" ", -1).toSeq
+          val bg = if (w.length < 2) Seq.empty[String] else w.sliding(2).map(_.mkString(" ")).toSeq
+          val sr = r6(w.count(stop).toDouble / math.max(w.length, 1))
+          val dw = r6((w.length - w.distinct.length).toDouble / math.max(w.length, 1))
+          val db = r6((bg.length - bg.distinct.length).toDouble / math.max(bg.length, 1))
+          val c1 = w.length >= 25; val c2 = c1 && sr >= 0.02
+          val c3 = c2 && dw <= 0.65; val c4 = c3 && db <= 0.08
+          n += 1; if (c1) a += 1; if (c2) b += 1; if (c3) c += 1; if (c4) e += 1
+        }
+        src -> ((n, a, b, c, e))
+      }
+    assert(got === expected)
+    got.values.foreach { case (n, a, b, c, e) =>
+      assert(n >= a && a >= b && b >= c && c >= e, "funnel must be monotone") }
+  }
+
   test("plan quality: failCounts is one scan + partial/final agg; only agg state shuffles") {
     val df = graft.gen.TokenData.read(spark, "/root/testdata/sf0.001")
     val q = graft.compilex.ConstraintCompiler.failCounts(
