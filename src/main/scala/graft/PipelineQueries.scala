@@ -216,6 +216,27 @@ object PipelineQueries {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
 
+  /** DEDUP ACTION ledger (the step after detection + clustering): keep
+    * each near-dup cluster's min-id canonical plus every un-clustered
+    * doc; per-source kept/dropped counts. ConnectedComponents already
+    * labels each node with the cluster MIN id, so "dropped" is the
+    * node ≠ component filter — a tiny frame (only clustered docs) that
+    * BROADCASTS into a left join against the corpus; nothing big
+    * shuffles beyond the per-source rollup.
+    */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val dropped = graft.pipeline.ConnectedComponents.components(
+        lshPairs(s, dir).filter(col("is_dup")).select(col("id_a"), col("id_b")))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"), lit(true).as("is_dropped"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dropped").isNull, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Deterministic hash sampling (the curation primitive behind "keep
     * 10% of the corpus, reproducibly, with no coordination"): a row is
     * kept iff md5(doc_id) mod 1000 < 100 — embarrassingly parallel, no
@@ -588,6 +609,7 @@ object PipelineQueries {
     "d_lsh_buckets" -> (lshBuckets _),
     "d_lsh_pairs" -> (lshPairs _),
     "d_dup_clusters" -> (dupClusters _),
+    "d_dedup_keep" -> (dedupKeep _),
     "d_sample_hash" -> (sampleHash _),
     "d_pack_bins" -> (packBins _),
     "d_mix_weights" -> (mixWeights _),
@@ -843,6 +865,20 @@ object PipelineQueries {
          SELECT doc_id, cluster_id,
            (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
          FROM comp""".replaceAll("\\s+", " "),
+
+    "d_dedup_keep" ->
+      s"""WITH RECURSIVE $LshPairsCtes,
+         dups AS (SELECT id_a, id_b FROM uniq WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM dups UNION SELECT id_b, id_a FROM dups),
+         reach(u, v) AS (SELECT u, v FROM edges
+           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+         SELECT d.source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+           sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+         GROUP BY d.source""".replaceAll("\\s+", " "),
 
     "d_lsh_dropped_buckets" ->
       s"""WITH sigs AS (SELECT doc_id,

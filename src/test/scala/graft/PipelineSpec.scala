@@ -320,6 +320,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup keep ledger: kept+dropped = total; dropped = clustered nodes minus clusters") {
+    val keep = PipelineQueries.dedupKeep(spark, dir).collect()
+    assert(keep.map(_.getLong(1)).sum == docs.count())
+    keep.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      s"${r.getString(0)}: n_docs must equal dropped+kept"))
+    val clusters = PipelineQueries.dupClusters(spark, dir).collect()
+    val expectedDropped = clusters.length - clusters.map(_.getLong(1)).distinct.length
+    assert(keep.map(_.getLong(2)).sum == expectedDropped,
+      "every clustered doc except one canonical per cluster must drop")
+  }
+
   test("filter funnel: cumulative per-stage survivors match a driver-side recompute; one scan") {
     val q = PipelineQueries.filterFunnel(spark, dir)
     val plan = q.queryExecution.executedPlan.toString()
