@@ -323,6 +323,25 @@ object ConstraintCompiler {
         val rest = filter(f, (e, i) => i >= lit(k))
         (gated(forall(rest, e => elementPred(el)(e))),
           coalesce(try_element_at(filter(rest, e => !elementPred(el)(e)), lit(1)).cast("string"), lit("null")))
+      case UnevaluatedItems(base, gp, ge, bc, gc, u) =>
+        // linear encoding: prefix-max / contains-union / everything-OR
+        // over the ACTIVE contributors only — gates are row-level
+        // predicates on this same field, evaluated once outside the
+        // element lambdas
+        val eff = (lit(base) +: gp.map { case (g, p) =>
+          when(go(g)._1, lit(p)).otherwise(lit(0))
+        }) match {
+          case Seq(one)  => one
+          case prefixes  => greatest(prefixes: _*)
+        }
+        val anyEverything = ge.map(go(_)._1).foldLeft(lit(false))(_ || _)
+        def elemOk(e: Column): Column =
+          (bc.map(c => elementPred(c)(e)) ++
+            gc.map { case (g, c) => go(g)._1 && elementPred(c)(e) } :+
+            elementPred(u)(e)).reduce(_ || _)
+        val rest = filter(f, (e, i) => i >= eff)
+        (gated(anyEverything || forall(rest, e => elemOk(e))),
+          coalesce(try_element_at(filter(rest, e => !elemOk(e)), lit(1)).cast("string"), lit("null")))
       case Contains(el, 1, Int.MaxValue) =>
         // common case (minContains=1, no max): `exists` short-circuits on
         // first match and allocates nothing, vs filter()'s per-row result

@@ -89,6 +89,25 @@ object Constraint {
   final case class ItemsFrom(offset: Int, element: Constraint) extends Constraint
   /** `contains` with `minContains`/`maxContains` bounds. */
   final case class Contains(element: Constraint, min: Int = 1, max: Int = Int.MaxValue) extends Constraint
+  /** `unevaluatedItems` under conditionally-evaluated sibling context
+    * (anyOf/oneOf branch validity, if-validity, $dynamicRef targets) —
+    * the LINEAR encoding of find_evaluated_item_indexes_by_schema
+    * (PJS:_keywords.py:54-82; legacy tracker identical): the effective
+    * evaluated prefix is max(basePrefix, each gated prefix whose
+    * row-level gate holds); an element past it must match an ACTIVE
+    * contains or the uI subschema; an active `everything` contributor
+    * makes the check vacuous. Prefix-max, contains-union and
+    * everything-OR are pointwise-independent across active
+    * contributors, so this is verdict-identical to enumerating the 2^k
+    * activation subsets — at linear compiled size (no contributor cap).
+    */
+  final case class UnevaluatedItems(
+      basePrefix: Int,
+      gatedPrefixes: Seq[(Constraint, Int)],
+      gatedEverything: Seq[Constraint],
+      baseContains: Seq[Constraint],
+      gatedContains: Seq[(Constraint, Constraint)],
+      element: Constraint) extends Constraint
 
   // ---- combinators -------------------------------------------------------
   final case class AllOf(cs: Seq[Constraint]) extends Constraint
@@ -175,6 +194,10 @@ final case class Suite(
         inline(target, seen + n)
       case Items(e)          => Items(inline(e, seen))
       case ItemsFrom(k, e)   => ItemsFrom(k, inline(e, seen))
+      case UnevaluatedItems(b, gp, ge, bc, gc, u) =>
+        UnevaluatedItems(b, gp.map { case (g, p) => (inline(g, seen), p) },
+          ge.map(inline(_, seen)), bc.map(inline(_, seen)),
+          gc.map { case (g, c) => (inline(g, seen), inline(c, seen)) }, inline(u, seen))
       case PrefixItems(cs)   => PrefixItems(cs.map(inline(_, seen)))
       case Contains(e, a, b) => Contains(inline(e, seen), a, b)
       case AllOf(cs)         => AllOf(cs.map(inline(_, seen)))

@@ -1088,38 +1088,31 @@ object SuiteLoader {
 
   /** Compile `unevaluatedItems` with its full sibling context `n`
     * (NOT a slice): base evaluated-prefix/contains from the walk, plus
-    * one IfThenElse level per conditionally-valid contributor (anyOf/
-    * oneOf branch validity, if-validity) — a 2^k compile-time expansion
-    * over at most [[MaxCondContribs]] contributors, each subexpression
-    * mentioned once (no accumulator duplication). Returns None when
-    * every element is provably evaluated (vacuous).
+    * the conditionally-valid contributors (anyOf/oneOf branch validity,
+    * if-validity) folded into the LINEAR [[Constraint.UnevaluatedItems]]
+    * encoding — effective prefix is the runtime max over active gates,
+    * contains subschemas activate under their gate, so there is NO
+    * contributor cap (the old 2^k IfThenElse expansion capped at 3).
+    * Returns None when every element is unconditionally evaluated
+    * (vacuous). Ungated shapes keep the plain ItemsFrom fast path.
     */
-  private val MaxCondContribs = 3
-
   private def unevaluatedItemsConstraint(n: JsonNode, scope: Map[String, JsonNode],
                                          root: JsonNode, seen: Set[RefId],
                                          draft: Int): Option[Constraint] = {
     val info = evaluatedIndexInfo(n, scope, root, seen, draft)
-    require(info.cond.length <= MaxCondContribs,
-      s"unevaluatedItems: ${info.cond.length} conditionally-valid sibling contributions " +
-        s"exceed the 2^k expansion cap ($MaxCondContribs) — raising instead of approximating")
+    if (info.everything) return None
     val defs = scope ++ nodeDefs(n)
     val u = toConstraint(n.get("unevaluatedItems"), defs, root, seen, draft)
-    def build(i: Int, plen: Int, conts: Seq[Constraint], everything: Boolean): Option[Constraint] =
-      if (everything) None
-      else if (i == info.cond.length)
-        Some(ItemsFrom(plen, if (conts.isEmpty) u else AnyOf(conts :+ u)))
-      else {
-        val (g, e) = info.cond(i)
-        val withC = build(i + 1, math.max(plen, e.prefixLen), conts ++ e.contains, e.everything)
-        val without = build(i + 1, plen, conts, everything = false)
-        (withC, without) match {
-          case (None, None) => None
-          case (a, b) => Some(IfThenElse(g,
-            Some(a.getOrElse(Always(true))), Some(b.getOrElse(Always(true)))))
-        }
-      }
-    build(0, info.prefixLen, info.contains, info.everything)
+    if (info.cond.isEmpty)
+      Some(ItemsFrom(info.prefixLen,
+        if (info.contains.isEmpty) u else AnyOf(info.contains :+ u)))
+    else Some(Constraint.UnevaluatedItems(
+      info.prefixLen,
+      info.cond.collect { case (g, e) if e.prefixLen > 0 => (g, e.prefixLen) },
+      info.cond.collect { case (g, e) if e.everything => g },
+      info.contains,
+      info.cond.flatMap { case (g, e) => e.contains.map(g -> _) },
+      u))
   }
 
   // ---- $ref machinery (REF:_core.py:653-698 static subset) --------------

@@ -65,20 +65,26 @@ class SuiteDocumentSpec extends SparkSpec {
          "$defs": {"a": {"prefixItems": [{"type": "integer"}]}}}""")
     assert(s.constraints.find(_.id == "arr.unevaluatedItems").get.constraint ===
       graft.suite.Constraint.ItemsFrom(1, graft.suite.Constraint.Always(false)))
-    // an anyOf sibling now compiles to a branch-validity conditional
-    // (r4b): valid branch -> its prefix counts as evaluated
+    // an anyOf sibling compiles to the LINEAR UnevaluatedItems node
+    // (r4d — was an IfThenElse 2^k expansion): valid branch -> its
+    // prefix counts as evaluated at runtime via the gated prefix max
     val s2 = SuiteLoader.parseSuiteDocument(
       """{"properties": {"arr": {"anyOf": [{"prefixItems": [{"type": "integer"}]}],
          "unevaluatedItems": false}}}""")
     val ui = s2.constraints.find(_.id == "arr.unevaluatedItems").get.constraint
-    assert(ui.isInstanceOf[graft.suite.Constraint.IfThenElse], ui.toString)
-    // the 2^k expansion is capped: 4 conditional contributors raise
-    intercept[IllegalArgumentException](
-      SuiteLoader.parseSuiteDocument(
-        """{"properties": {"arr": {
-           "anyOf": [{"prefixItems": [{}]}, {"prefixItems": [{}, {}]}],
-           "oneOf": [{"prefixItems": [{}]}, {"prefixItems": [{}, {}, {}]}],
-           "unevaluatedItems": false}}}"""))
+    assert(ui.isInstanceOf[graft.suite.Constraint.UnevaluatedItems], ui.toString)
+    // the old 2^k cap (3) is gone: 4 conditional contributors compile
+    // to one linear node with all four gated prefixes
+    val s3 = SuiteLoader.parseSuiteDocument(
+      """{"properties": {"arr": {
+         "anyOf": [{"prefixItems": [{}]}, {"prefixItems": [{}, {}]}],
+         "oneOf": [{"prefixItems": [{}]}, {"prefixItems": [{}, {}, {}]}],
+         "unevaluatedItems": false}}}""")
+    s3.constraints.find(_.id == "arr.unevaluatedItems").get.constraint match {
+      case graft.suite.Constraint.UnevaluatedItems(0, gp, ge, bc, gc, _) =>
+        assert(gp.map(_._2).sorted === Seq(1, 1, 2, 3) && ge.isEmpty && bc.isEmpty && gc.isEmpty)
+      case other => fail(s"expected the linear node, got $other")
+    }
   }
 
   test("unevaluatedProperties inside a $ref target gets its OWN annotation frame (r4 — was a raise)") {

@@ -763,10 +763,52 @@ def ui_ref_group(i):
             "tests": _label(schema, resources, insts)}
 
 
+def ui_manygate_group(i):
+    """unevaluatedItems under MANY conditionally-valid contributors
+    (r4d linear encoding — the old 2^k expansion capped at 3 and
+    raised): anyOf/oneOf branches plus if/then/else arms all contribute
+    gated prefixes/contains; the engine folds them into ONE linear
+    UnevaluatedItems node whose verdicts must match the reference's
+    runtime find_evaluated_item_indexes walk.
+    """
+    def branch():
+        s = {}
+        r = drng.random()
+        if r < 0.6:
+            s["prefixItems"] = [{"minimum": drng.choice(INTS)}
+                                for _ in range(drng.randint(1, 4))]
+        elif r < 0.8:
+            s["contains"] = {"minimum": drng.choice(INTS)}
+        else:
+            s["prefixItems"] = [{}]
+            s["contains"] = {"maximum": drng.choice(INTS)}
+        if drng.random() < 0.3:
+            s["minItems"] = drng.randint(0, 3)  # data-dependent branch validity
+        return s
+    schema = {"unevaluatedItems":
+              (False if drng.random() < 0.6 else {"maximum": drng.choice(INTS)})}
+    schema["anyOf"] = [branch() for _ in range(drng.randint(2, 3))]
+    if drng.random() < 0.7:
+        schema["oneOf"] = [branch() for _ in range(drng.randint(2, 3))]
+    if drng.random() < 0.6:
+        schema["if"] = {"minItems": drng.randint(1, 3)}
+        schema["then"] = branch()
+        if drng.random() < 0.5:
+            schema["else"] = branch()
+    if drng.random() < 0.4:  # unconditional base prefix under the gated ones
+        schema["prefixItems"] = [{"minimum": drng.choice(INTS)}]
+    insts = [array_instance(False) for _ in range(8)]
+    return {"description": f"fuzz-dyn[{i}] ui-manygate seed={SEED}",
+            "ctype": "array<int>", "schema": schema, "resources": [],
+            "tests": _label(schema, [], insts)}
+
+
 def dynamic_group(i):
     kind = drng.choice(["dyn-field-rebind", "dyn-bookend", "dyn-anon-invisible",
                         "dyn-local", "rec-chain", "dyn-doclevel", "up-in-ref",
-                        "ui-ref"])
+                        "ui-ref", "ui-manygate"])
+    if kind == "ui-manygate":
+        return ui_manygate_group(i)
     if kind == "up-in-ref":
         return up_in_ref_group(i)
     if kind == "ui-ref":
