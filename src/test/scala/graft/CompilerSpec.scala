@@ -284,4 +284,36 @@ class CompilerSpec extends SparkSpec {
     assert(counts(df) === counts(packed))
     assert(counts(df).map(_._2).sum > 0, "generator injects violations — counts must be non-trivial")
   }
+
+  test("typed Dataset face: validSeqs/violationSeqs/partitionVerdicts agree with the DataFrame surface") {
+    import graft.model.{TokenSeq, Violation}
+    import graft.run.TypedValidate
+    import graft.suite.NorthStar
+    implicit val enc: org.apache.spark.sql.Encoder[TokenSeq] =
+      org.apache.spark.sql.Encoders.product[TokenSeq]
+    val dir = "/root/testdata/sf0.001"
+    val ds = TokenData.read(spark, dir)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source")).as[TokenSeq]
+    val total = ds.count()
+    val valid = TypedValidate.validSeqs(ds, NorthStar.suite)
+    // typed round-trip: the filter output is usable as case classes
+    val sample: Array[TokenSeq] = valid.head(3)
+    assert(sample.forall(t => t.n_tok == t.tokens.length),
+      "valid rows must satisfy n_tok.eq.size by construction")
+    val nValid = valid.count()
+    val dfInvalid = ConstraintCompiler
+      .withVerdicts(TokenData.read(spark, dir), NorthStar.suite, Set("tokens"))
+      .filter(!col("row_valid")).count()
+    assert(nValid + dfInvalid === total, "typed filter must partition the table exactly")
+    // violations agree with the untyped stream row-for-row
+    val vs: org.apache.spark.sql.Dataset[Violation] = TypedValidate.violationSeqs(ds, NorthStar.suite)
+    val untyped = ConstraintCompiler.violations(
+      TokenData.read(spark, dir), NorthStar.suite, fusedIntArrays = Set("tokens"))
+      .select(col("doc_id"), col("constraint_id"), col("observed"), col("source"))
+    assert(vs.count() === untyped.count())
+    // partition verdicts: pass iff zero violations, totals add up
+    val pv = TypedValidate.partitionVerdicts(ds, NorthStar.suite).collect()
+    assert(pv.map(_.rows).sum === total)
+    pv.foreach(v => assert(v.pass === (v.violations == 0L)))
+  }
 }
