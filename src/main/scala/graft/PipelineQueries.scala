@@ -220,17 +220,20 @@ object PipelineQueries {
     * each near-dup cluster's min-id canonical plus every un-clustered
     * doc; per-source kept/dropped counts. ConnectedComponents already
     * labels each node with the cluster MIN id, so "dropped" is the
-    * node ≠ component filter — a tiny frame (only clustered docs) that
-    * BROADCASTS into a left join against the corpus; nothing big
-    * shuffles beyond the per-source rollup.
+    * node ≠ component filter, left-joined back on doc_id (a well-spread
+    * key) and rolled up per source.
     */
   def dedupKeep(s: SparkSession, dir: String): DataFrame = {
     val dropped = graft.pipeline.ConnectedComponents.components(
         lshPairs(s, dir).filter(col("is_dup")).select(col("id_a"), col("id_b")))
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"), lit(true).as("is_dropped"))
+    // no broadcast hint: at web scale the dropped set is a large
+    // fraction of the corpus (30-50% near-dup rates are normal), so the
+    // scale-safe shape is a shuffle join on doc_id; AQE still picks a
+    // broadcast when the frame is actually small
     docs(s, dir).select(col("doc_id"), col("source"))
-      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
@@ -302,7 +305,7 @@ object PipelineQueries {
     */
   def tokenize(s: SparkSession, dir: String): DataFrame = {
     val ids = transform(
-      regexp_extract_all(col("text"), lit(graft.pipeline.TextOps.bpeishPattern), lit(0)),
+      regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)),
       t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 262144L).cast("int"))
     docs(s, dir).select(col("doc_id"), col("source"), ids.as("toks"))
       .select(col("doc_id"), col("source"),
@@ -327,7 +330,7 @@ object PipelineQueries {
     * run reports before training.
     */
   def decontam(s: SparkSession, dir: String): DataFrame = {
-    val ng = graft.pipeline.TextOps.wordNgramHashes(col("text"), 8)
+    val ng = wordNgramHashes(col("text"), 8)
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"),
       ng.as("ng"))
@@ -355,8 +358,8 @@ object PipelineQueries {
     * way a filter-count-per-distinct-element projection would.
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val bg = graft.pipeline.TextOps.wordBigrams(col("text"))
+    val w = words(col("text"))
+    val bg = wordBigrams(col("text"))
     val d = docs(s, dir).select(col("doc_id"), w.as("w"), bg.as("bg"))
     val perDoc = d.select(col("doc_id"),
       size(col("w")).as("n_words"),
@@ -384,8 +387,7 @@ object PipelineQueries {
     * the report a pipeline prints before committing a filter config.
     */
   def filterFunnel(s: SparkSession, dir: String): DataFrame = {
-    import graft.pipeline.TextOps.{stopwordRatio, wordBigrams}
-    val w = split(col("text"), " ")
+    val w = words(col("text"))
     val bgc = wordBigrams(col("text"))
     val d = docs(s, dir).select(col("source"),
       size(w).as("nw"),

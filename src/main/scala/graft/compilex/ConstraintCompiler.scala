@@ -325,23 +325,44 @@ object ConstraintCompiler {
           coalesce(try_element_at(filter(rest, e => !elementPred(el)(e)), lit(1)).cast("string"), lit("null")))
       case UnevaluatedItems(base, gp, ge, bc, gc, u) =>
         // linear encoding: prefix-max / contains-union / everything-OR
-        // over the ACTIVE contributors only — gates are row-level
-        // predicates on this same field, evaluated once outside the
-        // element lambdas
-        val eff = (lit(base) +: gp.map { case (g, p) =>
+        // over the ACTIVE contributors only. Gates are row-level
+        // predicates that may themselves be O(n) over this same array
+        // (a contains gate is an exists, minItems is a size) — inside a
+        // per-element lambda they would re-run once PER ELEMENT, an
+        // O(k·n²)-per-row scan. aggregate()'s SEED is evaluated once
+        // per row, so every gate result rides the fold as a struct
+        // field and each element costs only field reads.
+        val effSeed = (lit(base) +: gp.map { case (g, p) =>
           when(go(g)._1, lit(p)).otherwise(lit(0))
         }) match {
           case Seq(one)  => one
           case prefixes  => greatest(prefixes: _*)
         }
-        val anyEverything = ge.map(go(_)._1).foldLeft(lit(false))(_ || _)
-        def elemOk(e: Column): Column =
+        val skipSeed = ge.map(go(_)._1).foldLeft(lit(false))(_ || _)
+        val zero = struct(
+          Seq(lit(0).as("i"), lit(true).as("ok"),
+            lit(null).cast("string").as("bad"),
+            effSeed.as("eff"), skipSeed.as("skip")) ++
+            gc.zipWithIndex.map { case ((g, _), j) => go(g)._1.as(s"g$j") }: _*)
+        // same truth table as the forall/filter pair it replaces:
+        // `&&`-fold ≙ forall (false dominates, then null), `(!ok)===true`
+        // ≙ filter-keeps-true for the first offending element
+        def elemOk(acc: Column, e: Column): Column =
           (bc.map(c => elementPred(c)(e)) ++
-            gc.map { case (g, c) => go(g)._1 && elementPred(c)(e) } :+
+            gc.zipWithIndex.map { case ((_, c), j) => acc(s"g$j") && elementPred(c)(e) } :+
             elementPred(u)(e)).reduce(_ || _)
-        val rest = filter(f, (e, i) => i >= eff)
-        (gated(anyEverything || forall(rest, e => elemOk(e))),
-          coalesce(try_element_at(filter(rest, e => !elemOk(e)), lit(1)).cast("string"), lit("null")))
+        val agg = aggregate(f, zero, (acc, e) => {
+          val evaluated = acc("i") < acc("eff")
+          val ok = elemOk(acc, e)
+          struct(
+            Seq((acc("i") + 1).as("i"),
+              (acc("ok") && (evaluated || ok)).as("ok"),
+              coalesce(acc("bad"),
+                when(!evaluated && coalesce(!ok, lit(false)), e.cast("string"))).as("bad"),
+              acc("eff").as("eff"), acc("skip").as("skip")) ++
+              gc.indices.map(j => acc(s"g$j").as(s"g$j")): _*)
+        })
+        (gated(agg("skip") || agg("ok")), coalesce(agg("bad"), lit("null")))
       case Contains(el, 1, Int.MaxValue) =>
         // common case (minContains=1, no max): `exists` short-circuits on
         // first match and allocates nothing, vs filter()'s per-row result

@@ -111,7 +111,10 @@ object StreamingValidate {
   def decontamStream(stream: DataFrame, benchNgrams: DataFrame): DataFrame =
     stream.select(col("doc_id"), col("source"),
         explode(graft.pipeline.TextOps.wordNgramHashes(col("text"), 8)).as("ng"))
-      .join(broadcast(benchNgrams.select(col("ng"))), Seq("ng"))
+      // distinct BEFORE the join: an n-gram present in several benchmark
+      // docs must still flag a stream position exactly once — without it
+      // duplicate static rows multiply the output
+      .join(broadcast(benchNgrams.select(col("ng")).distinct()), Seq("ng"))
       .select(col("doc_id"), col("source"), col("ng"))
 
   /** Lifetime running verdict per source via custom state

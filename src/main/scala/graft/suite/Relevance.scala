@@ -46,7 +46,9 @@ object Relevance {
   private def instanceDepth(c: Constraint): Int = c match {
     case Required() | DependentRequired(_) | PresentCount(_, _, _) => 0
     case Items(_) | ItemsFrom(_, _) | PrefixItems(_)               => 2
-    case UnevaluatedItems(_, _, _, _, _, _)                        => 2
+    // UnevaluatedItems deliberately falls through to depth 1: the
+    // reference's unevaluatedItems error yields on the ARRAY with no
+    // path descent (same family as contains/min/maxItems below)
     case WhenPresent(_, inner)                                     => instanceDepth(inner)
     // contains/uniqueItems/min-maxItems error on the ARRAY itself
     // (PJS:_keywords.py:103-124, 194-212 yield with no path descent);
