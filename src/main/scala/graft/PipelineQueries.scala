@@ -240,6 +240,25 @@ object PipelineQueries {
         sum(when(col("is_dropped").isNull, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** CROSS-SOURCE duplication matrix (the "is source A scraping source
+    * B?" curation question): per unordered source pair, how many
+    * verified near-dup pairs straddle it (same-source pairs included —
+    * the diagonal is the intra-source dup load). Reuses the LSH
+    * candidate pipeline; the joins key on doc_id (well-spread) and the
+    * rollup output is bounded by #sources².
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir).filter(col("is_dup")).select(col("id_a"), col("id_b"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Deterministic hash sampling (the curation primitive behind "keep
     * 10% of the corpus, reproducibly, with no coordination"): a row is
     * kept iff md5(doc_id) mod 1000 < 100 — embarrassingly parallel, no
@@ -612,6 +631,7 @@ object PipelineQueries {
     "d_lsh_pairs" -> (lshPairs _),
     "d_dup_clusters" -> (dupClusters _),
     "d_dedup_keep" -> (dedupKeep _),
+    "d_source_overlap" -> (sourceOverlap _),
     "d_sample_hash" -> (sampleHash _),
     "d_pack_bins" -> (packBins _),
     "d_mix_weights" -> (mixWeights _),
@@ -881,6 +901,16 @@ object PipelineQueries {
            sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
          FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
          GROUP BY d.source""".replaceAll("\\s+", " "),
+
+    "d_source_overlap" ->
+      s"""WITH $LshPairsCtes,
+         dups AS (SELECT id_a, id_b FROM uniq WHERE jac >= 0.5),
+         lab AS (SELECT least(da.source, db.source) AS source_a,
+                        greatest(da.source, db.source) AS source_b
+           FROM dups JOIN documents da ON dups.id_a = da.doc_id
+                     JOIN documents db ON dups.id_b = db.doc_id)
+         SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+         FROM lab GROUP BY source_a, source_b""".replaceAll("\\s+", " "),
 
     "d_lsh_dropped_buckets" ->
       s"""WITH sigs AS (SELECT doc_id,

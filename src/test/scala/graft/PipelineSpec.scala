@@ -331,6 +331,14 @@ class PipelineSpec extends SparkSpec {
       "every clustered doc except one canonical per cluster must drop")
   }
 
+  test("source overlap matrix: pair counts partition the verified near-dup pairs") {
+    val overlap = PipelineQueries.sourceOverlap(spark, dir).collect()
+    val nDup = PipelineQueries.lshPairs(spark, dir).filter(col("is_dup")).count()
+    assert(overlap.map(_.getLong(2)).sum == nDup,
+      "every near-dup pair must land in exactly one (source_a, source_b) cell")
+    overlap.foreach(r => assert(r.getString(0) <= r.getString(1), "pairs must be unordered"))
+  }
+
   test("filter funnel: cumulative per-stage survivors match a driver-side recompute; one scan") {
     val q = PipelineQueries.filterFunnel(spark, dir)
     val plan = q.queryExecution.executedPlan.toString()
