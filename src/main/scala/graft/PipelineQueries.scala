@@ -224,10 +224,7 @@ object PipelineQueries {
     * key) and rolled up per source.
     */
   def dedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val dropped = graft.pipeline.ConnectedComponents.components(
-        lshPairs(s, dir).filter(col("is_dup")).select(col("id_a"), col("id_b")))
-      .filter(col("node") =!= col("component"))
-      .select(col("node").as("doc_id"), lit(true).as("is_dropped"))
+    val dropped = droppedDocIds(s, dir).withColumn("is_dropped", lit(true))
     // no broadcast hint: at web scale the dropped set is a large
     // fraction of the corpus (30-50% near-dup rates are normal), so the
     // scale-safe shape is a shuffle join on doc_id; AQE still picks a
@@ -239,6 +236,86 @@ object PipelineQueries {
         sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
         sum(when(col("is_dropped").isNull, 1L).otherwise(0L)).as("n_kept"))
   }
+
+  // ---- shared curation-pipeline pieces (decontam / dedup / funnel /
+  //      the end-to-end d_curate_ledger + CurateJob) -------------------
+
+  /** Benchmark-slice membership: md5(doc_id) leading hex '0' (~1/16). */
+  private[graft] def isBenchCol: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+
+  /** Train doc_ids sharing any word-8-gram with the benchmark slice. */
+  private[graft] def contamDocIds(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), isBenchCol.as("is_bench"),
+      wordNgramHashes(col("text"), 8).as("ng"))
+    val benchNg = base.filter(col("is_bench")).select(explode(col("ng")).as("ng")).distinct()
+    base.filter(!col("is_bench")).select(col("doc_id"), explode(col("ng")).as("ng"))
+      .join(broadcast(benchNg), Seq("ng"))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** doc_ids dropped by canonical dedup (cluster node ≠ min-id). */
+  private[graft] def droppedDocIds(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ConnectedComponents.components(
+        lshPairs(s, dir).filter(col("is_dup")).select(col("id_a"), col("id_b")))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+
+  /** The funnel's final cumulative keep predicate (= stage s4). */
+  private[graft] def funnelKeepCol: Column = {
+    val w = words(col("text"))
+    val bgc = wordBigrams(col("text"))
+    val sr = stopwordRatio(col("text"))
+    val dw = round((size(w) - size(array_distinct(w))).cast("double") /
+      greatest(size(w), lit(1)), 6)
+    val db = round((size(bgc) - size(array_distinct(bgc))).cast("double") /
+      greatest(size(bgc), lit(1)), 6)
+    size(w) >= 25 && sr >= 0.02 && dw <= 0.65 && db <= 0.08
+  }
+
+  /** BPE-ish md5-vocab token ids for a document (shared by d_tokenize
+    * and the curated output).
+    */
+  private[graft] def tokenIdsCol: Column =
+    transform(
+      regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)),
+      t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 262144L).cast("int"))
+
+  /** END-TO-END curation ledger — the whole pipeline's per-source
+    * survival counts in one oracled table: benchmark-slice exclusion →
+    * quality funnel → decontamination → dedup canonicalization. Each
+    * stage is the operator verified on its own above; this query pins
+    * their COMPOSITION (the numbers a real curation run reports).
+    * Scale shape: one scan computes the row-local flags; the contam and
+    * dropped sets join back on doc_id; one per-source rollup.
+    */
+  def curateLedger(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      isBenchCol.as("is_bench"), funnelKeepCol.as("funnel_ok"))
+    val flagged = base
+      .join(contamDocIds(s, dir).withColumn("contam", lit(true)), Seq("doc_id"), "left")
+      .join(droppedDocIds(s, dir).withColumn("dup_drop", lit(true)), Seq("doc_id"), "left")
+    val train = !col("is_bench")
+    val funnel = train && col("funnel_ok")
+    val clean = funnel && col("contam").isNull
+    val fin = clean && col("dup_drop").isNull
+    flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(train.cast("long")).as("n_train"),
+      sum(funnel.cast("long")).as("n_funnel"),
+      sum(clean.cast("long")).as("n_clean"),
+      sum(fin.cast("long")).as("n_final"))
+  }
+
+  /** The curated corpus itself, in the north-star token-table shape:
+    * pipeline survivors tokenized. What [[graft.run.CurateJob]] writes.
+    */
+  def curatedTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(!isBenchCol && funnelKeepCol)
+      .join(contamDocIds(s, dir), Seq("doc_id"), "left_anti")
+      .join(droppedDocIds(s, dir), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), tokenIdsCol.as("tokens"),
+        size(tokenIdsCol).as("n_tok"), col("source"))
 
   /** CROSS-SOURCE duplication matrix (the "is source A scraping source
     * B?" curation question): per unordered source pair, how many
@@ -323,10 +400,7 @@ object PipelineQueries {
     * reader-dependent array renderings.
     */
   def tokenize(s: SparkSession, dir: String): DataFrame = {
-    val ids = transform(
-      regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)),
-      t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 262144L).cast("int"))
-    docs(s, dir).select(col("doc_id"), col("source"), ids.as("toks"))
+    docs(s, dir).select(col("doc_id"), col("source"), tokenIdsCol.as("toks"))
       .select(col("doc_id"), col("source"),
         size(col("toks")).as("n_tok"),
         aggregate(transform(col("toks"), (t, i) => (i + 1).cast("long") * t),
@@ -632,6 +706,7 @@ object PipelineQueries {
     "d_dup_clusters" -> (dupClusters _),
     "d_dedup_keep" -> (dedupKeep _),
     "d_source_overlap" -> (sourceOverlap _),
+    "d_curate_ledger" -> (curateLedger _),
     "d_sample_hash" -> (sampleHash _),
     "d_pack_bins" -> (packBins _),
     "d_mix_weights" -> (mixWeights _),
@@ -901,6 +976,37 @@ object PipelineQueries {
            sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
          FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
          GROUP BY d.source""".replaceAll("\\s+", " "),
+
+    "d_curate_ledger" ->
+      s"""WITH RECURSIVE $LshPairsCtes,
+         dups AS (SELECT id_a, id_b FROM uniq WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM dups UNION SELECT id_b, id_a FROM dups),
+         reach(u, v) AS (SELECT u, v FROM edges
+           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+         base AS (SELECT doc_id, source, $W AS ws,
+           substr(md5(doc_id::VARCHAR),1,1) = '0' AS is_bench FROM documents),
+         bgd AS (SELECT doc_id, source, is_bench, ws,
+           list_transform(range(1, greatest(len(ws),1)), i -> ws[i] || ' ' || ws[i+1]) AS bgl FROM base),
+         sig AS (SELECT doc_id, source, is_bench,
+           (len(ws) >= 25
+             AND round(len(list_filter(ws, x -> x IN $STOP))::DOUBLE / greatest(len(ws),1), 6) >= 0.02::DOUBLE
+             AND round((len(ws) - len(list_distinct(ws)))::DOUBLE / greatest(len(ws),1), 6) <= 0.65::DOUBLE
+             AND round((len(bgl) - len(list_distinct(bgl)))::DOUBLE / greatest(len(bgl),1), 6) <= 0.08::DOUBLE) AS funnel_ok
+           FROM bgd),
+         ngr AS (SELECT doc_id, is_bench,
+           unnest(list_transform(range(1, greatest(len(ws)-6,1)), i -> md5(array_to_string(ws[i:i+7],' ')))) AS ng FROM base),
+         benchng AS (SELECT DISTINCT ng FROM ngr WHERE is_bench),
+         contam AS (SELECT DISTINCT t.doc_id FROM ngr t JOIN benchng b USING (ng) WHERE NOT t.is_bench)
+         SELECT s.source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN NOT is_bench THEN 1 ELSE 0 END)::BIGINT AS n_train,
+           sum(CASE WHEN NOT is_bench AND funnel_ok THEN 1 ELSE 0 END)::BIGINT AS n_funnel,
+           sum(CASE WHEN NOT is_bench AND funnel_ok AND c.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+           sum(CASE WHEN NOT is_bench AND funnel_ok AND c.doc_id IS NULL AND dr.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_final
+         FROM sig s LEFT JOIN contam c ON s.doc_id = c.doc_id
+                    LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
+         GROUP BY s.source""".replaceAll("\\s+", " "),
 
     "d_source_overlap" ->
       s"""WITH $LshPairsCtes,

@@ -331,6 +331,25 @@ class PipelineSpec extends SparkSpec {
       "every clustered doc except one canonical per cluster must drop")
   }
 
+  test("curate pipeline end-to-end: ledger stages are monotone and n_final matches the written corpus") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    graft.run.CurateJob.run(spark, dir, out)
+    val ledger = spark.read.json(s"$out/ledger").collect()
+    assert(ledger.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    ledger.foreach { r =>
+      val (n, t, f, c, fin) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_funnel"), r.getAs[Long]("n_clean"), r.getAs[Long]("n_final"))
+      assert(n >= t && t >= f && f >= c && c >= fin, s"${r.getAs[String]("source")}: not monotone")
+    }
+    val curated = spark.read.parquet(s"$out/curated")
+    assert(curated.count() == ledger.map(_.getAs[Long]("n_final")).sum,
+      "the written corpus must be exactly the ledger's n_final survivors")
+    assert(curated.columns.sorted.toSeq == Seq("doc_id", "n_tok", "source", "tokens"))
+    // the curated output feeds the validation engine's shape directly
+    val row = curated.head()
+    assert(row.getSeq[Int](row.fieldIndex("tokens")).length == row.getAs[Int]("n_tok"))
+  }
+
   test("source overlap matrix: pair counts partition the verified near-dup pairs") {
     val overlap = PipelineQueries.sourceOverlap(spark, dir).collect()
     val nDup = PipelineQueries.lshPairs(spark, dir).filter(col("is_dup")).count()
