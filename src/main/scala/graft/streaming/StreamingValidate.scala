@@ -117,6 +117,14 @@ object StreamingValidate {
       .join(broadcast(benchNgrams.select(col("ng")).distinct()), Seq("ng"))
       .select(col("doc_id"), col("source"), col("ng"))
 
+  /** Streaming quality-funnel filter: the in-flight face of
+    * d_filter_funnel's final stage — a stateless row-local predicate
+    * (length floor, stopword floor, dup-word/dup-bigram ceilings), so
+    * it composes with any sink mode and shuffles nothing.
+    */
+  def funnelStream(stream: DataFrame): DataFrame =
+    stream.filter(graft.PipelineQueries.funnelKeepCol)
+
   /** Lifetime running verdict per source via custom state
     * (mapGroupsWithState): each micro-batch folds its rows into the
     * per-source state and emits the updated totals — the streaming

@@ -155,6 +155,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel stream: stateless row-local filter keeps only quality survivors") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingValidate.funnelStream(df)
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      val pass = ("doc-pass",
+        // 30 distinct words incl. a stopword -> all four stages pass
+        ("the " + (1 to 29).map(i => s"w$i").mkString(" ")))
+      val failShort = ("doc-short", "too few words here")
+      val failRep = ("doc-rep", ("the " + Seq.fill(29)("spam").mkString(" ")))
+      mem.addData(pass, failShort, failRep)
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM funnel").collect().map(_.getString(0)).toSeq
+      assert(kept == Seq("doc-pass"), kept.mkString(","))
+    } finally q.stop()
+  }
+
   test("decontam stream: stream-static broadcast join flags only n-gram-sharing docs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
