@@ -374,7 +374,27 @@ object Bench {
     if (phases("queries")) {
       spark = newSession(cpus)
       val queriesStart = elapsed
-      val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      // sweep order: cheapest-first by the most recent archived record's
+      // per-query minima (unknown/new queries first, then by name) — a
+      // loud-window budget cut then drops only the expensive tail
+      // instead of everything past an alphabetical point (two r4d loud
+      // windows cut alphabetical sweeps at 41-42/59). The current run's
+      // own archive file has no "queries" key yet and is skipped.
+      val priorCost: Map[String, Double] = {
+        import scala.jdk.CollectionConverters._
+        val files = Option(new java.io.File("bench_archive").listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".json")).sortBy(_.getName).reverse
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        files.iterator.flatMap { f =>
+          try {
+            val q = m.readTree(f).get("queries")
+            if (q != null && q.isObject && q.size() > 0)
+              Some(q.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap)
+            else None
+          } catch { case _: Exception => None }
+        }.nextOption().getOrElse(Map.empty)
+      }
+      val names = SparkEntry.queries.toSeq.sortBy { case (k, _) => (priorCost.getOrElse(k, 0.0), k) }
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       var sweepsDone = 0
       def flushQueries(): Unit = {
