@@ -139,6 +139,28 @@ object ValidationQueries {
   def ntokHist(s: SparkSession, dir: String): DataFrame =
     Stats.histogram(toks(s, dir), "n_tok", 16)
 
+  /** Per-source top-10 token ids by EXACT two-phase count
+    * ([[graft.checks.TokenFreq.topK]]) — the vocab-audit face of the
+    * token table.
+    */
+  def tokenTopk(s: SparkSession, dir: String): DataFrame =
+    graft.checks.TokenFreq.topK(toks(s, dir), 10)
+
+  /** Per-source vocabulary coverage / OOV-rate gate
+    * ([[graft.checks.TokenFreq.vocabCoverage]]).
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.checks.TokenFreq.vocabCoverage(toks(s, dir), TokenData.VOCAB)
+
+  /** Relational count-min sketch probed at the per-source top-3 exact
+    * counts ([[graft.checks.TokenFreq.cmsTopkEst]]) — every sketch cell
+    * is a commutative integer sum, so the oracle reproduces the sketch
+    * exactly (unlike the KLL path, which needs a deterministic-surface
+    * split).
+    */
+  def cmsTopkEst(s: SparkSession, dir: String): DataFrame =
+    graft.checks.TokenFreq.cmsTopkEst(toks(s, dir), 3)
+
   private def baseline(s: SparkSession): DataFrame = {
     val snapPath = s"${TokenData.dataRoot}/baseline_snapshot"
     if (!new java.io.File(s"$snapPath/_SUCCESS").exists())
@@ -480,6 +502,42 @@ object ValidationQueries {
     "v_ntok_hist" ->
       s"SELECT floor(n_tok / 16)::BIGINT AS bin, count(*)::BIGINT AS cnt FROM $T GROUP BY 1",
 
+    "v_token_topk" ->
+      s"""WITH ex AS (SELECT source, unnest(tokens) AS token FROM $T),
+         c AS (SELECT source, token, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2)
+         SELECT source, token, cnt, rk FROM (
+           SELECT source, token, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rk
+           FROM c) WHERE rk <= 10""".replaceAll("\\s+", " "),
+
+    "v_vocab_coverage" ->
+      s"""WITH ex AS (SELECT source, unnest(tokens) AS token FROM $T)
+         SELECT source, count(*)::BIGINT AS total_tokens,
+           count(DISTINCT token)::BIGINT AS distinct_tokens,
+           sum(CASE WHEN token < 0 OR token >= 262144 THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
+           count(DISTINCT token)::DOUBLE / 262144.0 AS vocab_coverage
+         FROM ex GROUP BY source""".replaceAll("\\s+", " "),
+
+    "v_cms_topk_est" ->
+      s"""WITH ex AS (SELECT source, unnest(tokens) AS token FROM $T),
+         c AS (SELECT source, token, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+         d AS (SELECT unnest([0, 1]) AS depth),
+         cms AS (SELECT source, d.depth,
+             ('0x' || substr(md5(token::VARCHAR), 1 + d.depth * 8, 8))::BIGINT % 1024 AS bucket,
+             sum(cnt)::BIGINT AS bcnt
+           FROM c, d GROUP BY 1, 2, 3),
+         top3 AS (SELECT * FROM (
+           SELECT source, token, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rk
+           FROM c) WHERE rk <= 3),
+         probes AS (SELECT t.source, t.token, t.cnt, t.rk, d.depth,
+             ('0x' || substr(md5(t.token::VARCHAR), 1 + d.depth * 8, 8))::BIGINT % 1024 AS bucket
+           FROM top3 t, d),
+         est AS (SELECT p.source, p.token, p.cnt, p.rk, min(m.bcnt)::BIGINT AS est
+           FROM probes p JOIN cms m USING (source, depth, bucket)
+           GROUP BY 1, 2, 3, 4)
+         SELECT source, token, cnt, est, est - cnt AS overcount, rk FROM est""".replaceAll("\\s+", " "),
+
     "v_psi" ->
       s"""WITH cur AS (SELECT source AS key, count(*)::DOUBLE AS c FROM $T GROUP BY 1),
          base AS (SELECT source AS key, count(*)::DOUBLE AS b FROM $T001 GROUP BY 1),
@@ -649,6 +707,9 @@ object ValidationQueries {
     "v_referential" -> (referential _),
     "v_stats" -> (stats _),
     "v_ntok_hist" -> (ntokHist _),
+    "v_token_topk" -> (tokenTopk _),
+    "v_vocab_coverage" -> (vocabCoverage _),
+    "v_cms_topk_est" -> (cmsTopkEst _),
     "v_psi" -> (psi _),
     "v_ks" -> (ks _),
     "v_ntok_tdigest_summary" -> (ntokTdigestSummary _),

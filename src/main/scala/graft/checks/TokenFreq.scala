@@ -1,0 +1,112 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level token-frequency statistics over the north-star token
+  * table — the vocab-audit surface of a training-data pipeline (vocab
+  * pruning, special-token frequency checks, OOV-rate gates). Three
+  * shapes, each picked for its 10^12-row story:
+  *
+  *  - EXACT top-k per source: explode + hash-aggregate on
+  *    (source, token). Map-side partial aggregation collapses each
+  *    input partition to at most |vocab| rows before the shuffle, so
+  *    the wire carries O(|vocab|·|sources|), never O(token instances)
+  *    — the wordcount shape. The top-k itself is the same salted
+  *    two-phase window as ValidationQueries.topViolations.
+  *  - Vocab coverage per source: exact two-phase count-distinct +
+  *    OOV instance counts in one aggregation pass.
+  *  - Count-min sketch expressed RELATIONALLY: depth×width bucket
+  *    sums are a pure commutative integer aggregation over the
+  *    per-token counts, so the sketch state crosses the wire as
+  *    O(depth·width·|sources|) rows (10 240 cells at 2×1024×5)
+  *    regardless of corpus or vocab size, AND an external engine
+  *    (DuckDB) reproduces every cell exactly — no custom binary
+  *    state to match. Both depth hashes derive from ONE md5 per
+  *    distinct (source, token): hex chars 1-8 and 9-16 of the same
+  *    digest (md5 is the repo-wide cross-engine hash primitive,
+  *    graft.pipeline.TextOps).
+  */
+object TokenFreq {
+
+  /** Exploded (source, token, cnt) exact counts — the shared substrate. */
+  def tokenCounts(toks: DataFrame): DataFrame =
+    toks.select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** (cnt DESC, token ASC) is TOTAL within a source because token is
+    * the grouping key — the two engines can never pick different
+    * winners on a count tie.
+    */
+  private val ord = Seq(col("cnt").desc, col("token").asc)
+
+  private def twoPhaseTopK(counts: DataFrame, k: Int): DataFrame = {
+    // phase 1 inside (source, salt-bucket): the global per-source top-k
+    // is a subset of the union of per-bucket top-ks, so phase 2 re-ranks
+    // ≤ k·32 survivors per source instead of windowing the full
+    // per-source count table through 5 reducers
+    val w1 = Window.partitionBy(col("source"), pmod(col("token"), lit(32))).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("source")).orderBy(ord: _*)
+    counts
+      .withColumn("_prk", row_number().over(w1)).filter(col("_prk") <= k)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .drop("_prk")
+  }
+
+  /** Per-source top-k token ids by exact count: (source, token, cnt, rk). */
+  def topK(toks: DataFrame, k: Int): DataFrame =
+    twoPhaseTopK(tokenCounts(toks), k)
+
+  /** Per-source total instances, exact distinct ids, out-of-vocab
+    * instances, and covered fraction of the vocab. The one double
+    * division happens once per output row AFTER aggregation —
+    * bit-identical in any engine.
+    */
+  def vocabCoverage(toks: DataFrame, vocab: Int): DataFrame =
+    toks.select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("token")).as("distinct_tokens"),
+        sum(when(col("token") < 0 || col("token") >= vocab, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("vocab_coverage",
+        col("distinct_tokens").cast("double") / lit(vocab.toDouble))
+
+  /** Bucket hash for CMS depth `d` (0 or 1 as a Column): hex window
+    * [1+8d, 8] of md5(token) parsed base-16. conv() returns a decimal
+    * STRING — the cast to long is load-bearing.
+    */
+  private def bucketAt(depth: Column, width: Long): Column =
+    pmod(conv(md5(col("token").cast("string")).substr(lit(1) + depth * 8, lit(8)), 16, 10)
+      .cast("long"), lit(width))
+
+  /** Depth-2 count-min sketch probed at the per-source top-k exact
+    * counts: (source, token, cnt, est, overcount, rk) with the CMS
+    * one-sided guarantee est >= cnt pinned by the overcount column.
+    * At scale the probe side is whatever token list the user audits
+    * (special tokens, a watchlist) — bounded, broadcast.
+    */
+  def cmsTopkEst(toks: DataFrame, k: Int, width: Long = 1024L): DataFrame = {
+    val counts = tokenCounts(toks)
+    val cms = counts
+      .select(col("source"), col("cnt"),
+        explode(array(
+          struct(lit(0).as("depth"), bucketAt(lit(0), width).as("bucket")),
+          struct(lit(1).as("depth"), bucketAt(lit(1), width).as("bucket")))).as("db"))
+      .select(col("source"), col("cnt"), col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .groupBy(col("source"), col("depth"), col("bucket"))
+      .agg(sum(col("cnt")).as("bcnt"))
+    val probes = twoPhaseTopK(counts, k)
+      .withColumn("depth", explode(array(lit(0), lit(1))))
+      .withColumn("bucket", bucketAt(col("depth"), width))
+    // probe side is k·depth·|sources| rows — bounded by construction,
+    // safe to pin broadcast (the corpus-scaling side is cms, streamed)
+    cms.join(broadcast(probes), Seq("source", "depth", "bucket"))
+      .groupBy(col("source"), col("token"), col("cnt"), col("rk"))
+      .agg(min(col("bcnt")).as("est"))
+      .withColumn("overcount", col("est") - col("cnt"))
+      .select("source", "token", "cnt", "est", "overcount", "rk")
+  }
+}

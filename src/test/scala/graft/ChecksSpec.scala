@@ -91,4 +91,63 @@ class ChecksSpec extends SparkSpec {
     val exact = toks.select(explode(col("tokens")).as("t")).select(countDistinct("t")).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  /** Driver-side truth for the TokenFreq family: exploded (source,
+    * token) -> count map computed in plain Scala.
+    */
+  private lazy val bruteCounts: Map[(String, Int), Long] =
+    toks.select(col("source"), col("tokens")).collect()
+      .flatMap(r => r.getSeq[Int](1).map(t => (r.getString(0), t)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+  test("tokenTopk == brute-force per-source top-10 (cnt desc, token asc)") {
+    val got = graft.checks.TokenFreq.topK(toks, 10).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val exp = bruteCounts.toSeq.groupBy(_._1._1).toSeq.flatMap { case (src, kvs) =>
+      kvs.map { case ((_, tok), c) => (tok, c) }
+        .sortBy { case (tok, c) => (-c, tok) }.take(10).zipWithIndex
+        .map { case ((tok, c), i) => (src, tok, c, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq === exp)
+  }
+
+  test("vocabCoverage == brute-force totals / distinct / oov per source") {
+    val vocab = TokenData.VOCAB
+    val got = graft.checks.TokenFreq.vocabCoverage(toks, vocab).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val exp = bruteCounts.toSeq.groupBy(_._1._1).map { case (src, kvs) =>
+      val total = kvs.map(_._2).sum
+      val distinct = kvs.size.toLong
+      val oov = kvs.collect { case ((_, t), c) if t < 0 || t >= vocab => c }.sum
+      src -> ((total, distinct, oov, distinct.toDouble / vocab))
+    }
+    assert(got === exp)
+  }
+
+  test("cmsTopkEst: est >= cnt everywhere, exact where the bucket is pure; probes broadcast") {
+    val q = graft.checks.TokenFreq.cmsTopkEst(toks, 3)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$plan")
+    val rows = q.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    val nSources = toks.select("source").distinct().count()
+    assert(rows.length === nSources * 3)
+    rows.foreach { case (src, tok, cnt, est, over, _) =>
+      assert(bruteCounts((src, tok)) === cnt, s"probe cnt $src/$tok")
+      assert(est >= cnt && over === est - cnt, s"CMS one-sided bound violated at $src/$tok")
+    }
+    // recompute one probe's estimate by hand: bucket sums over the
+    // exact counts with the same split-md5 bucket hashes
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(tok: Int, d: Int): Long =
+      java.lang.Long.parseLong(md5hex(tok.toString).slice(8 * d, 8 * d + 8), 16) % 1024L
+    val (src0, tok0, _, est0, _, _) = rows.minBy(t => (t._1, t._6))
+    val expEst = (0 to 1).map { d =>
+      val b = bucket(tok0, d)
+      bruteCounts.collect { case ((s, t), c) if s == src0 && bucket(t, d) == b => c }.sum
+    }.min
+    assert(est0 === expEst, s"hand-recomputed CMS estimate for $src0/$tok0")
+  }
 }
