@@ -501,6 +501,126 @@ object PipelineQueries {
       sum(c4.cast("long")).as("s4_dupbigram"))
   }
 
+  // ---- PII detection / redaction -------------------------------------
+
+  /** Regexes shared by the Spark side and the DuckDB oracle. Both
+    * engines are leftmost-match, non-overlapping global replace; these
+    * patterns use only the regex subset where Java and RE2 agree
+    * (character classes, bounded reps, \b on ASCII word chars).
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** The synthetic docs are letter-only words, so PII positives are
+    * INJECTED deterministically (md5-digit gates + hash-derived values,
+    * the same device d_decontam uses for benchmark membership) — both
+    * engines derive the identical pii'd text, then detection/redaction
+    * is tested on real positives, not on an all-zeros corpus.
+    */
+  private[graft] def piiText: Column = {
+    val hx = md5(col("doc_id").cast("string"))
+    val h = h32(col("doc_id").cast("string"))
+    val email = when(substring(hx, 1, 1).isin("0", "1", "2", "3", "4", "5"),
+      concat(lit(" reach user"), pmod(h, lit(997L)).cast("string"), lit("@example.org")))
+      .otherwise(lit(""))
+    val ip = when(substring(hx, 2, 1).isin("0", "1", "2", "3"),
+      concat(lit(" from 10."), pmod(h, lit(200L)).cast("string"), lit("."),
+        pmod(h, lit(97L)).cast("string"), lit(".42"))).otherwise(lit(""))
+    val phone = when(substring(hx, 3, 1).isin("0", "1"),
+      concat(lit(" call 555-"), lpad(pmod(h, lit(10000L)).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    concat(col("text"), email, ip, phone)
+  }
+
+  /** PII LEDGER: per-source counts of detected emails / IPv4s / phone
+    * numbers plus a checksum over the REDACTED text (regexp_replace is
+    * global in both engines), pinning detection AND redaction output
+    * byte-for-byte. One codegen'd projection + one 5-key rollup — the
+    * shuffle carries eight longs per source, never text.
+    */
+  def piiLedger(s: SparkSession, dir: String): DataFrame = {
+    val p = docs(s, dir).select(col("source"), piiText.as("pii"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("pii"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    val m = p.select(col("source"),
+      regexp_count(col("pii"), lit(EmailRe)).as("ec"),
+      regexp_count(col("pii"), lit(Ipv4Re)).as("ic"),
+      regexp_count(col("pii"), lit(PhoneRe)).as("pc"),
+      h32(red).as("ck"))
+    m.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("ec") > 0).cast("long")).as("docs_email"),
+      sum((col("ic") > 0).cast("long")).as("docs_ip"),
+      sum((col("pc") > 0).cast("long")).as("docs_phone"),
+      sum(col("ec").cast("long")).as("n_email"),
+      sum(col("ic").cast("long")).as("n_ip"),
+      sum(col("pc").cast("long")).as("n_phone"),
+      sum(col("ck")).as("redact_checksum"))
+  }
+
+  // ---- corpus-internal duplicate n-grams ------------------------------
+
+  /** CORPUS SELF-OVERLAP: the share of each document's distinct word
+    * 8-grams that also occur in at least one OTHER document — the
+    * corpus-internal cousin of d_decontam (which checks overlap against
+    * a benchmark set) and the cross-doc signal behind substring-level
+    * dedup. Scale shape: per-doc distinct n-grams explode once; the
+    * global count aggregates two-phase on the n-gram hash (fine-grained
+    * keys); only n-grams with >1 supporting doc survive the filter
+    * BEFORE the join back, so the join's build side is the (small)
+    * duplicated set, not the corpus.
+    */
+  def dupNgrams(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      array_distinct(wordNgramHashes(col("text"), 8)).as("ng"))
+    val ex = base.select(col("doc_id"), col("source"), explode(col("ng")).as("ng"))
+    // per-doc-distinct explode => count(*) == number of supporting docs
+    val shared = ex.groupBy(col("ng")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1).select(col("ng"))
+    val perDoc = ex.join(shared, Seq("ng"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+    base.select(col("doc_id"), col("source"), size(col("ng")).as("n_ng"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("shared"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ng").cast("long")).as("n_ngrams"),
+        sum(col("shared")).as("shared_ngrams"),
+        sum((col("shared") > 0).cast("long")).as("docs_with_shared"))
+  }
+
+  // ---- adaptive quality threshold -------------------------------------
+
+  /** ADAPTIVE QUALITY THRESHOLD: the per-source 10th-percentile cutoff
+    * of the stopword-ratio signal, computed EXACTLY but scale-correctly:
+    * aggregate a (source, value) histogram first (fine-grained keys,
+    * map-side combine), then run the cumulative window over the
+    * aggregated frame only — the sort touches distinct rounded values
+    * per source, never raw rows. Threshold = smallest value whose
+    * cumulative count reaches ceil(n/10) (integer ceil-div, so both
+    * engines compare identical integers); n_dropped = rows strictly
+    * below it. This is the number a curation run derives before
+    * committing a per-source filter config.
+    */
+  def qualityP10(s: SparkSession, dir: String): DataFrame = {
+    val hist = docs(s, dir)
+      .select(col("source"), round(stopwordRatio(col("text")), 6).as("sr"))
+      .groupBy(col("source"), col("sr")).agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(col("source")).orderBy(col("sr"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("n_docs", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    cum.filter(col("cum") >= expr("(n_docs + 9) div 10"))
+      .withColumn("rn", row_number().over(byVal))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_docs"),
+        col("sr").as("p10_threshold"),
+        (col("cum") - col("cnt")).as("n_dropped"))
+  }
+
   /** Exact 3-gram Jaccard near-dup baseline, blocked by (lang, source):
     * pair histogram by Jaccard decile. Verification oracle for LSH.
     */
@@ -719,7 +839,10 @@ object PipelineQueries {
     "m_binary_meta" -> (binaryMeta _),
     "e_ann_cosine_top5" -> (annCosineTop5 _),
     "e_knn_label_purity" -> ((s: SparkSession, d: String) => knnLabelPurity(s, d)),
-    "e_knn_purity_sampled" -> (knnLabelPuritySampled _)
+    "e_knn_purity_sampled" -> (knnLabelPuritySampled _),
+    "d_pii" -> (piiLedger _),
+    "d_dup_ngrams" -> (dupNgrams _),
+    "d_quality_p10" -> (qualityP10 _)
   )
 
   // ---------------------------------------------------------------------
@@ -1117,6 +1240,65 @@ object PipelineQueries {
          SELECT qlabel, round(avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END), 6) AS purity,
            count(*)::BIGINT AS n_neighbors
          FROM nn WHERE rk <= 5 GROUP BY qlabel""".replaceAll("\\s+", " "),
+
+    "d_pii" -> {
+      val h = H("doc_id::VARCHAR")
+      // RE2 patterns embed verbatim: DuckDB single-quoted literals do no
+      // backslash processing, so '\.' and '\b' arrive intact
+      val e = EmailRe
+      s"""WITH p AS (SELECT source, text
+           || CASE WHEN substr(md5(doc_id::VARCHAR),1,1) IN ('0','1','2','3','4','5')
+                THEN ' reach user' || ($h % 997)::VARCHAR || '@example.org' ELSE '' END
+           || CASE WHEN substr(md5(doc_id::VARCHAR),2,1) IN ('0','1','2','3')
+                THEN ' from 10.' || ($h % 200)::VARCHAR || '.' || ($h % 97)::VARCHAR || '.42' ELSE '' END
+           || CASE WHEN substr(md5(doc_id::VARCHAR),3,1) IN ('0','1')
+                THEN ' call 555-' || lpad(($h % 10000)::VARCHAR, 4, '0') ELSE '' END AS pii
+         FROM documents),
+         m AS (SELECT source,
+           len(regexp_extract_all(pii, '$e')) AS ec,
+           len(regexp_extract_all(pii, '$Ipv4Re')) AS ic,
+           len(regexp_extract_all(pii, '$PhoneRe')) AS pc,
+           ${H(s"regexp_replace(regexp_replace(regexp_replace(pii, '$e', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')")} AS ck
+         FROM p)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN ec > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_email,
+           sum(CASE WHEN ic > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_ip,
+           sum(CASE WHEN pc > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_phone,
+           sum(ec)::BIGINT AS n_email, sum(ic)::BIGINT AS n_ip, sum(pc)::BIGINT AS n_phone,
+           sum(ck)::BIGINT AS redact_checksum
+         FROM m GROUP BY source""".replaceAll("\\s+", " ")
+    },
+
+    "d_dup_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, source, $W AS ws FROM documents),
+         base AS (SELECT doc_id, source,
+           list_distinct(list_transform(range(1, greatest(len(ws)-6,1)),
+             i -> md5(array_to_string(ws[i:i+7],' ')))) AS ng
+           FROM d),
+         ex AS (SELECT doc_id, unnest(ng) AS ng FROM base),
+         shared AS (SELECT ng FROM ex GROUP BY ng HAVING count(*) > 1),
+         perdoc AS (SELECT doc_id, count(*)::BIGINT AS shared
+           FROM ex JOIN shared USING (ng) GROUP BY doc_id)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len(ng))::BIGINT AS n_ngrams,
+           sum(coalesce(shared, 0))::BIGINT AS shared_ngrams,
+           sum(CASE WHEN coalesce(shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_shared
+         FROM base LEFT JOIN perdoc USING (doc_id) GROUP BY source""".replaceAll("\\s+", " "),
+
+    "d_quality_p10" ->
+      s"""WITH m AS (SELECT source,
+           round(len(list_filter($W, x -> x IN $STOP))::DOUBLE / greatest(len($W),1), 6) AS sr
+           FROM documents),
+         hist AS (SELECT source, sr, count(*)::BIGINT AS cnt FROM m GROUP BY source, sr),
+         c AS (SELECT source, sr, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY sr) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n_docs
+           FROM hist),
+         f AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY sr) AS rn
+           FROM c WHERE cum >= (n_docs + 9) // 10)
+         SELECT source, n_docs::BIGINT AS n_docs, sr AS p10_threshold,
+           (cum - cnt)::BIGINT AS n_dropped
+         FROM f WHERE rn = 1""".replaceAll("\\s+", " "),
 
     "e_knn_purity_sampled" ->
       s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id LIMIT 8),

@@ -161,6 +161,79 @@ object ValidationQueries {
   def cmsTopkEst(s: SparkSession, dir: String): DataFrame =
     graft.checks.TokenFreq.cmsTopkEst(toks(s, dir), 3)
 
+  /** CONTEXT-WINDOW CHUNKING: split every token sequence into training
+    * windows of [[ChunkW]] tokens at stride [[ChunkS]] (the overlapping
+    * next-token-prediction layout), then pin the materialized windows
+    * per source: count, full-window count, token mass, and a
+    * position-weighted checksum over every window's CONTENT — so the
+    * oracle verifies the actual slices, not just arithmetic on lengths.
+    * Scale shape: the window generator is a codegen'd
+    * sequence+transform+explode over the row's own array (no shuffle);
+    * the only exchange is the per-source rollup of five longs. Windows
+    * are derived from size(tokens), not n_tok, so the injected
+    * n_tok-mismatch rows chunk by their REAL content.
+    */
+  val ChunkW = 128
+  val ChunkS = 96
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val n = size(col("tokens"))
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(ChunkS)))
+      .otherwise(array().cast("array<int>"))
+    val wnd = toks(s, dir).select(col("source"),
+      explode(transform(starts, st => slice(col("tokens"), st + 1, lit(ChunkW)))).as("w"))
+    val m = wnd.select(col("source"), size(col("w")).as("len"),
+      coalesce(aggregate(
+        zip_with(sequence(lit(1), size(col("w"))), col("w"),
+          (i, t) => i.cast("long") * t),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("ck"))
+    m.groupBy(col("source")).agg(
+      count(lit(1)).as("n_windows"),
+      sum((col("len") === ChunkW).cast("long")).as("n_full"),
+      sum(col("len").cast("long")).as("sum_len"),
+      sum(col("ck")).as("content_checksum"))
+  }
+
+  /** CONSTRAINT SUGGESTION (the profile->suite direction): derive a
+    * candidate constraint set from the observed data — the standard
+    * bootstrap for a validation engine pointed at an unknown table
+    * (observed bounds as minimum/maximum, observed length band,
+    * required when the null rate is zero, enum when the distinct set is
+    * small). ONE pass computes every signal (single aggregation, no
+    * per-column scans); the reshape to (field, keyword, value) rows is
+    * a generator over the 1-row aggregate. Values are strings so one
+    * schema carries every keyword.
+    */
+  def suggestSuite(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val a = t.agg(
+      sum(col("doc_id").isNull.cast("long")).as("dnull"),
+      min(length(col("doc_id"))).as("dminlen"),
+      max(length(col("doc_id"))).as("dmaxlen"),
+      min(col("n_tok")).as("nmin"),
+      max(col("n_tok")).as("nmax"),
+      min(size(col("tokens"))).as("szmin"),
+      max(size(col("tokens"))).as("szmax"),
+      min(array_min(col("tokens"))).as("emin"),
+      max(array_max(col("tokens"))).as("emax"),
+      countDistinct(col("source")).as("ndistinct"),
+      array_join(array_sort(collect_set(col("source"))), ",").as("srcs"))
+    a.select(expr(
+      """stack(9,
+           'doc_id', 'required', CASE WHEN dnull = 0 THEN 'true' ELSE 'false' END,
+           'doc_id', 'minLength', CAST(dminlen AS STRING),
+           'doc_id', 'maxLength', CAST(dmaxlen AS STRING),
+           'n_tok', 'minimum', CAST(nmin AS STRING),
+           'n_tok', 'maximum', CAST(nmax AS STRING),
+           'tokens', 'minItems', CAST(szmin AS STRING),
+           'tokens', 'maxItems', CAST(szmax AS STRING),
+           'tokens.items', 'minimum', CAST(emin AS STRING),
+           'tokens.items', 'maximum', CAST(emax AS STRING)
+         ) AS (field, keyword, value)"""))
+      .unionAll(a.select(lit("source").as("field"),
+        when(col("ndistinct") <= 10, lit("enum")).otherwise(lit("type")).as("keyword"),
+        when(col("ndistinct") <= 10, col("srcs")).otherwise(lit("string")).as("value")))
+  }
+
   private def baseline(s: SparkSession): DataFrame = {
     val snapPath = s"${TokenData.dataRoot}/baseline_snapshot"
     if (!new java.io.File(s"$snapPath/_SUCCESS").exists())
@@ -695,7 +768,45 @@ object ValidationQueries {
       checks.map { case (cid, failp) =>
         s"SELECT '$cid' AS constraint_id, sum(CASE WHEN $failp THEN 1 ELSE 0 END)::BIGINT AS fails, count(*)::BIGINT AS n_rows FROM $T"
       }.mkString(" UNION ALL ")
-    }
+    },
+
+    "v_chunk_windows" ->
+      s"""WITH t AS (SELECT source, tokens, len(tokens) AS n FROM $T),
+         w AS (SELECT source,
+             unnest(list_transform(range(0, n, $ChunkS), st -> tokens[st+1 : st+$ChunkW])) AS w
+           FROM t WHERE n > 0),
+         m AS (SELECT source, len(w) AS l,
+             coalesce(list_sum(list_transform(range(1, len(w)+1), i -> i::BIGINT * w[i])), 0)::BIGINT AS ck
+           FROM w)
+         SELECT source, count(*)::BIGINT AS n_windows,
+           sum(CASE WHEN l = $ChunkW THEN 1 ELSE 0 END)::BIGINT AS n_full,
+           sum(l)::BIGINT AS sum_len,
+           sum(ck)::BIGINT AS content_checksum
+         FROM m GROUP BY source""".replaceAll("\\s+", " "),
+
+    "v_suggest_suite" ->
+      s"""WITH a AS (SELECT
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS dnull,
+           min(length(doc_id)) AS dminlen, max(length(doc_id)) AS dmaxlen,
+           min(n_tok) AS nmin, max(n_tok) AS nmax,
+           min(len(tokens)) AS szmin, max(len(tokens)) AS szmax,
+           min(list_min(tokens)) AS emin, max(list_max(tokens)) AS emax
+         FROM $T),
+         s AS (SELECT count(*) AS nd, string_agg(src, ',' ORDER BY src) AS srcs
+           FROM (SELECT DISTINCT source AS src FROM $T WHERE source IS NOT NULL))
+         SELECT 'doc_id' AS field, 'required' AS keyword,
+           CASE WHEN dnull = 0 THEN 'true' ELSE 'false' END AS value FROM a
+         UNION ALL SELECT 'doc_id', 'minLength', dminlen::VARCHAR FROM a
+         UNION ALL SELECT 'doc_id', 'maxLength', dmaxlen::VARCHAR FROM a
+         UNION ALL SELECT 'n_tok', 'minimum', nmin::VARCHAR FROM a
+         UNION ALL SELECT 'n_tok', 'maximum', nmax::VARCHAR FROM a
+         UNION ALL SELECT 'tokens', 'minItems', szmin::VARCHAR FROM a
+         UNION ALL SELECT 'tokens', 'maxItems', szmax::VARCHAR FROM a
+         UNION ALL SELECT 'tokens.items', 'minimum', emin::VARCHAR FROM a
+         UNION ALL SELECT 'tokens.items', 'maximum', emax::VARCHAR FROM a
+         UNION ALL SELECT 'source',
+           CASE WHEN nd <= 10 THEN 'enum' ELSE 'type' END,
+           CASE WHEN nd <= 10 THEN srcs ELSE 'string' END FROM s""".replaceAll("\\s+", " ")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -719,6 +830,8 @@ object ValidationQueries {
     "v_keyword_matrix" -> (keywordMatrix _),
     "v_object_keywords" -> (objectKeywords _),
     "v_doc_conditional" -> (docConditional _),
-    "v_dynamic_refs" -> (dynamicRefs _)
+    "v_dynamic_refs" -> (dynamicRefs _),
+    "v_chunk_windows" -> (chunkWindows _),
+    "v_suggest_suite" -> (suggestSuite _)
   )
 }

@@ -150,4 +150,65 @@ class ChecksSpec extends SparkSpec {
     }.min
     assert(est0 === expEst, s"hand-recomputed CMS estimate for $src0/$tok0")
   }
+
+  test("chunk windows: materialized slices match a driver-side recompute; one shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val q = ValidationQueries.chunkWindows(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"chunking must be generate + one rollup:\n$plan")
+    val got = q.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (wSz, st) = (ValidationQueries.ChunkW, ValidationQueries.ChunkS)
+    val rows = TokenData.read(spark, dir).select("source", "tokens").collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1)))
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val wnds = ds.toSeq.flatMap { case (_, ts) =>
+        (0 until ts.length by st).map(s0 => ts.slice(s0, s0 + wSz)) }
+      src -> ((wnds.length.toLong, wnds.count(_.length == wSz).toLong,
+        wnds.map(_.length.toLong).sum,
+        wnds.map(w => w.zipWithIndex.map { case (t, i) => (i + 1).toLong * t }.sum).sum))
+    }
+    assert(got === expected)
+    // the token table has rows where size % stride != 0 -> partial tails
+    assert(got.values.exists(v => v._1 > v._2), "expected some partial windows")
+  }
+
+  test("suggest suite: suggested keywords reproduce the observed profile exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ValidationQueries.suggestSuite(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val rows = TokenData.read(spark, dir)
+      .select("doc_id", "n_tok", "tokens", "source").collect()
+    val ids = rows.map(_.getString(0)).filter(_ != null)
+    val ntoks = rows.map(_.getInt(1))
+    val sizes = rows.map(_.getSeq[Int](2).length)
+    val elems = rows.flatMap(_.getSeq[Int](2))
+    val srcs = rows.map(_.getString(3)).filter(_ != null).distinct.sorted
+    assert(got(("doc_id", "required")) === (if (ids.length == rows.length) "true" else "false"))
+    assert(got(("doc_id", "minLength")) === ids.map(_.length).min.toString)
+    assert(got(("doc_id", "maxLength")) === ids.map(_.length).max.toString)
+    assert(got(("n_tok", "minimum")) === ntoks.min.toString)
+    assert(got(("n_tok", "maximum")) === ntoks.max.toString)
+    assert(got(("tokens", "minItems")) === sizes.min.toString)
+    assert(got(("tokens", "maxItems")) === sizes.max.toString)
+    assert(got(("tokens.items", "minimum")) === elems.min.toString)
+    assert(got(("tokens.items", "maximum")) === elems.max.toString)
+    assert(got(("source", "enum")) === srcs.mkString(","))
+    // the suggestions load as a real suite: every row passes its own
+    // observed-bounds constraints (closing the profile -> suite loop)
+    import graft.suite.{Constraint, FieldConstraint, Suite}
+    val sug = Suite("suggested", Seq(
+      FieldConstraint("n_tok.min", "n_tok",
+        Constraint.Minimum(got(("n_tok", "minimum")).toDouble)),
+      FieldConstraint("n_tok.max", "n_tok",
+        Constraint.Maximum(got(("n_tok", "maximum")).toDouble)),
+      FieldConstraint("tokens.minItems", "tokens",
+        Constraint.MinItems(got(("tokens", "minItems")).toInt)),
+      FieldConstraint("source.enum", "source", Constraint.Enum(srcs.toSeq))))
+    val fails = graft.compilex.ConstraintCompiler
+      .failCounts(TokenData.read(spark, dir), sug)
+      .agg(sum("fails")).head().getLong(0)
+    assert(fails === 0L, "data must satisfy its own suggested constraints")
+  }
 }

@@ -388,6 +388,84 @@ class PipelineSpec extends SparkSpec {
       assert(n >= a && a >= b && b >= c && c >= e, "funnel must be monotone") }
   }
 
+  test("pii ledger: injected positives detected exactly; redaction removes every match") {
+    val q = PipelineQueries.piiLedger(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString()
+    // 2 exchanges: docs()'s deliberate parallelism repartition + the
+    // per-source rollup — detection/redaction itself adds NO shuffle
+    assert("Exchange".r.findAllIn(plan).length === 2,
+      s"pii ledger must be projection + one rollup:\n$plan")
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val eRe = PipelineQueries.EmailRe.r
+    val iRe = PipelineQueries.Ipv4Re.r
+    val pRe = PipelineQueries.PhoneRe.r
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0).toString, r.getString(1), r.getString(2)))
+    val expected = rows.groupBy(_._2).map { case (src, ds) =>
+      val per = ds.toSeq.map { case (id, _, text) =>
+        val hx = md5hex(id); val h = h32(id)
+        val pii = text +
+          (if ("012345".contains(hx(0))) s" reach user${h % 997}@example.org" else "") +
+          (if ("0123".contains(hx(1))) s" from 10.${h % 200}.${h % 97}.42" else "") +
+          (if ("01".contains(hx(2))) s" call 555-${"%04d".format(h % 10000)}" else "")
+        val red = pRe.replaceAllIn(iRe.replaceAllIn(
+          eRe.replaceAllIn(pii, "<EMAIL>"), "<IP>"), "<PHONE>")
+        assert(eRe.findFirstIn(red).isEmpty && iRe.findFirstIn(red).isEmpty &&
+          pRe.findFirstIn(red).isEmpty, s"redaction left PII in doc $id")
+        (eRe.findAllIn(pii).length.toLong, iRe.findAllIn(pii).length.toLong,
+          pRe.findAllIn(pii).length.toLong, h32(red))
+      }
+      src -> ((ds.length.toLong,
+        per.count(_._1 > 0).toLong, per.count(_._2 > 0).toLong, per.count(_._3 > 0).toLong,
+        per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum, per.map(_._4).sum))
+    }
+    assert(got === expected)
+    // the injection gates must produce real positives at this sf
+    assert(got.values.map(_._5).sum > 0 && got.values.map(_._6).sum > 0 &&
+      got.values.map(_._7).sum > 0, "PII injection produced no positives")
+  }
+
+  test("dup-ngrams: per-source corpus self-overlap matches a brute-force recompute") {
+    val got = PipelineQueries.dupNgrams(spark, dir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def ngrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Seq.empty
+      else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+    }
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), ngrams(r.getString(2)).distinct))
+    val docCount = rows.flatMap(_._3).groupBy(identity).view.mapValues(_.length).toMap
+    val expected = rows.groupBy(_._2).map { case (src, ds) =>
+      val shared = ds.toSeq.map(_._3.count(g => docCount(g) > 1).toLong)
+      src -> ((ds.length.toLong, ds.map(_._3.length.toLong).sum,
+        shared.sum, shared.count(_ > 0).toLong))
+    }
+    assert(got === expected)
+  }
+
+  test("quality p10: smallest value whose cumulative count reaches ceil(n/10)") {
+    val got = PipelineQueries.qualityP10(spark, dir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // recompute from the SAME Spark-evaluated signal (no driver-side
+    // re-rounding ambiguity)
+    val sig = docs.select(col("source"),
+      TextOps.stopwordRatio(col("text")).as("sr")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = sig.groupBy(_._1).map { case (src, xs) =>
+      val vals = xs.map(_._2).sorted
+      val k = (vals.length + 9) / 10
+      val thr = vals(k - 1)
+      src -> ((vals.length.toLong, thr, vals.count(_ < thr).toLong))
+    }
+    assert(got === expected)
+  }
+
   test("plan quality: failCounts is one scan + partial/final agg; only agg state shuffles") {
     val df = graft.gen.TokenData.read(spark, "/root/testdata/sf0.001")
     val q = graft.compilex.ConstraintCompiler.failCounts(
