@@ -161,6 +161,16 @@ object ValidationQueries {
   def cmsTopkEst(s: SparkSession, dir: String): DataFrame =
     graft.checks.TokenFreq.cmsTopkEst(toks(s, dir), 3)
 
+  /** Bottom-decile rare-token gate ([[graft.checks.TokenFreq.rareTokens]]). */
+  def rareTokens(s: SparkSession, dir: String): DataFrame =
+    graft.checks.TokenFreq.rareTokens(toks(s, dir))
+
+  /** Per-source token-distribution KS drift
+    * ([[graft.checks.TokenFreq.tokenDriftKS]]).
+    */
+  def tokenDrift(s: SparkSession, dir: String): DataFrame =
+    graft.checks.TokenFreq.tokenDriftKS(toks(s, dir))
+
   /** CONTEXT-WINDOW CHUNKING: split every token sequence into training
     * windows of [[ChunkW]] tokens at stride [[ChunkS]] (the overlapping
     * next-token-prediction layout), then pin the materialized windows
@@ -806,7 +816,40 @@ object ValidationQueries {
          UNION ALL SELECT 'tokens.items', 'maximum', emax::VARCHAR FROM a
          UNION ALL SELECT 'source',
            CASE WHEN nd <= 10 THEN 'enum' ELSE 'type' END,
-           CASE WHEN nd <= 10 THEN srcs ELSE 'string' END FROM s""".replaceAll("\\s+", " ")
+           CASE WHEN nd <= 10 THEN srcs ELSE 'string' END FROM s""".replaceAll("\\s+", " "),
+
+    "v_rare_tokens" ->
+      s"""WITH ex AS (SELECT source, unnest(tokens) AS token FROM $T),
+         counts AS (SELECT token, count(*)::BIGINT AS cnt FROM ex GROUP BY token),
+         hist AS (SELECT cnt, count(*)::BIGINT AS ids FROM counts GROUP BY cnt),
+         c AS (SELECT cnt,
+             sum(ids) OVER (ORDER BY cnt) AS cum,
+             sum(ids) OVER () AS nvocab
+           FROM hist),
+         thr AS (SELECT min(cnt) AS rare_threshold FROM c WHERE cum >= (nvocab + 9) // 10),
+         rare AS (SELECT token, rare_threshold FROM counts, thr WHERE cnt <= rare_threshold)
+         SELECT source, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN r.token IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+           round(sum(CASE WHEN r.token IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rare_frac,
+           count(DISTINCT r.token)::BIGINT AS rare_ids_present,
+           max(r.rare_threshold)::BIGINT AS rare_threshold
+         FROM ex LEFT JOIN rare r USING (token) GROUP BY source""".replaceAll("\\s+", " "),
+
+    "v_token_drift" ->
+      s"""WITH ex AS (SELECT source, ((unnest(tokens) % 64) + 64) % 64 AS bucket FROM $T),
+         sb AS (SELECT source, bucket, count(*)::BIGINT AS cnt FROM ex GROUP BY source, bucket),
+         corpus AS (SELECT bucket, sum(cnt) AS ccnt FROM sb GROUP BY bucket),
+         cc AS (SELECT bucket,
+             sum(ccnt) OVER (ORDER BY bucket) AS ccum,
+             sum(ccnt) OVER () AS ctot
+           FROM corpus),
+         ps AS (SELECT source, bucket,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS tot
+           FROM sb)
+         SELECT source,
+           round(max(abs(cum::DOUBLE / tot - ccum::DOUBLE / ctot)), 6) AS ks
+         FROM ps JOIN cc USING (bucket) GROUP BY source""".replaceAll("\\s+", " ")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -832,6 +875,8 @@ object ValidationQueries {
     "v_doc_conditional" -> (docConditional _),
     "v_dynamic_refs" -> (dynamicRefs _),
     "v_chunk_windows" -> (chunkWindows _),
-    "v_suggest_suite" -> (suggestSuite _)
+    "v_suggest_suite" -> (suggestSuite _),
+    "v_rare_tokens" -> (rareTokens _),
+    "v_token_drift" -> (tokenDrift _)
   )
 }

@@ -109,4 +109,70 @@ object TokenFreq {
       .withColumn("overcount", col("est") - col("cnt"))
       .select("source", "token", "cnt", "est", "overcount", "rk")
   }
+
+  /** RARE-TOKEN GATE (the exact-arithmetic face of CCNet-style
+    * LM-quality filtering): tokens whose global count sits in the
+    * bottom decile of the count DISTRIBUTION (threshold = smallest
+    * count value whose cumulative token-id coverage reaches
+    * ceil(|present vocab|/10) — sf-adaptive, no magic constant), then
+    * per-source rare-instance fraction and rare-id presence. Scale
+    * shape: global counts are vocab-bounded (map-side combine), the
+    * threshold window sorts DISTINCT count values only, and the rare
+    * set (≥10% of vocab, count-bounded) broadcasts into the exploded
+    * scan — the probe side is vocab-bounded no matter the corpus.
+    * All integer arithmetic until one rounded division per output row.
+    */
+  def rareTokens(toks: DataFrame): DataFrame = {
+    val ex = toks.select(col("source"), explode(col("tokens")).as("token"))
+    val counts = ex.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // exact bottom-decile threshold over the count DISTRIBUTION:
+    // histogram of count values -> ordered cumulative window
+    val hist = counts.groupBy(col("cnt")).agg(count(lit(1)).as("ids"))
+    val byCnt = Window.partitionBy(lit(1)).orderBy(col("cnt"))
+    val thr = hist
+      .withColumn("cum", sum(col("ids")).over(byCnt))
+      .withColumn("nvocab", sum(col("ids")).over(Window.partitionBy(lit(1))))
+      .filter(col("cum") >= expr("(nvocab + 9) div 10"))
+      .agg(min(col("cnt")).as("rare_threshold"))
+    val rare = counts.join(broadcast(thr), counts("cnt") <= thr("rare_threshold"))
+      .select(col("token"), lit(1).as("is_rare"), col("rare_threshold"))
+    ex.join(broadcast(rare), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("is_rare"), lit(0)).cast("long")).as("n_rare"),
+        round(sum(coalesce(col("is_rare"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("rare_frac"),
+        countDistinct(when(col("is_rare") === 1, col("token"))).as("rare_ids_present"),
+        max(col("rare_threshold")).as("rare_threshold"))
+  }
+
+  /** TOKEN-DISTRIBUTION DRIFT per source: KS distance between each
+    * source's token-id histogram (folded to `nBuckets` id buckets) and
+    * the whole-corpus histogram. KS = max over ordered buckets of
+    * |cdf_source − cdf_corpus| — cumulative sums run in window order
+    * and max is order-independent, so the value is bit-deterministic
+    * in any engine (unlike sum-over-many-doubles drift scores). Scale
+    * shape: the only row-count-proportional work is the (source,
+    * bucket) partial aggregation; everything after operates on
+    * |sources|·nBuckets rows.
+    */
+  def tokenDriftKS(toks: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val ex = toks.select(col("source"), explode(col("tokens")).as("token"))
+      .select(col("source"), pmod(col("token"), lit(nBuckets)).as("bucket"))
+    val sb = ex.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // corpus histogram derived from the already-aggregated frame
+    val corpus = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("ccnt"))
+      .withColumn("ccum", sum(col("ccnt")).over(Window.partitionBy(lit(1)).orderBy(col("bucket"))))
+      .withColumn("ctot", sum(col("ccnt")).over(Window.partitionBy(lit(1))))
+    val perSrc = sb
+      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy(col("source")).orderBy(col("bucket"))))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    perSrc.join(broadcast(corpus), Seq("bucket"))
+      .select(col("source"),
+        abs(col("cum").cast("double") / col("tot") -
+          col("ccum").cast("double") / col("ctot")).as("d"))
+      .groupBy(col("source"))
+      .agg(round(max(col("d")), 6).as("ks"))
+  }
 }

@@ -151,6 +151,56 @@ class ChecksSpec extends SparkSpec {
     assert(est0 === expEst, s"hand-recomputed CMS estimate for $src0/$tok0")
   }
 
+  test("rare tokens: bottom-decile threshold and per-source fractions match brute force") {
+    val q = graft.checks.TokenFreq.rareTokens(toks)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"rare set must broadcast into the scan:\n$plan")
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    val rows = toks.select("source", "tokens").collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1)))
+    val counts = rows.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nvocab = counts.size.toLong
+    val k = (nvocab + 9) / 10
+    // smallest count value whose cumulative id coverage reaches ceil(nvocab/10)
+    val sortedCnts = counts.values.toSeq.sorted
+    val thr = sortedCnts(k.toInt - 1)
+    val rareSet = counts.collect { case (t, c) if c <= thr => t }.toSet
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val all = ds.flatMap(_._2)
+      val nRare = all.count(rareSet.contains).toLong
+      src -> ((all.length.toLong, nRare,
+        BigDecimal(nRare.toDouble / all.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        all.filter(rareSet.contains).distinct.length.toLong, thr))
+    }
+    assert(got === expected)
+    assert(rareSet.nonEmpty && rareSet.size >= (nvocab / 10).toInt,
+      "threshold must cover at least a decile of the vocab")
+  }
+
+  test("token drift KS: per-source bucket-histogram distance matches brute force") {
+    val got = graft.checks.TokenFreq.tokenDriftKS(toks, 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = toks.select("source", "tokens").collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1).map(t => ((t % 64) + 64) % 64)))
+    val corpus = rows.flatMap(_._2)
+    val ctot = corpus.length.toDouble
+    val ccdf = (0 until 64).map(b => corpus.count(_ <= b) / ctot)
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val bs = ds.flatMap(_._2)
+      val tot = bs.length.toDouble
+      val present = bs.distinct.sorted
+      val d = present.map(b => math.abs(bs.count(_ <= b) / tot - ccdf(b))).max
+      src -> BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (src, ks) =>
+      assert(math.abs(ks - expected(src)) < 1e-9, s"$src ks=$ks vs ${expected(src)}")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+    assert(got.keySet === expected.keySet)
+  }
+
   test("chunk windows: materialized slices match a driver-side recompute; one shuffle") {
     val dir = "/root/testdata/sf0.001"
     val q = ValidationQueries.chunkWindows(spark, dir)
