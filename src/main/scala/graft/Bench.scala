@@ -246,8 +246,16 @@ object Bench {
     val scalePath = s"${TokenData.dataRoot}/scaling/token_seqs"
     if (!new java.io.File(s"$scalePath/_SUCCESS").exists())
       TokenData.writeTokens(TokenData.tokenTable(spark, 4000000L), scalePath)
-    // 16M rows (not 4M) for the submit experiment so per-job constant
-    // overhead (<0.5s scheduling) stays <5% of the shortest measurement
+    // 16M rows (not 4M) for the submit experiment: ScaleRunner reports
+    // the internal per-rep best (startup excluded), but per-STAGE
+    // constants (scheduling, codegen warm) recur inside every rep —
+    // at 4M the m4 job is ~5 s and those constants depress the
+    // criterion to 0.709 (bench_1787025857) vs 0.83-1.32 at 16M
+    // across seven archived windows. The 16M gen cost (~150 s) is
+    // one-time per round: data/ persists between runs, so the driver's
+    // end-of-round bench is warm; only the round's FIRST bench pays,
+    // and the procs slice + first-submit floors below keep the
+    // criterion alive even in that cold run.
     val scale16 = s"${TokenData.dataRoot}/scaling16/token_seqs"
     if (!new java.io.File(s"$scale16/_SUCCESS").exists())
       TokenData.writeTokens(TokenData.tokenTable(spark, 16000000L), scale16)
@@ -304,8 +312,9 @@ object Bench {
     val procsStart = elapsed
     // hard reserved slice: the criterion phase may use up to ~68% of
     // the whole budget (sized so a QUIET window fits the first FOUR
-    // scheduled submits, m1+m4+m4+m1 ≈ 510 s — two samples of the slow
-    // config, not one); the query phase degrades sweeps to absorb the
+    // scheduled submits m4+m1+m4+m4 ≈ 345 s; the adaptive first-submit
+    // floor below keeps the mandatory pair alive even in a cold-gen
+    // loud window); the query phase degrades sweeps to absorb the
     // remainder (round-3 VERDICT #1: "a hard reserved slice for the
     // procs phase — run procs FIRST if the reserve is threatened")
     val procsBudget = math.min(remaining * 0.68, 540.0)
@@ -334,8 +343,16 @@ object Bench {
       // 1-executor submit is the slice's bottleneck — so m1 runs 1 rep
       // (warm + 1) and m4 runs 2
       val reps = if (m == m1) 1 else 2
+      // the FIRST submit of a config is the criterion's existence
+      // condition — give it a timeout floor sized to survive a LOUD
+      // window (1.8x the config's expected wall) even when the slice
+      // is nearly spent (bench_1787024620: m4's only submit got
+      // timeoutSec=85 from a starved slice and was killed, losing the
+      // round's criterion; VERDICT r3 sanctions stretching the slice
+      // over starving the procs phase)
+      val floor = if (counts(m) == 0) (lastWall(m) * 1.8).toLong else 60L
       sparkSubmit(m, j, scale16, reps,
-        math.max(60L, math.min(300L, math.min(procsRemaining, remaining).toLong))).foreach { case (r, t) =>
+        math.max(floor, math.min(300L, math.min(procsRemaining, remaining).toLong))).foreach { case (r, t) =>
         rowsEx = r
         if (mins.get(m).forall(t < _)) mins(m) = t
       }
@@ -350,7 +367,11 @@ object Bench {
       // (plus a hard cap), never the measured efficiency; the record is
       // re-flushed after EVERY submit so an external kill keeps all
       // samples so far.
-      val schedule = Iterator.continually(Seq(m1, m4, m4, m1, m4, m4)).flatten
+      // m4 leads: it is the cheaper config, so when the slice is tight
+      // the mandatory pair (one submit of each) completes soonest —
+      // the m1-first order lost the pair in bench_1787024620 (m1 ate
+      // 179 s of a 264 s slice, m4's leftover timeout was fatal)
+      val schedule = Iterator.continually(Seq(m4, m1, m4, m4, m1, m4)).flatten
       var stop = false
       while (!stop && counts(m1) + counts(m4) < 12) {
         val next = schedule.next()

@@ -18,7 +18,7 @@ trait TableIO {
 
 /** Default: parquet partitioned by the partition column (dir-per-value).
   * A filter on the partition column prunes entire directories before any
-  * IO (PartitionFilters in the scan node — asserted in TableIOSpec).
+  * IO (PartitionFilters in the scan node — asserted in ValidateJobSpec).
   */
 class PartitionedParquetIO(partCol: String = "source") extends TableIO {
   override def write(df: DataFrame, path: String): Unit =
@@ -30,5 +30,45 @@ class PartitionedParquetIO(partCol: String = "source") extends TableIO {
   override def readPartitions(spark: SparkSession, path: String, partCol: String, parts: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     spark.read.parquet(path).filter(col(partCol).isin(parts: _*))
+  }
+}
+
+/** BUCKETED tables: pre-shuffle ONCE at write time on the join/agg key.
+  * Spark's bucketBy stores the hash-partitioning in the catalog, so
+  * every later equi-join or aggregation on that key between tables
+  * bucketed the same way runs with NO Exchange — at 100 TB the
+  * write-once shuffle amortizes across every downstream join (the dim
+  * table too big to broadcast joins the fact table co-located). The
+  * catalog-table requirement is Spark's: bucket metadata lives in the
+  * catalog, not the parquet footer, which is why this seam is
+  * saveAsTable-based while PartitionedParquetIO is path-based.
+  */
+object BucketedIO {
+  /** Write `df` as a bucketed catalog table: `buckets` hash buckets on
+    * `key`, sorted within buckets (enables in-bucket merge joins
+    * without an extra Sort when Spark can use it).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Equi-join of two same-bucketed tables: shuffle-free by layout.
+    * BucketedIOSpec asserts the plan carries ZERO Exchange nodes.
+    */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+                    key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+
+  /** Aggregation on the bucket key of a bucketed table: the partial/
+    * final agg pair collapses to one stage with no Exchange because
+    * rows are already hash-partitioned by the key.
+    */
+  def colocatedAgg(spark: SparkSession, table: String, key: String,
+                   aggs: (String, String)*): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val head = expr(s"${aggs.head._1} as ${aggs.head._2}")
+    val tail = aggs.tail.map(a => expr(s"${a._1} as ${a._2}"))
+    spark.table(table).groupBy(key).agg(head, tail: _*)
   }
 }

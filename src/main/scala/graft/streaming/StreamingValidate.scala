@@ -125,6 +125,27 @@ object StreamingValidate {
   def funnelStream(stream: DataFrame): DataFrame =
     stream.filter(graft.PipelineQueries.funnelKeepCol)
 
+  /** Streaming PII REDACTION: the in-flight face of the batch d_pii
+    * ledger — per-row regex detection counts plus the globally-redacted
+    * text, all in one stateless codegen'd projection (map-only: no
+    * state, no shuffle, composes with any output mode). The shape a
+    * privacy-scrubbing ingest stage writes onward instead of the raw
+    * text.
+    */
+  def piiRedactStream(stream: DataFrame): DataFrame = {
+    import graft.PipelineQueries.{EmailRe, Ipv4Re, PhoneRe}
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    stream.select(col("doc_id"), col("source"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ip"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phone"),
+      red.as("redacted"))
+  }
+
   /** Lifetime running verdict per source via custom state
     * (mapGroupsWithState): each micro-batch folds its rows into the
     * per-source state and emits the updated totals — the streaming

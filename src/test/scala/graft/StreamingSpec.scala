@@ -175,6 +175,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pii stream: stateless detection counts + redaction per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val df = mem.toDF().toDF("doc_id", "source", "text")
+    val q = StreamingValidate.piiRedactStream(df)
+      .writeStream.format("memory").queryName("pii").outputMode("append").start()
+    try {
+      mem.addData(
+        ("doc-e", "web", "write to alice@example.com or bob@test.org now"),
+        ("doc-i", "web", "server at 192.168.0.17 timed out"),
+        ("doc-p", "web", "call 555-0188 today"),
+        ("doc-clean", "web", "no sensitive content here"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, n_email, n_ip, n_phone, redacted FROM pii")
+        .collect().map(r => r.getString(0) ->
+          ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+      assert(rows("doc-e") === ((2, 0, 0, "write to <EMAIL> or <EMAIL> now")))
+      assert(rows("doc-i") === ((0, 1, 0, "server at <IP> timed out")))
+      assert(rows("doc-p") === ((0, 0, 1, "call <PHONE> today")))
+      assert(rows("doc-clean") === ((0, 0, 0, "no sensitive content here")))
+    } finally q.stop()
+  }
+
   test("decontam stream: stream-static broadcast join flags only n-gram-sharing docs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

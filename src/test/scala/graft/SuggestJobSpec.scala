@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.TokenData
+import graft.run.SuggestJob
+import graft.compilex.ConstraintCompiler
+
+/** The profile→suite loop at the JOB level: the suggested JSON Schema
+  * document must load through the real SuiteLoader, the profiled data
+  * must pass its own suggestion, and rows outside the observed band
+  * must fail it.
+  */
+class SuggestJobSpec extends SparkSpec {
+
+  test("suggestion round-trips the loader; data passes; out-of-band rows fail") {
+    val df = TokenData.tokenTable(spark, 3000, 4).cache()
+    val (json, suite) = SuggestJob.suggest(df)
+    assert(json.contains("\"$schema\": \"https://json-schema.org/draft/2020-12/schema\""))
+    assert(suite.constraints.nonEmpty)
+    val bad = ConstraintCompiler.failCounts(df, suite)
+      .filter(col("fails") > 0).collect()
+    assert(bad.isEmpty, s"data must pass its own suggestion: ${bad.mkString(",")}")
+
+    // push one column past each observed bound -> that constraint fires
+    val maxNtok = df.agg(max("n_tok")).head().getInt(0)
+    val overNtok = df.limit(5).withColumn("n_tok", lit(maxNtok + 1))
+    val f1 = ConstraintCompiler.failCounts(overNtok, suite)
+      .filter(col("fails") > 0).collect().map(_.getString(0))
+    assert(f1.exists(_.contains("n_tok")), f1.mkString(","))
+
+    val badSrc = df.limit(5).withColumn("source", lit("not-a-source"))
+    val f2 = ConstraintCompiler.failCounts(badSrc, suite)
+      .filter(col("fails") > 0).collect().map(_.getString(0))
+    assert(f2.exists(_.contains("source")), f2.mkString(","))
+
+    // enum fallback: force a tiny enumMax -> bare string type instead
+    val jsonNoEnum = SuggestJob.suggestJson(df, enumMax = 2)
+    assert(jsonNoEnum.contains("\"source\": {\"type\": \"string\"}"))
+  }
+}
