@@ -56,4 +56,63 @@ object Multimodal {
       }
     }
   }
+
+  final case class Thumb(doc_id: Long, width: Int, height: Int,
+                         n_bytes: Int, thumb: Array[Byte])
+
+  /** STUB resize: deterministic w*h "thumbnail" bytes derived from the
+    * payload by an md5 chain. ??? <- a real implementation decodes the
+    * image and resamples; the OUTPUT CONTRACT (fixed w*h bytes per row,
+    * one per input) is what downstream stages depend on and what the
+    * spec pins.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](w * h)
+    var seed = md.digest(payload)
+    var i = 0
+    while (i < out.length) {
+      val take = math.min(16, out.length - i)
+      System.arraycopy(seed, 0, out, i, take)
+      i += take
+      seed = md.digest(seed)
+    }
+    out
+  }
+
+  /** Batched resize pass: same narrow per-partition shape as decode —
+    * the resampler (real ones carry per-partition codec state) streams
+    * the iterator, never materializing the partition.
+    */
+  def resizeAll(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[Thumb] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map(r => Thumb(r.doc_id, w, h, r.payload.length, resizeStub(r.payload, w, h)))
+    }
+  }
+
+  final case class FrameFeature(doc_id: Long, frame_idx: Int, feature: Array[Float])
+
+  /** FRAME SAMPLING: treat the payload as a sequence of fixed-size
+    * frames and emit a feature per every `stride`-th frame — the video
+    * shape (one input row → many output rows). The 1→N expansion runs
+    * INSIDE mapPartitions as a lazy flatMap over the iterator: a
+    * 2-hour video never materializes all frames at once, and the stage
+    * stays narrow (no shuffle; Spark's spill/batch machinery sees one
+    * row at a time). Frame decode is the same documented stub seam.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 64, stride: Int = 4): Dataset[FrameFeature] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = math.max(0, r.payload.length / frameBytes)
+        (0 until nFrames by stride).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(
+            r.payload, f * frameBytes, (f + 1) * frameBytes)
+          FrameFeature(r.doc_id, f, decodeStub(frame))
+        }
+      }
+    }
+  }
 }

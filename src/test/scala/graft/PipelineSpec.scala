@@ -53,6 +53,40 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
   }
 
+  test("multimodal resize: fixed-size thumbnail contract, one row per input, narrow plan") {
+    val media = Multimodal.asMediaTable(docs)
+    val thumbs = Multimodal.resizeAll(spark, media, 16, 12)
+    val plan = thumbs.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"resize must stay narrow:\n$plan")
+    val rows = thumbs.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(t => t.width == 16 && t.height == 12 && t.thumb.length == 16 * 12))
+    // deterministic: same payload -> same thumbnail bytes
+    val again = Multimodal.resizeAll(spark, media, 16, 12).collect()
+      .map(t => t.doc_id -> t.thumb.toSeq).toMap
+    assert(rows.forall(t => again(t.doc_id) == t.thumb.toSeq))
+  }
+
+  test("multimodal frame sampling: 1->N lazy expansion, stride honored, narrow plan") {
+    val media = Multimodal.asMediaTable(docs)
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 64, stride = 4)
+    val plan = frames.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"frame sampling must stay narrow:\n$plan")
+    val got = frames.collect().groupBy(_.doc_id)
+    val sizes = docs.select(col("doc_id").cast("long"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sizes.foreach { case (id, n) =>
+      val nFrames = n / 64
+      val expected = (0 until nFrames by 4).toSeq
+      val gotIdx = got.getOrElse(id, Array.empty).map(_.frame_idx).sorted.toSeq
+      assert(gotIdx == expected, s"doc $id: $gotIdx vs $expected")
+    }
+    assert(got.values.exists(_.length > 1), "expected multi-frame docs at this size")
+    // frame features are frame-local: two different frames of one doc differ
+    val multi = got.values.find(_.length > 1).get
+    assert(multi.map(_.feature.toSeq).distinct.length > 1)
+  }
+
   test("MinHash signature equality rate approximates Jaccard similarity") {
     import spark.implicits._
     // construct docs with known overlap: A vs B share half their shingle space
