@@ -144,7 +144,59 @@ object RelationalQueries {
         sum(when(col("p_size") >= 25, 1L).otherwise(0L)).as("n_large"),
         max(col("p_retailprice")).as("max_price"))
 
+  /** SESSIONIZATION: gap-based sessions over the event stream (new
+    * session when a user is idle > 30 min) via the lag + cumulative-sum
+    * window idiom, then one session-level rollup. Timestamps compare as
+    * exact epoch MICROS (integer in both engines). Scale shape: both
+    * windows partition on user_id — fine-grained keys; at 100 TB the
+    * input would be range-partitioned (user, day) so each partition
+    * sorts locally, which is exactly what the window asks Catalyst for.
+    * (event_id tiebreak makes the ordering total.)
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = t(s, dir, "events")
+      // ts is TIMESTAMP_NTZ; the session timezone is pinned UTC, so the
+      // cast reads the naive value as UTC — same micros DuckDB's
+      // epoch_us(ts) yields on the naive timestamp directly
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val gapped = e.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("ts_us") - col("prev_us") > 30L * 60 * 1000000)
+          .cast("long"))
+    val sess = gapped.withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    sess.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).as("n_events"),
+      max(col("n_events")).as("max_session_events"),
+      max(col("dur_us")).as("max_session_dur_us"),
+      min(col("start_us")).as("first_seen_us"))
+  }
+
+  /** Semi-structured JSON props: per-type extraction stats over the
+    * events table's JSON column (get_json_object path extraction — the
+    * coverage row for JSON functions). All-integer outputs.
+    */
+  def propsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k").isNull.cast("long")).as("n_null"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize _),
+    "q_props_json" -> (propsJson _),
     "q_agg_pricing" -> (aggPricing _),
     "q_join_revenue_nation" -> (joinRevenueByNation _),
     "q_window_top3" -> (windowTop3Orders _),
@@ -161,6 +213,34 @@ object RelationalQueries {
   private def M(e: String) = s"(sum($e)::DOUBLE / 100.0)"
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id, event_id, ts_us,
+             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+           FROM e),
+         m AS (SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         x AS (SELECT user_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_idx
+           FROM m),
+         sess AS (SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+             min(ts_us) AS start_us, (max(ts_us) - min(ts_us))::BIGINT AS dur_us
+           FROM x GROUP BY user_id, session_idx)
+         SELECT user_id, count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS n_events,
+           max(n_events)::BIGINT AS max_session_events,
+           max(dur_us)::BIGINT AS max_session_dur_us,
+           min(start_us)::BIGINT AS first_seen_us
+         FROM sess GROUP BY user_id""".replaceAll("\\s+", " "),
+
+    "q_props_json" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+         sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+         min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+         max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
+         sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+         FROM events GROUP BY event_type""".replaceAll("\\s+", " "),
+
     "q_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${M(C("l_quantity"))} AS sum_qty,
