@@ -37,31 +37,75 @@ import graft.gen.TokenData
   */
 object ValidateJob {
 
+  /** `files`: the partition's data files as `name:size` fingerprints at
+    * validation time — the lineage that makes restarts INCREMENTAL (see
+    * [[completedDetail]]). Empty for pre-lineage entries and
+    * non-partitioned layouts (those keep whole-partition semantics).
+    */
   final case class ManifestEntry(partition: String, suiteHash: String, rows: Long,
-      violations: Long, wallMs: Long, ts: Long)
+      violations: Long, wallMs: Long, ts: Long, files: Seq[String] = Nil)
 
   def suiteHash(s: Suite): String =
     java.lang.Integer.toHexString(s.resolved.toString.hashCode)
 
-  /** Read completed partitions (last line per partition wins). */
-  def completed(checkpointDir: String, hash: String): Set[String] = {
+  /** Per-partition lineage from the manifest (last line per partition
+    * wins): recorded file fingerprints + CUMULATIVE row/violation
+    * counts for entries written under the given suite hash.
+    */
+  final case class PartState(files: Set[String], rows: Long, violations: Long)
+
+  def completedDetail(checkpointDir: String, hash: String): Map[String, PartState] = {
     val f = Paths.get(checkpointDir, "manifest.jsonl")
-    if (!Files.exists(f)) return Set.empty
-    val byPart = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (!Files.exists(f)) return Map.empty
+    val byPart = scala.collection.mutable.LinkedHashMap.empty[String, Option[PartState]]
     Files.readAllLines(f).forEach { line =>
       val part = """"partition":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
       val h = """"suiteHash":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
-      (part, h) match { case (Some(p), Some(hh)) => byPart(p) = hh; case _ => () }
+      val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+      val viol = """"violations":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+      val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+        .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)).getOrElse(Seq.empty)
+      (part, h, rows, viol) match {
+        // a later entry under a DIFFERENT hash invalidates the partition
+        case (Some(p), Some(hh), Some(r), Some(v)) =>
+          byPart(p) = if (hh == hash) Some(PartState(files.toSet, r, v)) else None
+        case _ => ()
+      }
     }
-    byPart.collect { case (p, h) if h == hash => p }.toSet
+    byPart.collect { case (p, Some(st)) => p -> st }.toMap
   }
+
+  /** Read completed partitions (last line per partition wins). */
+  def completed(checkpointDir: String, hash: String): Set[String] =
+    completedDetail(checkpointDir, hash).keySet
 
   def appendManifest(checkpointDir: String, e: ManifestEntry): Unit = {
     Files.createDirectories(Paths.get(checkpointDir))
+    val filesJson = e.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     val line = s"""{"partition":"${e.partition}","suiteHash":"${e.suiteHash}","rows":${e.rows},""" +
-      s""""violations":${e.violations},"wallMs":${e.wallMs},"ts":${e.ts}}\n"""
+      s""""violations":${e.violations},"wallMs":${e.wallMs},"ts":${e.ts},"files":$filesJson}\n"""
     Files.write(Paths.get(checkpointDir, "manifest.jsonl"), line.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Current data-file fingerprints (`name:size`) of one partition's
+    * directory — metadata-only (one FS listing), no data read. Empty
+    * for non-partitioned layouts, which therefore keep whole-partition
+    * validate-or-skip semantics.
+    */
+  def listPartFiles(spark: SparkSession, tablePath: String, partitionCol: String,
+                    p: String): Seq[String] = {
+    val dirName = if (p == NullPartition) s"$partitionCol=$NullPartition"
+      else s"$partitionCol=${escapePathName(p)}"
+    val hPath = new org.apache.hadoop.fs.Path(s"$tablePath/$dirName")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Seq.empty
+    fs.listStatus(hPath).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s"${s.getPath.getName}:${s.getLen}")
+      .sorted
   }
 
   /** Partition values from the Hive-layout directory names
@@ -132,10 +176,11 @@ object ValidateJob {
     * The input df must already be pruned to the partition.
     */
   def validatePartition(df: DataFrame, suite: Suite, outDir: String, partition: String,
-                        fusedIntArrays: Set[String] = Set("tokens")): (Long, Long) = {
+                        fusedIntArrays: Set[String] = Set("tokens"),
+                        mode: SaveMode = SaveMode.Overwrite): (Long, Long) = {
     val obs = Observation(s"validate-$partition-${System.nanoTime()}")
     ConstraintCompiler.violations(df, suite, fusedIntArrays = fusedIntArrays, observe = obs)
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .parquet(s"$outDir/violations/partition=${escapePathName(partition)}")
     val m = obs.get
     (m("rows").asInstanceOf[Long],
@@ -165,18 +210,65 @@ object ValidateJob {
           .elementType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSet
     val parts = listPartitions(spark, tablePath, partitionCol)
-    val done = completed(checkpointDir, hash)
-    val todo = parts.filterNot(done)
-    println(s"[validate] partitions=${parts.length} done=${done.size} todo=${todo.length}")
+    val done = completedDetail(checkpointDir, hash)
 
-    todo.foreach { p =>
-      val t0 = System.currentTimeMillis()
-      // partition pruning: for a partitionBy(source) layout this filter
-      // prunes directories at file-listing time
-      val slice = table.filter(partitionFilter(partitionCol, p))
-      val (rows, viol) = validatePartition(slice, suite, outDir, p, fused)
-      appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
-        System.currentTimeMillis() - t0, System.currentTimeMillis()))
+    // Restart semantics per partition (the lineage manifest makes this
+    // metadata-only — one FS listing, zero data read):
+    //  - file set unchanged           -> SKIP (classic resume)
+    //  - files strictly ADDED         -> validate ONLY the new files
+    //    (append-mostly tables: the 10^12-row table that grew 0.1%
+    //    revalidates 0.1%); violations APPEND, manifest records the
+    //    cumulative counts + full file list
+    //  - files removed/rewritten      -> full re-validate (compaction,
+    //    replace) — the only sound answer without row-level lineage
+    //  - no lineage (old manifest / non-partitioned layout) -> classic
+    //    whole-partition skip-if-completed
+    sealed trait Plan
+    case object Skip extends Plan
+    final case class Incremental(newFiles: Seq[String], prev: PartState) extends Plan
+    case object Full extends Plan
+    val planned: Seq[(String, Plan, Seq[String])] = parts.map { p =>
+      val nowFiles = listPartFiles(spark, tablePath, partitionCol, p)
+      val plan = done.get(p) match {
+        case Some(st) if nowFiles.nonEmpty && st.files.nonEmpty =>
+          if (st.files == nowFiles.toSet) Skip
+          else if (st.files.subsetOf(nowFiles.toSet))
+            Incremental(nowFiles.filterNot(st.files), st)
+          else Full
+        case Some(_) => Skip // pre-lineage entry or non-partitioned layout
+        case None    => Full
+      }
+      (p, plan, nowFiles)
+    }
+    val nSkip = planned.count(_._2 == Skip)
+    val nInc = planned.count(_._2.isInstanceOf[Incremental])
+    println(s"[validate] partitions=${parts.length} skip=$nSkip incremental=$nInc " +
+      s"full=${parts.length - nSkip - nInc}")
+
+    planned.foreach {
+      case (_, Skip, _) => ()
+      case (p, Incremental(newFiles, prev), nowFiles) =>
+        val t0 = System.currentTimeMillis()
+        val dirName = if (p == NullPartition) s"$partitionCol=$NullPartition"
+          else s"$partitionCol=${escapePathName(p)}"
+        val paths = newFiles.map(f => s"$tablePath/$dirName/${f.takeWhile(_ != ':')}")
+        // basePath re-derives the partition column from the dir name
+        val slice = spark.read.option("basePath", tablePath).parquet(paths: _*)
+        val (rows, viol) = validatePartition(slice, suite, outDir, p, fused,
+          mode = SaveMode.Append)
+        appendManifest(checkpointDir, ManifestEntry(p, hash,
+          prev.rows + rows, prev.violations + viol,
+          System.currentTimeMillis() - t0, System.currentTimeMillis(),
+          files = nowFiles))
+      case (p, Full, nowFiles) =>
+        val t0 = System.currentTimeMillis()
+        // partition pruning: for a partitionBy(source) layout this filter
+        // prunes directories at file-listing time
+        val slice = table.filter(partitionFilter(partitionCol, p))
+        val (rows, viol) = validatePartition(slice, suite, outDir, p, fused)
+        appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
+          System.currentTimeMillis() - t0, System.currentTimeMillis(),
+          files = nowFiles))
     }
 
     // verdict table from the manifest (cheap, driver-side truth)

@@ -125,6 +125,26 @@ object StreamingValidate {
   def funnelStream(stream: DataFrame): DataFrame =
     stream.filter(graft.PipelineQueries.funnelKeepCol)
 
+  /** Streaming SESSIONIZATION: native session windows (gap-based, the
+    * in-flight face of the batch q_sessionize lag+cumsum idiom) — one
+    * stateful aggregation whose state is pruned by the watermark, so a
+    * forever-stream holds only open sessions plus the late-data
+    * horizon. Spark merges windows that the gap bridges ACROSS
+    * micro-batches — the part a hand-rolled mapGroupsWithState gets
+    * wrong first.
+    */
+  def sessionStream(stream: DataFrame, tsCol: String, gap: String,
+                    watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming PII REDACTION: the in-flight face of the batch d_pii
     * ledger — per-row regex detection counts plus the globally-redacted
     * text, all in one stateless codegen'd projection (map-only: no

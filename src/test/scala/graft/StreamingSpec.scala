@@ -175,6 +175,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session stream: native session windows merge gap-bridged events across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingValidate.sessionStream(df, "ts", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      // user 1: events at 10:00 and 10:20 (same session), 11:30 (new);
+      // user 2: one event. The 10:20 arrives in a LATER batch — the
+      // session must still merge.
+      mem.addData((1L, ts(0), 1.0), (2L, ts(5), 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(20), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, Timestamp.valueOf("2026-01-01 11:30:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, sum_value FROM sessions ORDER BY user_id, n_events DESC")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows === Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 5.0)),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("pii stream: stateless detection counts + redaction per micro-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

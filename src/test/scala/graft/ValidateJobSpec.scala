@@ -53,6 +53,66 @@ class ValidateJobSpec extends SparkSpec {
     assert(v2 == parts.toSet, "resumed output must equal original")
   }
 
+  test("incremental restart: appended files validate alone; rewrites trigger full revalidate") {
+    val table = tmp("inc_table"); val out = tmp("inc_out"); val ckpt = tmp("inc_ckpt")
+    val base = TokenData.tokenTable(spark, 3000, 4).cache()
+    new PartitionedParquetIO("source").write(base, table)
+    ValidateJob.run(spark, table, out, ckpt)
+    val hash = ValidateJob.suiteHash(NorthStar.suite)
+    val st0 = ValidateJob.completedDetail(ckpt, hash)
+    assert(st0.values.forall(_.files.nonEmpty), "lineage must record file fingerprints")
+    val linesAfterFull = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).size()
+    val webViolBefore = spark.read.parquet(s"$out/violations/partition=web").count()
+
+    // APPEND new rows to exactly one partition (new parquet files under
+    // source=web only)
+    val extra = base.filter(org.apache.spark.sql.functions.col("source") === "web").limit(200)
+    val extraRows = extra.count()
+    extra.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("source").parquet(table)
+
+    ValidateJob.run(spark, table, out, ckpt)
+    val lines = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl"))
+    // exactly ONE new manifest line: the incremental web entry
+    assert(lines.size() == linesAfterFull + 1,
+      s"expected one incremental entry, got ${lines.size() - linesAfterFull}")
+    assert(lines.get(lines.size() - 1).contains("\"partition\":\"web\""))
+    val st1 = ValidateJob.completedDetail(ckpt, hash)
+    assert(st1("web").rows == st0("web").rows + extraRows,
+      "incremental entry must carry CUMULATIVE rows")
+    assert(st1("web").files.size > st0("web").files.size)
+    // verdict table reflects the cumulative counts
+    val v = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("web") == st1("web").rows)
+    // violations for web APPENDED (not overwritten): the original
+    // exploded violation rows are still there, plus the delta's
+    // (manifest `violations` counts violating ROWS; the output explodes
+    // per (row, constraint), so compare growth, not equality)
+    val webViolAfter = spark.read.parquet(s"$out/violations/partition=web").count()
+    assert(webViolAfter > webViolBefore,
+      s"delta violations must append: $webViolBefore -> $webViolAfter")
+    assert(st1("web").violations > st0("web").violations)
+
+    // REWRITE the web partition (compaction): remove a file -> full
+    // revalidate of that partition only
+    val webDir = new java.io.File(s"$table/source=web")
+    val dataFiles = webDir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+      && !f.getName.startsWith("."))
+    assert(dataFiles.nonEmpty)
+    dataFiles.head.delete()
+    val linesBefore = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).size()
+    ValidateJob.run(spark, table, out, ckpt)
+    val lines2 = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl"))
+    assert(lines2.size() == linesBefore + 1, "only web must revalidate")
+    assert(lines2.get(lines2.size() - 1).contains("\"partition\":\"web\""))
+    val st2 = ValidateJob.completedDetail(ckpt, hash)
+    // full revalidate: counts now reflect the CURRENT (post-delete) data
+    val nowWeb = spark.read.parquet(table)
+      .filter(org.apache.spark.sql.functions.col("source") === "web").count()
+    assert(st2("web").rows == nowWeb)
+  }
+
   test("partition discovery reads directory names, not table data") {
     val table = tmp("disc")
     new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
