@@ -373,6 +373,39 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
 
+  /** PACKED TRAINING SEQUENCES: the step after binning — actually
+    * ASSEMBLE each bin's training sequence by concatenating its
+    * members' token arrays in the bin's deterministic order (size-desc,
+    * doc_id tiebreak), and pin the CONTENT with a position-weighted
+    * checksum over the concatenated sequence — the batch-assembly
+    * output a trainer consumes, not just the bin arithmetic
+    * (d_pack_bins). Scale shape: ordered concatenation is
+    * collect_list(struct(rank, toks)) + array_sort + flatten per
+    * (shard, bin) — the shuffle carries each doc's tokens exactly once,
+    * keyed on fine-grained (shard, bin); no window over raw rows beyond
+    * the same per-shard rank d_pack_bins already uses.
+    */
+  def packedSeqs(s: SparkSession, dir: String): DataFrame = {
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 16
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val binned = docs(s, dir)
+      .withColumn("shard", shard)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("bin", (col("rank") - 1) % 4)
+      .select(col("shard"), col("bin"), col("rank"), tokenIdsCol.as("toks"))
+    binned.groupBy(col("shard"), col("bin"))
+      .agg(collect_list(struct(col("rank"), col("toks"))).as("parts"),
+        count(lit(1)).as("n_docs"))
+      .select(col("shard"), col("bin"), col("n_docs"),
+        flatten(transform(array_sort(col("parts")), p => p.getField("toks"))).as("seq"))
+      .select(col("shard"), col("bin"), col("n_docs"),
+        size(col("seq")).as("total_toks"),
+        aggregate(transform(col("seq"), (t, i) => (i + 1).cast("long") * t),
+          lit(0L), (acc, x) => acc + x).as("pack_checksum"))
+  }
+
   /** Data-mix RE-WEIGHTING: per-source sampling weights that would
     * equalize the mix (target share = 1/#sources) — the knob a training
     * pipeline turns to hit a prescribed source distribution. One
@@ -842,7 +875,8 @@ object PipelineQueries {
     "e_knn_purity_sampled" -> (knnLabelPuritySampled _),
     "d_pii" -> (piiLedger _),
     "d_dup_ngrams" -> (dupNgrams _),
-    "d_quality_p10" -> (qualityP10 _)
+    "d_quality_p10" -> (qualityP10 _),
+    "d_packed_seqs" -> (packedSeqs _)
   )
 
   // ---------------------------------------------------------------------
@@ -1284,6 +1318,22 @@ object PipelineQueries {
            sum(coalesce(shared, 0))::BIGINT AS shared_ngrams,
            sum(CASE WHEN coalesce(shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_shared
          FROM base LEFT JOIN perdoc USING (doc_id) GROUP BY source""".replaceAll("\\s+", " "),
+
+    "d_packed_seqs" ->
+      s"""WITH sharded AS (SELECT doc_id, n_chars, text, ${H("doc_id::VARCHAR")} % 16 AS shard FROM documents),
+         ranked AS (SELECT shard, text,
+           row_number() OVER (PARTITION BY shard ORDER BY n_chars DESC, doc_id ASC) AS rank
+           FROM sharded),
+         toks AS (SELECT shard, ((rank-1) % 4)::INT AS bin, rank,
+           list_transform(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]'),
+             w -> (('0x' || substr(md5(w),1,8))::BIGINT % 262144)::INT) AS toks
+           FROM ranked),
+         packed AS (SELECT shard, bin, count(*)::BIGINT AS n_docs,
+           flatten(list(toks ORDER BY rank)) AS seq
+           FROM toks GROUP BY shard, bin)
+         SELECT shard, bin, n_docs, len(seq)::INT AS total_toks,
+           coalesce(list_sum(list_transform(range(1, len(seq)+1), i -> i::BIGINT * seq[i])), 0)::BIGINT AS pack_checksum
+         FROM packed""".replaceAll("\\s+", " "),
 
     "d_quality_p10" ->
       s"""WITH m AS (SELECT source,
