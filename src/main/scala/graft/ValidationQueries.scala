@@ -185,12 +185,23 @@ object ValidationQueries {
     */
   val ChunkW = 128
   val ChunkS = 96
-  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+
+  /** The window generator itself (shared with the PropertySpec
+    * reconstruction property): rows of (keyCols..., w) — one row per
+    * stride-window of `tokens`, in order.
+    */
+  private[graft] def windowsOf(df: DataFrame, keyCols: Seq[String],
+                               w: Int = ChunkW, s: Int = ChunkS): DataFrame = {
     val n = size(col("tokens"))
-    val starts = when(n > 0, sequence(lit(0), n - 1, lit(ChunkS)))
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(s)))
       .otherwise(array().cast("array<int>"))
-    val wnd = toks(s, dir).select(col("source"),
-      explode(transform(starts, st => slice(col("tokens"), st + 1, lit(ChunkW)))).as("w"))
+    df.select(keyCols.map(col) :+
+      posexplode(transform(starts, st => slice(col("tokens"), st + 1, lit(w)))): _*)
+      .withColumnRenamed("pos", "w_idx").withColumnRenamed("col", "w")
+  }
+
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val wnd = windowsOf(toks(s, dir), Seq("source")).select(col("source"), col("w"))
     val m = wnd.select(col("source"), size(col("w")).as("len"),
       coalesce(aggregate(
         zip_with(sequence(lit(1), size(col("w"))), col("w"),

@@ -52,6 +52,32 @@ class PropertySpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g === w || (g.isNaN && w.isNaN)) }
   }
 
+  test("chunk windows reconstruct the sequence (random arrays, stride < width)") {
+    val arrays = Gen.listOfN(80, Gen.listOf(Gen.chooseNum(0, 999))).sample.get
+      .zipWithIndex.map { case (xs, i) => (i.toLong, xs) }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("tokens", ArrayType(IntegerType, containsNull = false))))
+    val df = spark.createDataFrame(arrays.map { case (i, xs) => Row(i, xs) }.asJava, schema)
+    val (wSz, st) = (ValidationQueries.ChunkW, ValidationQueries.ChunkS)
+    val got: Map[Long, Seq[Seq[Int]]] = ValidationQueries.windowsOf(df, Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .groupBy(_._1).map { case (id, ws) => id -> ws.sortBy(_._2).map(_._3).toSeq }
+    arrays.foreach { case (id, xs) =>
+      val ws = got.getOrElse(id, Seq.empty[Seq[Int]])
+      if (xs.isEmpty) assert(ws.isEmpty)
+      else {
+        // stride-prefixes of all windows but the last + the last window
+        // reproduce the sequence exactly (windows overlap by W - S)
+        val rebuilt = ws.dropRight(1).flatMap(_.take(st)) ++ ws.last
+        assert(rebuilt == xs, s"doc $id")
+        // every window is a literal slice of the original
+        ws.zipWithIndex.foreach { case (w, k) =>
+          assert(w == xs.slice(k * st, k * st + wSz), s"doc $id window $k") }
+      }
+    }
+  }
+
   test("TokenStats (tmin,tmax,dups,n) == scala brute force on random int arrays") {
     val arrays = Gen.listOfN(120, Gen.listOf(Gen.chooseNum(-50, 50))).sample.get
     val schema = StructType(Seq(StructField("t", ArrayType(IntegerType, containsNull = false))))
