@@ -381,13 +381,20 @@ object PipelineQueries {
     * output a trainer consumes, not just the bin arithmetic
     * (d_pack_bins). Scale shape: ordered concatenation is
     * collect_list(struct(rank, toks)) + array_sort + flatten per
-    * (shard, bin) — the shuffle carries each doc's tokens exactly once,
-    * keyed on fine-grained (shard, bin); no window over raw rows beyond
-    * the same per-shard rank d_pack_bins already uses.
+    * (shard, bin) — the shuffle carries each doc's tokens exactly once.
+    * The GROUP SIZE is the scale knob: `nShards` must grow with the
+    * corpus so one bin's tokens stay executor-sized (nShards ≈
+    * corpus_tokens / (bins × target_sequence_tokens)); the fixed 16×4
+    * here is the test-scale setting. A production packer additionally
+    * caps each emitted sequence at the model context length (emitting
+    * many sequences per bin, a per-bin linear re-chunk of exactly the
+    * v_chunk_windows shape) rather than one sequence per bin.
     */
-  def packedSeqs(s: SparkSession, dir: String): DataFrame = {
+  def packedSeqs(s: SparkSession, dir: String): DataFrame = packedSeqs(s, dir, 16)
+
+  def packedSeqs(s: SparkSession, dir: String, nShards: Int): DataFrame = {
     val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 16
+      .cast("long") % nShards
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val binned = docs(s, dir)
