@@ -633,6 +633,57 @@ object PipelineQueries {
         sum((col("shared") > 0).cast("long")).as("docs_with_shared"))
   }
 
+  // ---- model-based quality scoring ------------------------------------
+
+  /** QUALITY-CLASSIFIER SCORING seam (the fastText-classifier stage of
+    * a curation pipeline, with the model stubbed as a fixed LINEAR
+    * scorer — weights chosen binary-exact so the score is one IEEE op
+    * sequence both engines reproduce bit-for-bit; a real classifier
+    * drops into the same projection shape). Output: per-source keep
+    * counts at the threshold plus the score-decile histogram — integer
+    * counts only, no cross-row double sums.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    // weights are exact binary fractions; signals are the round-6
+    // TextOps values, so score bits are engine-independent
+    val score =
+      lit(1.5) * stopwordRatio(col("text")) -
+        lit(2.0) * punctRatio(col("text")) +
+        lit(0.25) * least(avgWordLen(col("text")), lit(16.0)) +
+        lit(0.5) * (least(nWords(col("text")), lit(200)).cast("double") / lit(200.0))
+    val d = docs(s, dir).select(col("source"), score.as("score"))
+    d.groupBy(col("source"), floor(col("score") * 4).cast("long").as("score_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") >= 1.0).cast("long")).as("n_keep"))
+  }
+
+  // ---- per-benchmark contamination matrix ------------------------------
+
+  /** PER-BENCHMARK decontamination matrix: d_decontam generalized from
+    * one benchmark set to several (hash-sliced here; eval suites in
+    * production) — per (source, benchmark) contaminated-doc counts, the
+    * report that says WHICH eval is compromised. Same scale shape: each
+    * benchmark's n-gram set is distinct+broadcast; the exploded train
+    * side is scanned once with the benchmark id carried through the
+    * join.
+    */
+  def decontamMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ng = wordNgramHashes(col("text"), 8)
+    val benchId = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      benchId.as("bid"), ng.as("ng"))
+    // benchmarks: md5 first hex digit 0/1/2 -> three held-out slices
+    val bench = base.filter(col("bid") <= 2)
+      .select(col("bid").as("benchmark"), explode(col("ng")).as("ng")).distinct()
+    val train = base.filter(col("bid") > 2)
+      .select(col("doc_id"), col("source"), explode(col("ng")).as("ng"))
+    train.join(broadcast(bench), Seq("ng"))
+      .select(col("source"), col("benchmark"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("benchmark"))
+      .agg(count(lit(1)).as("docs_contaminated"))
+  }
+
   // ---- adaptive quality threshold -------------------------------------
 
   /** ADAPTIVE QUALITY THRESHOLD: the per-source 10th-percentile cutoff
@@ -883,7 +934,9 @@ object PipelineQueries {
     "d_pii" -> (piiLedger _),
     "d_dup_ngrams" -> (dupNgrams _),
     "d_quality_p10" -> (qualityP10 _),
-    "d_packed_seqs" -> (packedSeqs _)
+    "d_packed_seqs" -> ((s: SparkSession, d: String) => packedSeqs(s, d)),
+    "d_quality_score" -> (qualityScore _),
+    "d_decontam_matrix" -> (decontamMatrix _)
   )
 
   // ---------------------------------------------------------------------
@@ -1325,6 +1378,30 @@ object PipelineQueries {
            sum(coalesce(shared, 0))::BIGINT AS shared_ngrams,
            sum(CASE WHEN coalesce(shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_shared
          FROM base LEFT JOIN perdoc USING (doc_id) GROUP BY source""".replaceAll("\\s+", " "),
+
+    "d_quality_score" ->
+      s"""WITH m AS (SELECT source,
+           (1.5 * round(len(list_filter($W, x -> x IN $STOP))::DOUBLE / greatest(len($W),1), 6)
+            - 2.0 * round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE / greatest(length(text),1), 6)
+            + 0.25 * least(round((length(text) - len($W) + 1)::DOUBLE / greatest(len($W),1), 6), 16.0)
+            + 0.5 * (least(len($W), 200)::DOUBLE / 200.0)) AS score
+           FROM documents)
+         SELECT source, floor(score * 4)::BIGINT AS score_band,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN score >= 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_keep
+         FROM m GROUP BY source, score_band""".replaceAll("\\s+", " "),
+
+    "d_decontam_matrix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+           ('0x' || substr(md5(doc_id::VARCHAR),1,1))::BIGINT AS bid, $W AS ws FROM documents),
+         ng AS (SELECT doc_id, source, bid,
+           unnest(list_transform(range(1, greatest(len(ws)-6,1)), i -> md5(array_to_string(ws[i:i+7],' ')))) AS ng
+           FROM d),
+         bench AS (SELECT DISTINCT bid::INT AS benchmark, ng FROM ng WHERE bid <= 2),
+         hits AS (SELECT DISTINCT t.source, b.benchmark, t.doc_id
+           FROM ng t JOIN bench b USING (ng) WHERE t.bid > 2)
+         SELECT source, benchmark, count(*)::BIGINT AS docs_contaminated
+         FROM hits GROUP BY source, benchmark""".replaceAll("\\s+", " "),
 
     "d_packed_seqs" ->
       s"""WITH sharded AS (SELECT doc_id, n_chars, text, ${H("doc_id::VARCHAR")} % 16 AS shard FROM documents),
