@@ -37,4 +37,24 @@ class SuggestJobSpec extends SparkSpec {
     val jsonNoEnum = SuggestJob.suggestJson(df, enumMax = 2)
     assert(jsonNoEnum.contains("\"source\": {\"type\": \"string\"}"))
   }
+
+  test("full loop: curate -> suggest -> validate runs clean end to end") {
+    val out = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    // 1. curate the raw docs into the north-star token-table shape
+    graft.run.CurateJob.run(spark, "/root/testdata/sf0.001", s"$out/c")
+    val curated = spark.read.parquet(s"$out/c/curated")
+    assert(curated.count() > 0)
+    // 2. bootstrap a suite from the curated corpus itself
+    val (_, suite) = SuggestJob.suggest(curated, curated.columns.toSeq)
+    // 3. the full per-partition validation job under that suite:
+    //    curated data passes its own observed-bounds suggestion
+    graft.run.ValidateJob.run(spark, s"$out/c/curated", s"$out/v", s"$out/ckpt",
+      suite = suite)
+    val verdicts = spark.read.parquet(s"$out/v/verdicts").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    assert(verdicts.nonEmpty)
+    assert(verdicts.forall(_._3), s"curated corpus must pass its own suggested suite: " +
+      verdicts.filterNot(_._3).mkString(","))
+    assert(verdicts.map(_._2).sum === 0L)
+  }
 }
