@@ -731,6 +731,27 @@ object PipelineQueries {
   def simhashes(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), simhash16(col("text")).as("simhash"))
 
+  /** EMBEDDING SANITY / NORM AUDIT: the L2-norm band histogram plus
+    * per-dimension bound violations — the check a pipeline runs before
+    * trusting cosine math (unnormalized or exploded dims break ANN
+    * assumptions silently). Determinism: the norm is an IN-ORDER fold
+    * over the row's own array (Spark `aggregate` ≙ DuckDB `list_sum` of
+    * the transformed list — same op order, same doubles), sqrt and
+    * floor are single IEEE ops; outputs are integer counts only. One
+    * projection + one fine-key rollup.
+    */
+  def embedNorms(s: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding"),
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val outOfRange = size(filter(col("embedding"),
+      x => x.cast("double") > 1.0 || x.cast("double") < -1.0))
+    emb(s, dir)
+      .select(floor(norm * 4).cast("long").as("norm_band"),
+        (outOfRange > 0).cast("long").as("has_oor"))
+      .groupBy(col("norm_band"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("has_oor")).as("n_with_oor_dims"))
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata + a
     * deterministic stub "feature extraction" (real pipelines decode
     * image/audio here; the decode itself is STUBBED as a hash-derived
@@ -936,7 +957,8 @@ object PipelineQueries {
     "d_quality_p10" -> (qualityP10 _),
     "d_packed_seqs" -> ((s: SparkSession, d: String) => packedSeqs(s, d)),
     "d_quality_score" -> (qualityScore _),
-    "d_decontam_matrix" -> (decontamMatrix _)
+    "d_decontam_matrix" -> (decontamMatrix _),
+    "e_embed_norms" -> (embedNorms _)
   )
 
   // ---------------------------------------------------------------------
@@ -1378,6 +1400,16 @@ object PipelineQueries {
            sum(coalesce(shared, 0))::BIGINT AS shared_ngrams,
            sum(CASE WHEN coalesce(shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_shared
          FROM base LEFT JOIN perdoc USING (doc_id) GROUP BY source""".replaceAll("\\s+", " "),
+
+    "e_embed_norms" ->
+      """WITH m AS (SELECT
+           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS norm,
+           len(list_filter(embedding, x -> x::DOUBLE > 1.0 OR x::DOUBLE < -1.0)) AS oor
+         FROM embeddings)
+         SELECT floor(norm * 4)::BIGINT AS norm_band,
+           count(*)::BIGINT AS n_vecs,
+           sum(CASE WHEN oor > 0 THEN 1 ELSE 0 END)::BIGINT AS n_with_oor_dims
+         FROM m GROUP BY norm_band""".replaceAll("\\s+", " "),
 
     "d_quality_score" ->
       s"""WITH m AS (SELECT source,
