@@ -194,7 +194,25 @@ object RelationalQueries {
         max(col("k")).as("max_k"),
         sum(col("k").isNull.cast("long")).as("n_null"))
 
+  /** PIVOT (wide aggregation): order counts + money by priority,
+    * pivoted on status — Spark's .pivot() with the value set pinned
+    * (unpinned pivot scans twice to discover values; never at scale).
+    * The DuckDB oracle is the equivalent conditional aggregation,
+    * which is also exactly the physical plan Spark lowers pivot to —
+    * one pass, no extra shuffle beyond the groupBy.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_status" -> (pivotStatus _),
     "q_sessionize" -> (sessionize _),
     "q_props_json" -> (propsJson _),
     "q_agg_pricing" -> (aggPricing _),
@@ -213,6 +231,13 @@ object RelationalQueries {
   private def M(e: String) = s"(sum($e)::DOUBLE / 100.0)"
 
   val oracles: Map[String, String] = Map(
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+         sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+         FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "),
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
          g AS (SELECT user_id, event_id, ts_us,

@@ -125,6 +125,23 @@ object StreamingValidate {
   def funnelStream(stream: DataFrame): DataFrame =
     stream.filter(graft.PipelineQueries.funnelKeepCol)
 
+  /** CONTINUOUS LANDING-ZONE VALIDATION: the compiled suite over a
+    * FILE-SOURCE stream — parquet files dropped into the directory are
+    * picked up and validated incrementally (maxFilesPerTrigger bounds
+    * each micro-batch's IO), emitting the same violation rows as the
+    * batch path. The streaming complement of ValidateJob's file-lineage
+    * restart: one watches a landing zone, the other recovers a batch
+    * table; both validate each file exactly once. Stateless.
+    */
+  def fileStreamViolations(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           suite: Suite, fusedIntArrays: Set[String],
+                           maxFilesPerTrigger: Int = 16): DataFrame =
+    ConstraintCompiler.violations(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir),
+      suite, fusedIntArrays = fusedIntArrays)
+
   /** Streaming SESSIONIZATION: native session windows (gap-based, the
     * in-flight face of the batch q_sessionize lag+cumsum idiom) — one
     * stateful aggregation whose state is pruned by the watermark, so a

@@ -175,6 +175,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: dropped parquet files validate incrementally, each exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_landing").toString
+    val t1 = graft.gen.TokenData.tokenTable(spark, 1000, 2)
+    t1.write.mode("overwrite").parquet(dir)
+    val expected1 = graft.compilex.ConstraintCompiler
+      .violations(spark.read.parquet(dir), NorthStar.suite, fusedIntArrays = Set("tokens"))
+      .count()
+    val q = StreamingValidate.fileStreamViolations(spark, dir,
+        spark.read.parquet(dir).schema, NorthStar.suite, Set("tokens"))
+      .writeStream.format("memory").queryName("landing").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM landing").head().getLong(0)
+      assert(n1 === expected1, s"first drop: $n1 vs $expected1")
+      // second drop: MORE files land; only their violations are added
+      val t2 = graft.gen.TokenData.tokenTable(spark, 2000, 2)
+        .filter(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      val expected2 = graft.compilex.ConstraintCompiler
+        .violations(t2, NorthStar.suite, fusedIntArrays = Set("tokens")).count()
+      t2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val n2 = spark.sql("SELECT count(*) FROM landing").head().getLong(0)
+      assert(n2 === expected1 + expected2, s"after second drop: $n2 vs ${expected1 + expected2}")
+    } finally q.stop()
+  }
+
   test("session stream: native session windows merge gap-bridged events across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
