@@ -244,13 +244,24 @@ object PipelineQueries {
   private[graft] def isBenchCol: Column =
     substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
 
+  /** The (doc_id, source, is_bench, ng) frame every decontamination
+    * view derives from — ONE definition of the bench split + the
+    * 8-gram shingling (d_decontam, contamDocIds, CurateJob all hang
+    * off it; unused columns are pruned by Catalyst per consumer).
+    */
+  private[graft] def ngBase(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"),
+      isBenchCol.as("is_bench"), wordNgramHashes(col("text"), 8).as("ng"))
+
+  /** The benchmark slice's distinct n-gram set (the broadcast side). */
+  private[graft] def benchNgrams(base: DataFrame): DataFrame =
+    base.filter(col("is_bench")).select(explode(col("ng")).as("ng")).distinct()
+
   /** Train doc_ids sharing any word-8-gram with the benchmark slice. */
   private[graft] def contamDocIds(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), isBenchCol.as("is_bench"),
-      wordNgramHashes(col("text"), 8).as("ng"))
-    val benchNg = base.filter(col("is_bench")).select(explode(col("ng")).as("ng")).distinct()
+    val base = ngBase(s, dir)
     base.filter(!col("is_bench")).select(col("doc_id"), explode(col("ng")).as("ng"))
-      .join(broadcast(benchNg), Seq("ng"))
+      .join(broadcast(benchNgrams(base)), Seq("ng"))
       .select(col("doc_id")).distinct()
   }
 
@@ -261,16 +272,30 @@ object PipelineQueries {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
 
+  /** Funnel thresholds — ONE definition shared by [[filterFunnel]]
+    * (the per-stage ledger) and [[funnelKeepCol]] (the curation keep
+    * predicate), so d_filter_funnel's stage-4 count and
+    * d_curate_ledger's n_funnel can never drift (round-4 review).
+    */
+  private[graft] val FunnelMinWords = 25
+  private[graft] val FunnelMinStopword = 0.02
+  private[graft] val FunnelMaxDupWord = 0.65
+  private[graft] val FunnelMaxDupBigram = 0.08
+
+  /** Duplicate-element fraction of an array column, rounded to the
+    * 6 digits both engines compare on.
+    */
+  private[graft] def dupFrac(arr: Column): Column =
+    round((size(arr) - size(array_distinct(arr))).cast("double") /
+      greatest(size(arr), lit(1)), 6)
+
   /** The funnel's final cumulative keep predicate (= stage s4). */
   private[graft] def funnelKeepCol: Column = {
     val w = words(col("text"))
-    val bgc = wordBigrams(col("text"))
-    val sr = stopwordRatio(col("text"))
-    val dw = round((size(w) - size(array_distinct(w))).cast("double") /
-      greatest(size(w), lit(1)), 6)
-    val db = round((size(bgc) - size(array_distinct(bgc))).cast("double") /
-      greatest(size(bgc), lit(1)), 6)
-    size(w) >= 25 && sr >= 0.02 && dw <= 0.65 && db <= 0.08
+    size(w) >= FunnelMinWords &&
+      stopwordRatio(col("text")) >= FunnelMinStopword &&
+      dupFrac(w) <= FunnelMaxDupWord &&
+      dupFrac(wordBigrams(col("text"))) <= FunnelMaxDupBigram
   }
 
   /** BPE-ish md5-vocab token ids for a document (shared by d_tokenize
@@ -289,12 +314,22 @@ object PipelineQueries {
     * Scale shape: one scan computes the row-local flags; the contam and
     * dropped sets join back on doc_id; one per-source rollup.
     */
-  def curateLedger(s: SparkSession, dir: String): DataFrame = {
+  def curateLedger(s: SparkSession, dir: String): DataFrame =
+    curateLedgerWith(s, dir, contamDocIds(s, dir), droppedDocIds(s, dir))
+
+  /** [[curateLedger]] over PRE-COMPUTED contaminated/dropped id frames —
+    * what [[graft.run.CurateJob]] calls so one persisted computation of
+    * the LSH + connected-components pipeline and the decontamination
+    * join serves both the ledger and the curated-corpus writes
+    * (round-4 review: recomputing them doubled the job).
+    */
+  private[graft] def curateLedgerWith(s: SparkSession, dir: String,
+      contam: DataFrame, dropped: DataFrame): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       isBenchCol.as("is_bench"), funnelKeepCol.as("funnel_ok"))
     val flagged = base
-      .join(contamDocIds(s, dir).withColumn("contam", lit(true)), Seq("doc_id"), "left")
-      .join(droppedDocIds(s, dir).withColumn("dup_drop", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+      .join(dropped.withColumn("dup_drop", lit(true)), Seq("doc_id"), "left")
     val train = !col("is_bench")
     val funnel = train && col("funnel_ok")
     val clean = funnel && col("contam").isNull
@@ -311,11 +346,22 @@ object PipelineQueries {
     * pipeline survivors tokenized. What [[graft.run.CurateJob]] writes.
     */
   def curatedTokens(s: SparkSession, dir: String): DataFrame =
+    curatedTokensWith(s, dir, contamDocIds(s, dir), droppedDocIds(s, dir))
+
+  /** [[curatedTokens]] over pre-computed id frames (see
+    * [[curateLedgerWith]]). The lexer projection materializes `tokens`
+    * FIRST and derives n_tok from the materialized column — the
+    * regexp+md5 lexer is the most expensive per-row expression in the
+    * job and must run once, not once per derived column.
+    */
+  private[graft] def curatedTokensWith(s: SparkSession, dir: String,
+      contam: DataFrame, dropped: DataFrame): DataFrame =
     docs(s, dir).filter(!isBenchCol && funnelKeepCol)
-      .join(contamDocIds(s, dir), Seq("doc_id"), "left_anti")
-      .join(droppedDocIds(s, dir), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), tokenIdsCol.as("tokens"),
-        size(tokenIdsCol).as("n_tok"), col("source"))
+      .join(contam, Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), tokenIdsCol.as("tokens"), col("source"))
+      .select(col("doc_id"), col("tokens"),
+        size(col("tokens")).as("n_tok"), col("source"))
 
   /** CROSS-SOURCE duplication matrix (the "is source A scraping source
     * B?" curation question): per unordered source pair, how many
@@ -463,11 +509,8 @@ object PipelineQueries {
     * run reports before training.
     */
   def decontam(s: SparkSession, dir: String): DataFrame = {
-    val ng = wordNgramHashes(col("text"), 8)
-    val base = docs(s, dir).select(col("doc_id"), col("source"),
-      (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"),
-      ng.as("ng"))
-    val benchNg = base.filter(col("is_bench")).select(explode(col("ng")).as("ng")).distinct()
+    val base = ngBase(s, dir)
+    val benchNg = benchNgrams(base)
     val trainNg = base.filter(!col("is_bench"))
       .select(col("doc_id"), col("source"), explode(col("ng")).as("ng"))
     val perDocHits = trainNg.join(broadcast(benchNg), Seq("ng"))
@@ -496,11 +539,9 @@ object PipelineQueries {
     val d = docs(s, dir).select(col("doc_id"), w.as("w"), bg.as("bg"))
     val perDoc = d.select(col("doc_id"),
       size(col("w")).as("n_words"),
-      round((size(col("w")) - size(array_distinct(col("w")))).cast("double") /
-        greatest(size(col("w")), lit(1)), 6).as("dup_word_frac"),
+      dupFrac(col("w")).as("dup_word_frac"),
       size(col("bg")).as("n_bigrams"),
-      round((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
-        greatest(size(col("bg")), lit(1)), 6).as("dup_bigram_frac"),
+      dupFrac(col("bg")).as("dup_bigram_frac"),
       col("bg"))
     val top = perDoc.select(col("doc_id"), explode(col("bg")).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
@@ -525,14 +566,12 @@ object PipelineQueries {
     val d = docs(s, dir).select(col("source"),
       size(w).as("nw"),
       stopwordRatio(col("text")).as("sr"),
-      round((size(w) - size(array_distinct(w))).cast("double") /
-        greatest(size(w), lit(1)), 6).as("dw"),
-      round((size(bgc) - size(array_distinct(bgc))).cast("double") /
-        greatest(size(bgc), lit(1)), 6).as("db"))
-    val c1 = col("nw") >= 25
-    val c2 = c1 && col("sr") >= 0.02
-    val c3 = c2 && col("dw") <= 0.65
-    val c4 = c3 && col("db") <= 0.08
+      dupFrac(w).as("dw"),
+      dupFrac(bgc).as("db"))
+    val c1 = col("nw") >= FunnelMinWords
+    val c2 = c1 && col("sr") >= FunnelMinStopword
+    val c3 = c2 && col("dw") <= FunnelMaxDupWord
+    val c4 = c3 && col("db") <= FunnelMaxDupBigram
     d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(c1.cast("long")).as("s1_minlen"),

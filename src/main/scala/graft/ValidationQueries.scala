@@ -225,19 +225,10 @@ object ValidationQueries {
     * schema carries every keyword.
     */
   def suggestSuite(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(s, dir)
-    val a = t.agg(
-      sum(col("doc_id").isNull.cast("long")).as("dnull"),
-      min(length(col("doc_id"))).as("dminlen"),
-      max(length(col("doc_id"))).as("dmaxlen"),
-      min(col("n_tok")).as("nmin"),
-      max(col("n_tok")).as("nmax"),
-      min(size(col("tokens"))).as("szmin"),
-      max(size(col("tokens"))).as("szmax"),
-      min(array_min(col("tokens"))).as("emin"),
-      max(array_max(col("tokens"))).as("emax"),
-      countDistinct(col("source")).as("ndistinct"),
-      array_join(array_sort(collect_set(col("source"))), ",").as("srcs"))
+    // the ONE profile aggregation, shared with the document emitter
+    // (SuggestJob.suggestJson) so the oracled signals and the emitted
+    // schema cannot drift apart
+    val a = graft.run.SuggestJob.profile(toks(s, dir))
     a.select(expr(
       """stack(9,
            'doc_id', 'required', CASE WHEN dnull = 0 THEN 'true' ELSE 'false' END,
@@ -854,13 +845,15 @@ object ValidationQueries {
              sum(ccnt) OVER (ORDER BY bucket) AS ccum,
              sum(ccnt) OVER () AS ctot
            FROM corpus),
-         ps AS (SELECT source, bucket,
-             sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
-             sum(cnt) OVER (PARTITION BY source) AS tot
-           FROM sb)
+         grid AS (SELECT s.source, c.bucket, c.ccum, c.ctot
+           FROM (SELECT DISTINCT source FROM sb) s CROSS JOIN cc c),
+         ps AS (SELECT g.source, g.bucket, g.ccum, g.ctot,
+             sum(coalesce(sb.cnt, 0)) OVER (PARTITION BY g.source ORDER BY g.bucket) AS cum,
+             sum(coalesce(sb.cnt, 0)) OVER (PARTITION BY g.source) AS tot
+           FROM grid g LEFT JOIN sb ON sb.source = g.source AND sb.bucket = g.bucket)
          SELECT source,
            round(max(abs(cum::DOUBLE / tot - ccum::DOUBLE / ctot)), 6) AS ks
-         FROM ps JOIN cc USING (bucket) GROUP BY source""".replaceAll("\\s+", " ")
+         FROM ps GROUP BY source""".replaceAll("\\s+", " ")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

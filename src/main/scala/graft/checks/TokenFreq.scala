@@ -165,10 +165,19 @@ object TokenFreq {
     val corpus = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("ccnt"))
       .withColumn("ccum", sum(col("ccnt")).over(Window.partitionBy(lit(1)).orderBy(col("bucket"))))
       .withColumn("ctot", sum(col("ccnt")).over(Window.partitionBy(lit(1))))
-    val perSrc = sb
+    // Dense evaluation grid: every source × every corpus bucket. The
+    // source CDF is a step function — at a bucket the source skips it
+    // holds its last value, and |cdf_src − cdf_corpus| must still be
+    // evaluated there (a source concentrated in the top bucket has
+    // KS ≈ 1 against a uniform corpus, which a present-buckets-only
+    // join would misreport as 0). Both sides are already aggregated,
+    // so the grid is |sources|·nBuckets rows.
+    val grid = sb.select(col("source")).distinct().crossJoin(broadcast(corpus))
+    val perSrc = grid.join(sb, Seq("source", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .withColumn("cum", sum(col("cnt")).over(Window.partitionBy(col("source")).orderBy(col("bucket"))))
       .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("source"))))
-    perSrc.join(broadcast(corpus), Seq("bucket"))
+    perSrc
       .select(col("source"),
         abs(col("cum").cast("double") / col("tot") -
           col("ccum").cast("double") / col("ctot")).as("d"))

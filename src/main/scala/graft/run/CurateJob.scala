@@ -34,10 +34,21 @@ object CurateJob {
     * validation engine's partition loop consumes downstream).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    graft.PipelineQueries.curateLedger(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").json(s"$outDir/ledger")
-    graft.PipelineQueries.curatedTokens(spark, sfDir)
-      .write.mode("overwrite").partitionBy("source").parquet(s"$outDir/curated")
+    // the expensive intermediates — LSH + connected-components dedup
+    // and the decontamination n-gram join — feed BOTH writes; persist
+    // the doc_id frames (tiny next to the corpus, spillable) so each
+    // pipeline runs once, not once per output (round-4 review)
+    val contam = graft.PipelineQueries.contamDocIds(spark, sfDir).persist()
+    val dropped = graft.PipelineQueries.droppedDocIds(spark, sfDir).persist()
+    try {
+      graft.PipelineQueries.curateLedgerWith(spark, sfDir, contam, dropped)
+        .coalesce(1).write.mode("overwrite").json(s"$outDir/ledger")
+      graft.PipelineQueries.curatedTokensWith(spark, sfDir, contam, dropped)
+        .write.mode("overwrite").partitionBy("source").parquet(s"$outDir/curated")
+    } finally {
+      contam.unpersist()
+      dropped.unpersist()
+    }
     val kept = spark.read.parquet(s"$outDir/curated").count()
     println(s"[curate] $sfDir -> $outDir: $kept curated sequences")
   }

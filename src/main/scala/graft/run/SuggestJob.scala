@@ -20,8 +20,13 @@ import graft.suite.{Suite, SuiteLoader}
   */
 object SuggestJob {
 
-  /** The 1-row profile: bounds, length band, null presence, enum set. */
-  private def profile(df: DataFrame) =
+  /** The 1-row profile frame: bounds, length band, null presence, enum
+    * set. SHARED with [[graft.ValidationQueries.suggestSuite]] (the
+    * DuckDB-oracled v_suggest_suite query), so the emitted document and
+    * the oracled signals cannot drift apart (round-4 review: the two
+    * used to carry verbatim copies of this aggregation).
+    */
+  private[graft] def profile(df: DataFrame): DataFrame =
     df.agg(
       sum(col("doc_id").isNull.cast("long")).as("dnull"),
       min(length(col("doc_id"))).as("dminlen"),
@@ -34,7 +39,21 @@ object SuggestJob {
       max(array_max(col("tokens"))).as("emax"),
       countDistinct(col("source")).as("ndistinct"),
       array_join(array_sort(collect_set(col("source"))), ",").as("srcs"))
-      .head()
+
+  /** Minimal JSON string escaping for observed values embedded in the
+    * suggestion document (quote, backslash, control chars). A source
+    * value containing a literal ',' still splits into separate enum
+    * entries (the profile carries the set comma-joined for the oracled
+    * string surface) — documented, not silent: the round-trip load
+    * plus the self-validation fail counts surface it immediately.
+    */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c            => c.toString
+    }
 
   /** Suggested suite as a 2020-12 JSON Schema document over the
     * north-star token-table shape. `enumMax`: emit `enum` only when the
@@ -43,12 +62,15 @@ object SuggestJob {
     * high-cardinality keys).
     */
   def suggestJson(df: DataFrame, enumMax: Int = 10): String = {
-    val p = profile(df)
+    val p = profile(df).head()
+    if (p.isNullAt(p.fieldIndex("dminlen")))
+      throw new IllegalArgumentException(
+        "cannot suggest a suite from an empty table: no observed bounds to profile")
     def L(n: String): Long = p.getAs[Number](n).longValue()
     val srcs = p.getAs[String]("srcs").split(',').toSeq.filter(_.nonEmpty)
     val sourceSchema =
       if (L("ndistinct") <= enumMax)
-        srcs.map(s => "\"" + s + "\"").mkString("{\"enum\": [", ", ", "]}")
+        srcs.map(s => "\"" + jsonEscape(s) + "\"").mkString("{\"enum\": [", ", ", "]}")
       else "{\"type\": \"string\"}"
     val required = if (L("dnull") == 0) "\"required\": [\"doc_id\"]," else ""
     s"""{

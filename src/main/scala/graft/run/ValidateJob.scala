@@ -52,7 +52,8 @@ object ValidateJob {
     * wins): recorded file fingerprints + CUMULATIVE row/violation
     * counts for entries written under the given suite hash.
     */
-  final case class PartState(files: Set[String], rows: Long, violations: Long)
+  final case class PartState(files: Set[String], rows: Long, violations: Long,
+      hasLineage: Boolean = true)
 
   def completedDetail(checkpointDir: String, hash: String): Map[String, PartState] = {
     val f = Paths.get(checkpointDir, "manifest.jsonl")
@@ -63,13 +64,19 @@ object ValidateJob {
       val h = """"suiteHash":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
       val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
       val viol = """"violations":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
-      val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+      // files field ABSENT (pre-lineage manifest) is distinct from
+      // PRESENT-but-empty (a validated empty or non-partitioned slice):
+      // only the former falls back to whole-partition skip semantics
+      val filesOpt = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(line)
         .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty)).getOrElse(Seq.empty)
+          .filter(_.nonEmpty))
       (part, h, rows, viol) match {
         // a later entry under a DIFFERENT hash invalidates the partition
         case (Some(p), Some(hh), Some(r), Some(v)) =>
-          byPart(p) = if (hh == hash) Some(PartState(files.toSet, r, v)) else None
+          byPart(p) = if (hh == hash)
+            Some(PartState(filesOpt.getOrElse(Seq.empty).toSet, r, v,
+              hasLineage = filesOpt.isDefined))
+          else None
         case _ => ()
       }
     }
@@ -79,6 +86,17 @@ object ValidateJob {
   /** Read completed partitions (last line per partition wins). */
   def completed(checkpointDir: String, hash: String): Set[String] =
     completedDetail(checkpointDir, hash).keySet
+
+  /** Recovery marker for one partition's in-flight incremental append.
+    * Written just before the SaveMode.Append violations write, deleted
+    * just after the manifest line lands; found at startup it means a
+    * prior attempt crashed inside that bracket and the partition must
+    * be fully re-validated (Overwrite), because the append may have
+    * landed without its manifest line and a re-run would duplicate
+    * violation rows.
+    */
+  private[graft] def intentFile(checkpointDir: String, p: String): java.nio.file.Path =
+    Paths.get(checkpointDir, "intents", escapePathName(p) + ".intent")
 
   def appendManifest(checkpointDir: String, e: ManifestEntry): Unit = {
     Files.createDirectories(Paths.get(checkpointDir))
@@ -230,12 +248,21 @@ object ValidateJob {
     val planned: Seq[(String, Plan, Seq[String])] = parts.map { p =>
       val nowFiles = listPartFiles(spark, tablePath, partitionCol, p)
       val plan = done.get(p) match {
-        case Some(st) if nowFiles.nonEmpty && st.files.nonEmpty =>
+        case _ if Files.exists(intentFile(checkpointDir, p)) =>
+          // a previous INCREMENTAL attempt crashed between its
+          // violations append and its manifest line — that append may
+          // have half-landed, so only a full Overwrite re-validate is
+          // sound (round-4 review: Append-before-manifest is not
+          // idempotent without this recovery marker)
+          Full
+        case Some(st) if st.hasLineage =>
           if (st.files == nowFiles.toSet) Skip
+          else if (nowFiles.isEmpty)
+            Full // directory emptied under us: the manifest counts are stale
           else if (st.files.subsetOf(nowFiles.toSet))
             Incremental(nowFiles.filterNot(st.files), st)
           else Full
-        case Some(_) => Skip // pre-lineage entry or non-partitioned layout
+        case Some(_) => Skip // pre-lineage entry: whole-partition resume
         case None    => Full
       }
       (p, plan, nowFiles)
@@ -254,12 +281,18 @@ object ValidateJob {
         val paths = newFiles.map(f => s"$tablePath/$dirName/${f.takeWhile(_ != ':')}")
         // basePath re-derives the partition column from the dir name
         val slice = spark.read.option("basePath", tablePath).parquet(paths: _*)
+        // intent marker bracketing the non-idempotent append: present
+        // on the next startup ⇒ the bracket didn't close ⇒ Full recovery
+        val intent = intentFile(checkpointDir, p)
+        Files.createDirectories(intent.getParent)
+        Files.write(intent, newFiles.mkString("\n").getBytes("UTF-8"))
         val (rows, viol) = validatePartition(slice, suite, outDir, p, fused,
           mode = SaveMode.Append)
         appendManifest(checkpointDir, ManifestEntry(p, hash,
           prev.rows + rows, prev.violations + viol,
           System.currentTimeMillis() - t0, System.currentTimeMillis(),
           files = nowFiles))
+        Files.deleteIfExists(intent)
       case (p, Full, nowFiles) =>
         val t0 = System.currentTimeMillis()
         // partition pruning: for a partitionBy(source) layout this filter
@@ -269,6 +302,9 @@ object ValidateJob {
         appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
           System.currentTimeMillis() - t0, System.currentTimeMillis(),
           files = nowFiles))
+        // a Full Overwrite re-establishes a clean state: clear any
+        // recovery marker left by a crashed incremental attempt
+        Files.deleteIfExists(intentFile(checkpointDir, p))
     }
 
     // verdict table from the manifest (cheap, driver-side truth)

@@ -187,11 +187,13 @@ class ChecksSpec extends SparkSpec {
     val corpus = rows.flatMap(_._2)
     val ctot = corpus.length.toDouble
     val ccdf = (0 until 64).map(b => corpus.count(_ <= b) / ctot)
+    // evaluate at EVERY corpus bucket: the source CDF is a step
+    // function that holds its value across buckets the source skips
+    val evalAt = corpus.distinct.sorted
     val expected = rows.groupBy(_._1).map { case (src, ds) =>
       val bs = ds.flatMap(_._2)
       val tot = bs.length.toDouble
-      val present = bs.distinct.sorted
-      val d = present.map(b => math.abs(bs.count(_ <= b) / tot - ccdf(b))).max
+      val d = evalAt.map(b => math.abs(bs.count(_ <= b) / tot - ccdf(b))).max
       src -> BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     got.foreach { case (src, ks) =>
@@ -199,6 +201,25 @@ class ChecksSpec extends SparkSpec {
       assert(ks >= 0.0 && ks <= 1.0)
     }
     assert(got.keySet === expected.keySet)
+  }
+
+  test("token drift KS: source with empty buckets is not underestimated") {
+    import spark.implicits._
+    // A source concentrated in the top bucket against a near-uniform
+    // corpus: its CDF is 0 up to bucket 62 while the corpus CDF is
+    // ~0.969 there, so true KS ≈ 0.969. An evaluation restricted to
+    // the source's PRESENT buckets sees only bucket 63, where both
+    // CDFs are 1.0, and would misreport KS = 0 (round-4 review).
+    val uni = (0 until 6400).map(i => ("u" + i, Seq(i % 64), "uniform"))
+    val top = (0 until 100).map(i => ("t" + i, Seq(63), "topheavy"))
+    val df = (uni ++ top).toDF("doc_id", "tokens", "source")
+    val got = graft.checks.TokenFreq.tokenDriftKS(df, 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expectedTop = 6300.0 / 6500.0 // corpus CDF at bucket 62, source CDF 0
+    assert(math.abs(got("topheavy") - BigDecimal(expectedTop)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"topheavy ks=${got("topheavy")} vs $expectedTop")
+    assert(got.keySet === Set("uniform", "topheavy"))
   }
 
   test("chunk windows: materialized slices match a driver-side recompute; one shuffle") {

@@ -46,7 +46,11 @@ class SketchSpec extends SparkSpec {
     val qs = row.getSeq[Double](1)
     for ((p, q) <- Seq(0.25, 0.5, 0.75).zip(qs)) {
       val rank = xs.count(_ <= q).toDouble / xs.length
-      assert(math.abs(rank - p) < 0.02, s"KLL p=$p got value $q with true rank $rank")
+      // k=200's PROVABLE bound is ε≈1.65% at 99% confidence and the
+      // compaction is randomized (not seedable), so asserting exactly
+      // 2% flakes ~once per hundreds of runs across 3 quantiles; 3%
+      // keeps the sketch honest without gating the build on a coin
+      assert(math.abs(rank - p) < 0.03, s"KLL p=$p got value $q with true rank $rank")
     }
   }
 
@@ -68,7 +72,9 @@ class SketchSpec extends SparkSpec {
     val b = toks.withColumn("n_tok", col("n_tok") + lit(64))
     val same = graft.checks.Drift.ksSketch(a, a).select("ks").as[Double].head()
     val diff = graft.checks.Drift.ksSketch(a, b).select("ks").as[Double].head()
-    assert(same < 0.01, s"self-KS should be ~0, got $same")
+    // the two sides are INDEPENDENTLY randomized KLL sketches (ε≈1.65%
+    // each at k=200), so self-KS can legitimately reach a few percent
+    assert(same < 0.035, s"self-KS should be ~0, got $same")
     assert(diff > 0.1, s"shifted-KS should be large, got $diff")
   }
 

@@ -113,6 +113,71 @@ class ValidateJobSpec extends SparkSpec {
     assert(st2("web").rows == nowWeb)
   }
 
+  test("crashed incremental append (intent marker) recovers via full revalidate") {
+    val table = tmp("intent_table"); val out = tmp("intent_out"); val ckpt = tmp("intent_ckpt")
+    val base = TokenData.tokenTable(spark, 3000, 4).cache()
+    new PartitionedParquetIO("source").write(base, table)
+    ValidateJob.run(spark, table, out, ckpt)
+    val hash = ValidateJob.suiteHash(NorthStar.suite)
+
+    // Simulate a crash inside the incremental bracket on web: files
+    // appended, violations append HALF-landed (here: duplicated rows),
+    // no manifest line — the intent marker is what the attempt left.
+    val extra = base.filter(col("source") === "web").limit(150)
+    extra.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("source").parquet(table)
+    val webViol = s"$out/violations/partition=web"
+    val violDir = new java.io.File(webViol)
+    val part0 = violDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part0.toPath,
+      new java.io.File(violDir, "part-halflanded-" + part0.getName).toPath)
+    val intent = ValidateJob.intentFile(ckpt, "web")
+    Files.createDirectories(intent.getParent)
+    Files.write(intent, "crashed".getBytes("UTF-8"))
+
+    ValidateJob.run(spark, table, out, ckpt)
+    assert(!Files.exists(intent), "recovery must clear the intent marker")
+    val nowWeb = spark.read.parquet(table).filter(col("source") === "web").count()
+    assert(ValidateJob.completedDetail(ckpt, hash)("web").rows == nowWeb)
+    // the Overwrite recovery wiped the half-landed duplicates: the
+    // violations dir equals an independent fresh validate of the slice
+    val fresh = tmp("intent_fresh")
+    ValidateJob.validatePartition(
+      spark.read.parquet(table).filter(col("source") === "web"),
+      NorthStar.suite, fresh, "web")
+    assert(spark.read.parquet(webViol).count() ==
+      spark.read.parquet(s"$fresh/violations/partition=web").count(),
+      "recovered violations must not contain duplicated rows")
+  }
+
+  test("emptied partition directory revalidates instead of keeping stale counts") {
+    val table = tmp("empty_table"); val out = tmp("empty_out"); val ckpt = tmp("empty_ckpt")
+    new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
+    ValidateJob.run(spark, table, out, ckpt)
+    val hash = ValidateJob.suiteHash(NorthStar.suite)
+    assert(ValidateJob.completedDetail(ckpt, hash)("web").rows > 0)
+
+    // retention/compaction accident: the directory survives, the data
+    // files do not
+    new java.io.File(s"$table/source=web").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(f => assert(f.delete()))
+
+    ValidateJob.run(spark, table, out, ckpt)
+    val after = ValidateJob.completedDetail(ckpt, hash)("web")
+    assert(after.rows == 0 && after.violations == 0,
+      s"manifest must reflect the emptied partition, got $after")
+    val v = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("web") == 0, "verdict table must not carry stale counts")
+
+    // a third run is stable: validated-empty ≠ pre-lineage, so it skips
+    val lines = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).size()
+    ValidateJob.run(spark, table, out, ckpt)
+    assert(Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).size() == lines,
+      "validated-empty partition must skip on the next run")
+  }
+
   test("partition discovery reads directory names, not table data") {
     val table = tmp("disc")
     new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
