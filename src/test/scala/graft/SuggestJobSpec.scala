@@ -38,6 +38,27 @@ class SuggestJobSpec extends SparkSpec {
     assert(jsonNoEnum.contains("\"source\": {\"type\": \"string\"}"))
   }
 
+  test("empty table: clear error, not an NPE; quoted source values stay valid JSON") {
+    import spark.implicits._
+    val empty = TokenData.tokenTable(spark, 100, 2).filter(lit(false))
+    val e = intercept[IllegalArgumentException](SuggestJob.suggestJson(empty))
+    assert(e.getMessage.contains("empty table"))
+
+    // a source value carrying a quote and a backslash must emit a
+    // parseable document whose enum round-trips the loader verbatim
+    val tricky = Seq(
+      ("d1", Seq(1, 2), 2, """he said "hi"\now"""),
+      ("d2", Seq(3, 4), 2, "plain")
+    ).toDF("doc_id", "tokens", "n_tok", "source")
+    val (json, suite) = SuggestJob.suggest(tricky)
+    assert(json.contains("\\\"hi\\\""), json)
+    val enumC = suite.constraints.find(_.id.startsWith("source")).get
+    val fails = ConstraintCompiler.failCounts(tricky, suite)
+      .filter(col("fails") > 0).collect()
+    assert(fails.isEmpty,
+      s"quoted enum value must validate its own row via ${enumC.id}: ${fails.mkString(",")}")
+  }
+
   test("full loop: curate -> suggest -> validate runs clean end to end") {
     val out = java.nio.file.Files.createTempDirectory("graft_loop").toString
     // 1. curate the raw docs into the north-star token-table shape
