@@ -228,7 +228,7 @@ object ValidationQueries {
     // the ONE profile aggregation, shared with the document emitter
     // (SuggestJob.suggestJson) so the oracled signals and the emitted
     // schema cannot drift apart
-    val a = graft.run.SuggestJob.profile(toks(s, dir))
+    val a = graft.checks.Stats.suggestProfile(toks(s, dir))
     a.select(expr(
       """stack(9,
            'doc_id', 'required', CASE WHEN dnull = 0 THEN 'true' ELSE 'false' END,

@@ -37,6 +37,36 @@ object Stats {
     )
   }
 
+  /** The 1-row SUGGESTION profile: observed bounds, length band, null
+    * presence, enum set + emit guards — one aggregation pass. SHARED by
+    * [[graft.ValidationQueries.suggestSuite]] (DuckDB-oracled as
+    * v_suggest_suite) and [[graft.run.SuggestJob.suggestJson]] so the
+    * oracled signals and the emitted schema document cannot drift; it
+    * lives here so core query code does not depend on the job layer.
+    * `nrows`/`srccomma` guard the document emitter: empty input and
+    * comma-carrying source values (which the comma-joined enum surface
+    * cannot represent) must degrade loudly/safely, not emit a suite the
+    * data itself fails.
+    */
+  def suggestProfile(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("nrows"),
+      sum(col("doc_id").isNull.cast("long")).as("dnull"),
+      sum(col("n_tok").isNull.cast("long")).as("nnull"),
+      sum(col("tokens").isNull.cast("long")).as("tknull"),
+      sum(col("source").isNull.cast("long")).as("snull"),
+      min(length(col("doc_id"))).as("dminlen"),
+      max(length(col("doc_id"))).as("dmaxlen"),
+      min(col("n_tok")).as("nmin"),
+      max(col("n_tok")).as("nmax"),
+      min(size(col("tokens"))).as("szmin"),
+      max(size(col("tokens"))).as("szmax"),
+      min(array_min(col("tokens"))).as("emin"),
+      max(array_max(col("tokens"))).as("emax"),
+      countDistinct(col("source")).as("ndistinct"),
+      array_join(array_sort(collect_set(col("source"))), ",").as("srcs"),
+      sum(coalesce(col("source").contains(",").cast("long"), lit(0L))).as("srccomma"))
+
   /** Sketch stats (approx, mergeable): HLL++ distinct + quantiles.
     * Not DuckDB-comparable bit-for-bit — checked by property bounds in
     * tests instead of the SQL oracle.

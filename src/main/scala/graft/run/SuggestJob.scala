@@ -20,32 +20,8 @@ import graft.suite.{Suite, SuiteLoader}
   */
 object SuggestJob {
 
-  /** The 1-row profile frame: bounds, length band, null presence, enum
-    * set. SHARED with [[graft.ValidationQueries.suggestSuite]] (the
-    * DuckDB-oracled v_suggest_suite query), so the emitted document and
-    * the oracled signals cannot drift apart (round-4 review: the two
-    * used to carry verbatim copies of this aggregation).
-    */
-  private[graft] def profile(df: DataFrame): DataFrame =
-    df.agg(
-      sum(col("doc_id").isNull.cast("long")).as("dnull"),
-      min(length(col("doc_id"))).as("dminlen"),
-      max(length(col("doc_id"))).as("dmaxlen"),
-      min(col("n_tok")).as("nmin"),
-      max(col("n_tok")).as("nmax"),
-      min(size(col("tokens"))).as("szmin"),
-      max(size(col("tokens"))).as("szmax"),
-      min(array_min(col("tokens"))).as("emin"),
-      max(array_max(col("tokens"))).as("emax"),
-      countDistinct(col("source")).as("ndistinct"),
-      array_join(array_sort(collect_set(col("source"))), ",").as("srcs"))
-
   /** Minimal JSON string escaping for observed values embedded in the
-    * suggestion document (quote, backslash, control chars). A source
-    * value containing a literal ',' still splits into separate enum
-    * entries (the profile carries the set comma-joined for the oracled
-    * string surface) — documented, not silent: the round-trip load
-    * plus the self-validation fail counts surface it immediately.
+    * suggestion document (quote, backslash, control chars).
     */
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -62,27 +38,53 @@ object SuggestJob {
     * high-cardinality keys).
     */
   def suggestJson(df: DataFrame, enumMax: Int = 10): String = {
-    val p = profile(df).head()
-    if (p.isNullAt(p.fieldIndex("dminlen")))
+    val p = graft.checks.Stats.suggestProfile(df).head()
+    if (p.getAs[Long]("nrows") == 0L)
       throw new IllegalArgumentException(
-        "cannot suggest a suite from an empty table: no observed bounds to profile")
-    def L(n: String): Long = p.getAs[Number](n).longValue()
+        "cannot suggest a suite from an empty table: no rows to profile")
+    // every bound is emitted ONLY when observed: a non-empty table can
+    // still have all-null doc_id (no length band), all-null n_tok, or
+    // all-empty tokens arrays (no element bounds) — each clause degrades
+    // to the bare type check instead of NPE-ing on a null aggregate
+    def opt(n: String): Option[Long] =
+      if (p.isNullAt(p.fieldIndex(n))) None else Some(p.getAs[Number](n).longValue())
+    def band(lo: String, hi: String, kLo: String, kHi: String): String =
+      (opt(lo), opt(hi)) match {
+        case (Some(a), Some(b)) => s""", "$kLo": $a, "$kHi": $b"""
+        case _                  => ""
+      }
+    // {"type": T} fails on null per the reference's type semantics (a
+    // null column value IS JSON null) — when nulls were observed, admit
+    // them via a type union so the data passes its own suggestion
+    def typ(base: String, nullCount: String): String =
+      if (opt(nullCount).contains(0L)) s""""type": "$base""""
+      else s""""type": ["$base", "null"]"""
     val srcs = p.getAs[String]("srcs").split(',').toSeq.filter(_.nonEmpty)
+    // a literal ',' inside a source value cannot survive the profile's
+    // comma-joined enum surface, and enum fails on unlisted nulls —
+    // fall back to the type check rather than emit a suite the data
+    // itself would fail
+    val enumSafe = p.getAs[Long]("srccomma") == 0L && srcs.nonEmpty &&
+      opt("snull").contains(0L)
     val sourceSchema =
-      if (L("ndistinct") <= enumMax)
+      if (opt("ndistinct").exists(_ <= enumMax) && enumSafe)
         srcs.map(s => "\"" + jsonEscape(s) + "\"").mkString("{\"enum\": [", ", ", "]}")
-      else "{\"type\": \"string\"}"
-    val required = if (L("dnull") == 0) "\"required\": [\"doc_id\"]," else ""
+      else s"{${typ("string", "snull")}}"
+    val required = if (opt("dnull").contains(0L)) "\"required\": [\"doc_id\"]," else ""
+    val items = (opt("emin"), opt("emax")) match {
+      case (Some(a), Some(b)) =>
+        s""", "items": {"type": "integer", "minimum": $a, "maximum": $b}"""
+      case _ => ""
+    }
     s"""{
        |  "$$schema": "https://json-schema.org/draft/2020-12/schema",
        |  "$$id": "https://graft.example/suggested",
        |  "type": "object",
        |  $required
        |  "properties": {
-       |    "doc_id": {"type": "string", "minLength": ${L("dminlen")}, "maxLength": ${L("dmaxlen")}},
-       |    "n_tok": {"type": "integer", "minimum": ${L("nmin")}, "maximum": ${L("nmax")}},
-       |    "tokens": {"type": "array", "minItems": ${L("szmin")}, "maxItems": ${L("szmax")},
-       |               "items": {"type": "integer", "minimum": ${L("emin")}, "maximum": ${L("emax")}}},
+       |    "doc_id": {${typ("string", "dnull")}${band("dminlen", "dmaxlen", "minLength", "maxLength")}},
+       |    "n_tok": {${typ("integer", "nnull")}${band("nmin", "nmax", "minimum", "maximum")}},
+       |    "tokens": {${typ("array", "tknull")}${band("szmin", "szmax", "minItems", "maxItems")}$items},
        |    "source": $sourceSchema
        |  }
        |}""".stripMargin

@@ -59,7 +59,13 @@ object ValidateJob {
     val f = Paths.get(checkpointDir, "manifest.jsonl")
     if (!Files.exists(f)) return Map.empty
     val byPart = scala.collection.mutable.LinkedHashMap.empty[String, Option[PartState]]
-    Files.readAllLines(f).forEach { line =>
+    Files.readAllLines(f).forEach { raw =>
+      // torn-write tolerance: records are newline-bracketed on write, so
+      // a crash-truncated fragment is alone on its line — reject any
+      // line that is not one complete {...} record instead of parsing
+      // whatever fields survived the tear
+      val line = raw.trim
+      if (line.startsWith("{") && line.endsWith("}")) {
       val part = """"partition":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
       val h = """"suiteHash":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
       val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
@@ -78,6 +84,7 @@ object ValidateJob {
               hasLineage = filesOpt.isDefined))
           else None
         case _ => ()
+      }
       }
     }
     byPart.collect { case (p, Some(st)) => p -> st }.toMap
@@ -101,7 +108,14 @@ object ValidateJob {
   def appendManifest(checkpointDir: String, e: ManifestEntry): Unit = {
     Files.createDirectories(Paths.get(checkpointDir))
     val filesJson = e.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-    val line = s"""{"partition":"${e.partition}","suiteHash":"${e.suiteHash}","rows":${e.rows},""" +
+    // Leading newline = torn-write guard: a crash can leave a PARTIAL
+    // previous line (at scale the files array spans several write
+    // syscalls), and appending directly onto it would merge two records
+    // into one line whose first-match-per-field parse reads the STALE
+    // entry's counts with the new entry's file list — permanently wrong
+    // lineage. Starting every record on a fresh line isolates the torn
+    // fragment, and completedDetail rejects non-{...} lines outright.
+    val line = s"""\n{"partition":"${e.partition}","suiteHash":"${e.suiteHash}","rows":${e.rows},""" +
       s""""violations":${e.violations},"wallMs":${e.wallMs},"ts":${e.ts},"files":$filesJson}\n"""
     Files.write(Paths.get(checkpointDir, "manifest.jsonl"), line.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -295,9 +309,20 @@ object ValidateJob {
         Files.deleteIfExists(intent)
       case (p, Full, nowFiles) =>
         val t0 = System.currentTimeMillis()
-        // partition pruning: for a partitionBy(source) layout this filter
-        // prunes directories at file-listing time
-        val slice = table.filter(partitionFilter(partitionCol, p))
+        // Scan EXACTLY the fingerprinted files, not table's file-index
+        // snapshot from run() start: a file landing between the
+        // snapshot and this partition's listing would otherwise be
+        // recorded as validated lineage without ever being scanned —
+        // and then skipped forever (round-4 review). Non-partitioned
+        // layouts (no per-partition listing) keep the filter path; the
+        // partition-pruning pushdown is identical either way.
+        val slice =
+          if (nowFiles.nonEmpty) {
+            val dirName = if (p == NullPartition) s"$partitionCol=$NullPartition"
+              else s"$partitionCol=${escapePathName(p)}"
+            spark.read.option("basePath", tablePath)
+              .parquet(nowFiles.map(f => s"$tablePath/$dirName/${f.takeWhile(_ != ':')}"): _*)
+          } else table.filter(partitionFilter(partitionCol, p))
         val (rows, viol) = validatePartition(slice, suite, outDir, p, fused)
         appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
           System.currentTimeMillis() - t0, System.currentTimeMillis(),

@@ -59,6 +59,35 @@ class SuggestJobSpec extends SparkSpec {
       s"quoted enum value must validate its own row via ${enumC.id}: ${fails.mkString(",")}")
   }
 
+  test("degraded profiles: empty token arrays, null columns, comma-carrying source") {
+    import spark.implicits._
+    // all-empty tokens (no element bounds) + a source value carrying a
+    // literal comma (unrepresentable on the comma-joined enum surface)
+    val df = Seq(
+      ("d1", Seq.empty[Int], 0, "news,web"),
+      ("d2", Seq.empty[Int], 0, "news,web")
+    ).toDF("doc_id", "tokens", "n_tok", "source")
+    val (json, suite) = SuggestJob.suggest(df)
+    assert(!json.contains("\"items\""), s"no element bounds without elements: $json")
+    assert(json.contains("\"source\": {\"type\": \"string\"}"),
+      s"comma-carrying source must fall back to the type check: $json")
+    val fails = ConstraintCompiler.failCounts(df, suite)
+      .filter(col("fails") > 0).collect()
+    assert(fails.isEmpty, s"degraded suggestion must still self-validate: ${fails.mkString(",")}")
+
+    // all-null doc_id: no length band, not required, still loadable
+    val nulls = Seq((Option.empty[String], Seq(1), 1, "s"),
+      (Option.empty[String], Seq(2), 1, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val (json2, suite2) = SuggestJob.suggest(nulls)
+    assert(!json2.contains("minLength") && !json2.contains("required"), json2)
+    assert(json2.contains("\"doc_id\": {\"type\": [\"string\", \"null\"]}"),
+      s"observed nulls must be admitted via a type union: $json2")
+    val fails2 = ConstraintCompiler.failCounts(nulls, suite2)
+      .filter(col("fails") > 0).collect()
+    assert(fails2.isEmpty, fails2.mkString(","))
+  }
+
   test("full loop: curate -> suggest -> validate runs clean end to end") {
     val out = java.nio.file.Files.createTempDirectory("graft_loop").toString
     // 1. curate the raw docs into the north-star token-table shape

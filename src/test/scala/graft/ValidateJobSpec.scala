@@ -14,6 +14,15 @@ class ValidateJobSpec extends SparkSpec {
 
   private def tmp(name: String) = s"/tmp/graft-vj-${name}-${System.nanoTime()}"
 
+  /** Manifest RECORDS (appends are newline-bracketed as a torn-write
+    * guard, so raw line counts include blank separators).
+    */
+  private def manifestRecords(ckpt: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
   test("partitioned write + partition filter prunes at scan level") {
     val io = new PartitionedParquetIO("source")
     val path = tmp("io")
@@ -61,7 +70,7 @@ class ValidateJobSpec extends SparkSpec {
     val hash = ValidateJob.suiteHash(NorthStar.suite)
     val st0 = ValidateJob.completedDetail(ckpt, hash)
     assert(st0.values.forall(_.files.nonEmpty), "lineage must record file fingerprints")
-    val linesAfterFull = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).size()
+    val linesAfterFull = manifestRecords(ckpt).size
     val webViolBefore = spark.read.parquet(s"$out/violations/partition=web").count()
 
     // APPEND new rows to exactly one partition (new parquet files under
@@ -72,11 +81,11 @@ class ValidateJobSpec extends SparkSpec {
       .partitionBy("source").parquet(table)
 
     ValidateJob.run(spark, table, out, ckpt)
-    val lines = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl"))
-    // exactly ONE new manifest line: the incremental web entry
-    assert(lines.size() == linesAfterFull + 1,
-      s"expected one incremental entry, got ${lines.size() - linesAfterFull}")
-    assert(lines.get(lines.size() - 1).contains("\"partition\":\"web\""))
+    val lines = manifestRecords(ckpt)
+    // exactly ONE new manifest record: the incremental web entry
+    assert(lines.size == linesAfterFull + 1,
+      s"expected one incremental entry, got ${lines.size - linesAfterFull}")
+    assert(lines.last.contains("\"partition\":\"web\""))
     val st1 = ValidateJob.completedDetail(ckpt, hash)
     assert(st1("web").rows == st0("web").rows + extraRows,
       "incremental entry must carry CUMULATIVE rows")
@@ -101,11 +110,11 @@ class ValidateJobSpec extends SparkSpec {
       && !f.getName.startsWith("."))
     assert(dataFiles.nonEmpty)
     dataFiles.head.delete()
-    val linesBefore = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).size()
+    val linesBefore = manifestRecords(ckpt).size
     ValidateJob.run(spark, table, out, ckpt)
-    val lines2 = Files.readAllLines(Paths.get(ckpt, "manifest.jsonl"))
-    assert(lines2.size() == linesBefore + 1, "only web must revalidate")
-    assert(lines2.get(lines2.size() - 1).contains("\"partition\":\"web\""))
+    val lines2 = manifestRecords(ckpt)
+    assert(lines2.size == linesBefore + 1, "only web must revalidate")
+    assert(lines2.last.contains("\"partition\":\"web\""))
     val st2 = ValidateJob.completedDetail(ckpt, hash)
     // full revalidate: counts now reflect the CURRENT (post-delete) data
     val nowWeb = spark.read.parquet(table)
@@ -176,6 +185,22 @@ class ValidateJobSpec extends SparkSpec {
     ValidateJob.run(spark, table, out, ckpt)
     assert(Files.readAllLines(Paths.get(ckpt, "manifest.jsonl")).size() == lines,
       "validated-empty partition must skip on the next run")
+  }
+
+  test("torn manifest line cannot merge into the next record") {
+    val ckpt = tmp("torn")
+    Files.createDirectories(Paths.get(ckpt))
+    // a crash mid-append leaves a partial record with no newline; the
+    // next append must NOT concatenate onto it (first-match-per-field
+    // parsing would then read the stale rows with the new file list)
+    val torn = """{"partition":"web","suiteHash":"h1","rows":12,"violations":1,"wallMs":1,"ts":1,"files":["a:1"""
+    Files.write(Paths.get(ckpt, "manifest.jsonl"), torn.getBytes("UTF-8"))
+    ValidateJob.appendManifest(ckpt,
+      ValidateJob.ManifestEntry("web", "h1", 1234, 5, 1, 2, Seq("a:1", "b:2")))
+    val st = ValidateJob.completedDetail(ckpt, "h1")
+    assert(st("web").rows == 1234 && st("web").violations == 5,
+      s"recovery entry must win over the torn fragment: ${st("web")}")
+    assert(st("web").files == Set("a:1", "b:2"))
   }
 
   test("partition discovery reads directory names, not table data") {
