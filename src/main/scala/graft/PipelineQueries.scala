@@ -618,13 +618,20 @@ object PipelineQueries {
     * byte-for-byte. One codegen'd projection + one 5-key rollup — the
     * shuffle carries eight longs per source, never text.
     */
-  def piiLedger(s: SparkSession, dir: String): DataFrame = {
-    val p = docs(s, dir).select(col("source"), piiText.as("pii"))
-    val red = regexp_replace(
+  /** The ONE redaction chain (email → IPv4 → phone), shared by the
+    * batch ledger and the streaming scrub so the two can never diverge
+    * byte-for-byte (round-4 review: the chain was duplicated verbatim).
+    */
+  private[graft] def redactCol(text: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("pii"), EmailRe, "<EMAIL>"),
+        regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  def piiLedger(s: SparkSession, dir: String): DataFrame = {
+    val p = docs(s, dir).select(col("source"), piiText.as("pii"))
+    val red = redactCol(col("pii"))
     val m = p.select(col("source"),
       regexp_count(col("pii"), lit(EmailRe)).as("ec"),
       regexp_count(col("pii"), lit(Ipv4Re)).as("ic"),
@@ -1209,7 +1216,8 @@ object PipelineQueries {
          FROM documents GROUP BY lang""".replaceAll("\\s+", " "),
 
     "d_fingerprints" ->
-      s"""SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($W, w0 -> ${H("w0")})),
+      s"""SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         list_transform(list_filter($W, wf -> wf <> ''), w0 -> ${H("w0")})),
          (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
          FROM documents""".replaceAll("\\s+", " "),
 
@@ -1375,10 +1383,12 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY q.qid ORDER BY ${cosF("q.qv", "e.embedding")} DESC, e.vec_id ASC) AS rk
            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) WHERE rk <= 5),
          hits AS (SELECT a.qid, count(*)::BIGINT AS n_hits
-           FROM approx a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id GROUP BY a.qid)
+           FROM approx a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id GROUP BY a.qid),
+         perq AS (SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits
+           FROM q LEFT JOIN hits h ON q.qid = h.qid)
          SELECT count(*)::BIGINT AS n_queries,
            round(avg(n_hits::DOUBLE / 5), 6) AS recall_at_k,
-           16::INT AS k_buckets, 4::INT AS n_probe FROM hits""".replaceAll("\\s+", " "),
+           16::INT AS k_buckets, 4::INT AS n_probe FROM perq""".replaceAll("\\s+", " "),
 
     "e_ann_cosine_top5" ->
       s"""SELECT qid, vec_id, cos, rk FROM (

@@ -44,13 +44,20 @@ object Ann {
     * scale path for embedding near-dup detection. nPlanes trades recall
     * for bucket selectivity exactly like LSH bands.
     */
-  def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (w, i) =>
+  def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column = {
+    val dim = planes.head.length
+    val sig = planes.zipWithIndex.map { case (w, i) =>
       val dot = aggregate(
         zip_with(emb, typedlit(w.toSeq), (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+    // fail FAST on a dim mismatch: zip_with pads the shorter side with
+    // nulls, the dot goes null, every bit reads 0 and every vector
+    // lands in one mega-bucket — a silent quadratic blowup downstream.
+    when(size(emb) === dim, sig).otherwise(raise_error(concat(
+      lit(s"embedding dim != hyperplane dim $dim: got "), size(emb).cast("string"))))
+  }
 
   /** Banded sign-bit LSH signatures (round-2 VERDICT item 5: the fixed
     * single 8-bit signature gives 256 buckets TOTAL, so bucket size —
@@ -92,12 +99,21 @@ object Ann {
   def ivfAssign(emb: DataFrame, k: Int): DataFrame =
     ivfAssign(emb, seedCentroids(emb, k))
 
-  /** Deterministic seed centroids: the first K vec_ids. */
-  def seedCentroids(emb: DataFrame, k: Int): Array[(Long, Seq[Double])] =
-    emb.filter(col("vec_id") < k)
+  /** Deterministic seed centroids: the K LOWEST vec_ids (orderBy+limit
+    * = TakeOrderedAndProject, no assumption that ids are dense or
+    * zero-based — `vec_id < k` returned short/empty seed sets for
+    * offset or hashed id spaces; round-4 review). Identical to the old
+    * filter on dense 0-based tables, so the DuckDB oracle is unchanged.
+    */
+  def seedCentroids(emb: DataFrame, k: Int): Array[(Long, Seq[Double])] = {
+    val seeds = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
+    require(seeds.length == k,
+      s"need $k seed centroids, table has only ${seeds.length} vectors")
+    seeds
+  }
 
   def ivfAssign(emb: DataFrame, centroids: Array[(Long, Seq[Double])]): DataFrame = {
     // centroids are doubles (k-means emits means); widen the float
@@ -151,7 +167,8 @@ object Ann {
       if (refineIters > 0) kmeansCentroids(emb, k, refineIters)
       else seedCentroids(emb, k)
     val assigned = ivfAssign(emb, cents).cache()
-    val queries = emb.filter(col("vec_id") < nQueries)
+    // lowest-nQueries ids, density-agnostic like seedCentroids
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
     // probe set: nProbe nearest centroids per query — like ivfAssign,
@@ -184,12 +201,25 @@ object Ann {
       .withColumn("rk", row_number().over(we)).filter(col("rk") <= topK)
       .select(col("qid"), col("vec_id"))
 
+    // recall averages over ALL queries: a query whose probed buckets
+    // miss every true neighbor contributes 0.0, it is not dropped
+    // (the inner-grouped form inflated recall and under-counted
+    // n_queries whenever a query had zero hits; round-4 review)
     val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-    hits.agg(
+    val perQuery = queries.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    val out = perQuery.agg(
       count(lit(1)).as("n_queries"),
       round(avg(col("n_hits").cast("double") / topK), 6).as("recall_at_k"))
       .withColumn("k_buckets", lit(k))
       .withColumn("n_probe", lit(nProbe))
+    // 1-row result: materialize it so the bucketed-corpus cache can be
+    // released HERE instead of pinning executor storage across repeated
+    // sweep calls (round-4 review)
+    val matd = out.localCheckpoint(true)
+    assigned.unpersist()
+    matd
   }
 }

@@ -35,8 +35,15 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val Seq(uc, vc) = edges.columns.take(2).toSeq
-    var e = symmetrize(
-      edges.select(col(uc).as("u"), col(vc).as("v")).filter(col("u") =!= col("v")))
+    val raw = edges.select(col(uc).as("u"), col(vc).as("v"))
+    // full node universe BEFORE dropping self-loops: a node whose only
+    // edge is (x, x) is a singleton component, not absent (the doc
+    // contract is one row per node appearing in ANY edge; round-4
+    // review). One distinct over the edge endpoints — same magnitude
+    // as the output itself.
+    val allNodes = raw.select(col("u").as("node"))
+      .unionByName(raw.select(col("v").as("node"))).distinct()
+    var e = symmetrize(raw.filter(col("u") =!= col("v")))
       .localCheckpoint(true)
     var prev = (-1L, -1L)
     var cur = checksum(e)
@@ -54,9 +61,13 @@ object ConnectedComponents {
     // its component min; roots (no smaller neighbor) map to themselves
     val nonRoots = e.filter(col("v") < col("u"))
       .select(col("u").as("node"), col("v").as("component"))
-    nonRoots.unionByName(
+    val labeled = nonRoots.unionByName(
       nonRoots.select(col("component")).distinct()
         .select(col("component").as("node"), col("component")))
+    // self-loop-only nodes never enter the star loop: map them to
+    // themselves so the output covers the whole node universe
+    allNodes.join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
   private def symmetrize(e: DataFrame): DataFrame =

@@ -47,12 +47,17 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition setup happens HERE (decoder/model init — stubbed)
-      val digestOf = (b: Array[Byte]) =>
-        java.security.MessageDigest.getInstance("MD5").digest(b)
-          .map("%02x".format(_)).mkString
+      // per-partition setup happens HERE (decoder/model init — stubbed
+      // as ONE reused MessageDigest; `reset` after each digest call)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        MediaFeature(r.doc_id, r.payload.length, digestOf(r.payload), decodeStub(r.payload))
+        // digest the payload ONCE per row; the hex id and the 8-dim
+        // feature both derive from the same bytes (the payload hash is
+        // the dominant per-row cost of this stub pass)
+        val d = md.digest(r.payload)
+        val feature = (0 until 8).map(i => ((d(i) & 0xff) / 255.0f)).toArray
+        MediaFeature(r.doc_id, r.payload.length,
+          d.map("%02x".format(_)).mkString, feature)
       }
     }
   }

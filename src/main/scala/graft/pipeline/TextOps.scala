@@ -95,11 +95,14 @@ object TextOps {
 
   /** Rolling polynomial fingerprint over words:
     * fold(acc = 0; acc = (acc * 31 + h32(w)) mod 1e9+7) — order-sensitive
-    * document identity robust to trailing whitespace differences.
+    * document identity robust to leading/trailing/repeated whitespace:
+    * split() keeps empty tokens around extra separators and h32("") is a
+    * real hash, so empties must be filtered for "a " and "a" to agree
+    * (round-4 review; the DuckDB oracle filters identically).
     */
   val FpP = 1000000007L
   def fingerprint(text: Column): Column =
-    aggregate(transform(words(text), h32(_)), lit(0L),
+    aggregate(transform(filter(words(text), w => w =!= lit("")), h32(_)), lit(0L),
       (acc, h) => pmod(acc * 31 + h, lit(FpP)))
 
   // ---- quality signals (cheap, codegen'd, per-document) ----

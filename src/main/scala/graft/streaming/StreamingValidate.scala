@@ -40,13 +40,18 @@ object StreamingValidate {
   def violationStream(stream: DataFrame, suite: Suite, fusedIntArrays: Set[String]): DataFrame =
     ConstraintCompiler.violations(stream, suite, fusedIntArrays = fusedIntArrays)
 
-  /** Streaming doc_id uniqueness: watermarked dropDuplicates — the
-    * streaming face of the salted-agg uniqueness check (state pruned by
-    * event time; exact within the watermark horizon).
+  /** Streaming doc_id uniqueness: watermarked dedup — the streaming
+    * face of the salted-agg uniqueness check (exact within the
+    * watermark horizon). dropDuplicatesWithinWatermark is load-bearing:
+    * plain dropDuplicates("doc_id") only evicts state when the
+    * event-time column is part of the key, so a forever-stream would
+    * grow one state entry per unique doc_id unboundedly (round-4
+    * review); the WithinWatermark variant expires entries as the
+    * watermark passes them.
     */
   def dedupStream(stream: DataFrame, tsCol: String, watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark)
-      .dropDuplicates("doc_id")
+      .dropDuplicatesWithinWatermark("doc_id")
 
   /** Per-window source-mix PSI vs a baseline snapshot — the streaming
     * face of [[graft.checks.Drift.psiSourceMix]]. The snapshot's
@@ -171,11 +176,9 @@ object StreamingValidate {
     */
   def piiRedactStream(stream: DataFrame): DataFrame = {
     import graft.PipelineQueries.{EmailRe, Ipv4Re, PhoneRe}
-    val red = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
+    // the same redaction chain as the batch ledger — shared definition,
+    // so batch checksum and streamed text stay byte-for-byte equal
+    val red = graft.PipelineQueries.redactCol(col("text"))
     stream.select(col("doc_id"), col("source"),
       regexp_count(col("text"), lit(EmailRe)).as("n_email"),
       regexp_count(col("text"), lit(Ipv4Re)).as("n_ip"),

@@ -264,6 +264,39 @@ class PipelineSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("node", "component"))
   }
 
+  test("connected components: self-loop-only nodes survive as singleton components") {
+    import spark.implicits._
+    // node "c" appears ONLY in a self-loop — the doc contract is one
+    // row per node in ANY edge, so it must come back as its own
+    // singleton, not vanish (round-4 review)
+    val edges = Seq(("a", "b"), ("c", "c")).toDF("x", "y")
+    val got = graft.pipeline.ConnectedComponents.components(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set("a" -> "a", "b" -> "a", "c" -> "c"))
+  }
+
+  test("fingerprint: whitespace-only differences do not change document identity") {
+    import spark.implicits._
+    val df = Seq(("1", "hello world"), ("2", "hello world "), ("3", " hello  world"),
+      ("4", "hello worlds")).toDF("id", "text")
+    val fp = df.select(col("id"), graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("1") == fp("2") && fp("1") == fp("3"),
+      s"padding variants must share a fingerprint: $fp")
+    assert(fp("1") != fp("4"), "distinct words must differ")
+  }
+
+  test("hyperplane signature: embedding/plane dim mismatch raises, never bucket-collapses") {
+    import spark.implicits._
+    val planes = graft.pipeline.Ann.hyperplanes(8, 4)
+    val bad = Seq((1L, Seq(0.1f, 0.2f))).toDF("id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(graft.pipeline.Ann.hyperplaneSig(col("embedding"), planes)).collect()
+    }
+    assert(e.getMessage != null && e.toString.toLowerCase.contains("dim"),
+      s"expected a dim-mismatch raise, got $e")
+  }
+
   test("pack bins: the window's shard partitioning serves the aggregation — no third shuffle") {
     val q = PipelineQueries.packBins(spark, dir)
     val plan = q.queryExecution.executedPlan.toString()

@@ -88,6 +88,37 @@ class SuggestJobSpec extends SparkSpec {
     assert(fails2.isEmpty, fails2.mkString(","))
   }
 
+  test("suggest loop is total and self-consistent on seeded random degraded tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        val docId = if (rnd.nextInt(4) == 0) None else Some(s"doc-$trial-$i")
+        val toks =
+          if (rnd.nextInt(5) == 0) None
+          else Some(Seq.fill(rnd.nextInt(6))(rnd.nextInt(1000) - 100))
+        val nTok = if (rnd.nextInt(5) == 0) None else Some(toks.map(_.size).getOrElse(0))
+        val src = rnd.nextInt(4) match {
+          case 0 => None
+          case 1 => Some("plain")
+          case 2 => Some("""with "quote" and \slash""")
+          case _ => Some("a,b comma")
+        }
+        (docId, toks, nTok, src)
+      }
+      val df = rows.toDF("doc_id", "tokens", "n_tok", "source")
+      // totality: any non-empty table yields a loadable suite…
+      val (json, suite) = SuggestJob.suggest(df)
+      assert(suite.constraints.nonEmpty || json.nonEmpty)
+      // …and the profiled data passes its own suggestion
+      val fails = ConstraintCompiler.failCounts(df, suite)
+        .filter(col("fails") > 0).collect()
+      assert(fails.isEmpty,
+        s"trial $trial (n=$n): self-validation failed ${fails.mkString(",")}\n$json")
+    }
+  }
+
   test("full loop: curate -> suggest -> validate runs clean end to end") {
     val out = java.nio.file.Files.createTempDirectory("graft_loop").toString
     // 1. curate the raw docs into the north-star token-table shape
