@@ -600,7 +600,8 @@ object ValidationQueries {
          SELECT source, count(*)::BIGINT AS total_tokens,
            count(DISTINCT token)::BIGINT AS distinct_tokens,
            sum(CASE WHEN token < 0 OR token >= 262144 THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
-           count(DISTINCT token)::DOUBLE / 262144.0 AS vocab_coverage
+           count(DISTINCT CASE WHEN token >= 0 AND token < 262144 THEN token END)::DOUBLE
+             / 262144.0 AS vocab_coverage
          FROM ex GROUP BY source""".replaceAll("\\s+", " "),
 
     "v_cms_topk_est" ->

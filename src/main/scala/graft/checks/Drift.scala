@@ -35,8 +35,12 @@ object Drift {
   def psiSourceMix(current: DataFrame, snapshot: DataFrame, eps: Double = 1e-6): DataFrame = {
     val cur = Referential.saltedSourceCounts(current).select(col("source").as("key"), col("cnt").as("c_cnt"))
     val base = snapshot.filter(col("kind") === "source_mix").select(col("key"), col("cnt").as("b_cnt"))
-    val joined = cur.join(broadcast(base), Seq("key"), "full_outer")
-      .select(col("key"), coalesce(col("c_cnt"), lit(0L)).as("c"), coalesce(col("b_cnt"), lit(0L)).as("b"))
+    // null-safe join key: `source` is nullable, and an equi-join would
+    // keep each side's null-key row UNMATCHED — identical mixes with a
+    // null slice would report phantom PSI (round-4 review)
+    val joined = cur.join(broadcast(base), cur("key") <=> base("key"), "full_outer")
+      .select(coalesce(cur("key"), base("key")).as("key"),
+        coalesce(col("c_cnt"), lit(0L)).as("c"), coalesce(col("b_cnt"), lit(0L)).as("b"))
     val tot = joined.agg(sum("c").as("ct"), sum("b").as("bt"))
     val withFrac = joined.crossJoin(broadcast(tot))
       .select(col("key"),
@@ -56,8 +60,14 @@ object Drift {
     val cur = Stats.histogram(current, field, binWidth).select(col("bin"), col("cnt").as("c_cnt"))
     val base = snapshot.filter(col("kind") === "n_tok_hist")
       .select(col("key").cast("long").as("bin"), col("cnt").as("b_cnt"))
-    val joined = cur.join(broadcast(base), Seq("bin"), "full_outer")
-      .select(col("bin"), coalesce(col("c_cnt"), lit(0L)).as("c"), coalesce(col("b_cnt"), lit(0L)).as("b"))
+    // null-safe join: a nullable field yields a null BIN on each side,
+    // which an equi-join keeps as two unmatched rows — identical
+    // distributions with a null slice would report ks > 0 (round-4
+    // review; the null bin sorts first in the CDF window, same as any
+    // other fixed bin position)
+    val joined = cur.join(broadcast(base), cur("bin") <=> base("bin"), "full_outer")
+      .select(coalesce(cur("bin"), base("bin")).as("bin"),
+        coalesce(col("c_cnt"), lit(0L)).as("c"), coalesce(col("b_cnt"), lit(0L)).as("b"))
     val tot = joined.agg(sum("c").as("ct"), sum("b").as("bt"))
     val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // #bins is tiny (~35) — single-partition window on the aggregated frame is fine
@@ -82,16 +92,28 @@ object Drift {
     import graft.functions.QuantileSketches._
     val a = current.agg(kll_agg(col(field)).as("sa"))
     val b = baseline.agg(kll_agg(col(field)).as("sb"))
+    val na = kll_summary(col("sa"))("n")
+    val nb = kll_summary(col("sb"))("n")
     a.crossJoin(b)
       .withColumn("lo", least(kll_summary(col("sa"))("min"), kll_summary(col("sb"))("min")))
       .withColumn("hi", greatest(kll_summary(col("sa"))("max"), kll_summary(col("sb"))("max")))
       .withColumn("splits", transform(sequence(lit(1), lit(nSplits)),
         i => col("lo") + i.cast("double") * (col("hi") - col("lo")) / lit((nSplits + 1).toDouble)))
       .select(
-        round(aggregate(
-          zip_with(kll_cdf(col("sa"), col("splits")), kll_cdf(col("sb"), col("splits")),
-            (x, y) => abs(x - y)),
-          lit(0.0), (acc, d) => greatest(acc, d)), 6).as("ks"),
+        // degenerate inputs must not reach getCDF: an EMPTY side has
+        // NaN min/max (NaN splits throw SketchesArgumentException) → ks
+        // is undefined, yield null; a CONSTANT field on both sides
+        // (lo == hi, non-increasing splits also rejected by getCDF)
+        // means both distributions are the same point mass → ks = 0
+        // (round-4 review). The when() branches evaluate lazily, so the
+        // CDF probe only runs on well-formed splits.
+        when(na > 0 && nb > 0 && col("lo") < col("hi"),
+          round(aggregate(
+            zip_with(kll_cdf(col("sa"), col("splits")), kll_cdf(col("sb"), col("splits")),
+              (x, y) => abs(x - y)),
+            lit(0.0), (acc, d) => greatest(acc, d)), 6))
+          .otherwise(when(na > 0 && nb > 0, lit(0.0)))
+          .as("ks"),
         lit(nSplits).as("n_splits"))
   }
 }

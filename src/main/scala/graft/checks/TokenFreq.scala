@@ -70,9 +70,16 @@ object TokenFreq {
       .agg(
         count(lit(1)).as("total_tokens"),
         countDistinct(col("token")).as("distinct_tokens"),
+        // coverage counts IN-VOCAB distinct ids only: OOV ids are not
+        // vocabulary entries, so they must not inflate the covered
+        // fraction past 1.0 (round-4 review); distinct_tokens stays the
+        // raw distinct count (OOV presence is its own oov_tokens column)
+        countDistinct(when(col("token") >= 0 && col("token") < vocab, col("token")))
+          .as("in_vocab_distinct"),
         sum(when(col("token") < 0 || col("token") >= vocab, 1L).otherwise(0L)).as("oov_tokens"))
       .withColumn("vocab_coverage",
-        col("distinct_tokens").cast("double") / lit(vocab.toDouble))
+        col("in_vocab_distinct").cast("double") / lit(vocab.toDouble))
+      .drop("in_vocab_distinct")
 
   /** Bucket hash for CMS depth `d` (0 or 1 as a Column): hex window
     * [1+8d, 8] of md5(token) parsed base-16. conv() returns a decimal

@@ -37,16 +37,28 @@ object Uniqueness {
       count(lit(1)).as("rows"),
       approx_count_distinct(col(key), rsd).as("ad")).head()
     val rows = r.getLong(0); val ad = r.getLong(1)
-    // duplicates LIKELY iff estimate is materially below the row count
-    HllVerdict(rows, ad, ad < (rows * (1 - 3 * rsd)).toLong || rows - ad > math.max(1, rows / 1000))
+    // duplicates LIKELY iff the estimate sits below the row count by
+    // MORE than sketch noise (3·rsd). A tighter 0.1%-of-rows disjunct
+    // used to sit here — inside the sketch's ~1% error band, so it
+    // fired on perfectly clean tables about half the time (round-4
+    // review); `true` must stay a definite early-warning.
+    HllVerdict(rows, ad, ad < (rows * (1 - 3 * rsd)).toLong)
   }
 
   /** Phase 2: exact duplicate keys via salted two-phase aggregation.
     * Returns (key, dup_count) for keys appearing more than once.
+    *
+    * The salt derives from the INPUT PARTITION, not from the key: a
+    * salt that is a function of the grouping key sends every instance
+    * of a hot key to the same reducer anyway — a no-op spread plus an
+    * extra shuffle (round-4 review). Partition-derived salt splits a
+    * billion-repeat key across up to `salt` reducers in phase 1; phase
+    * 2 then combines ≤ salt pre-aggregated rows per key. Counts are
+    * exact regardless of partition layout.
     */
   def duplicateKeys(df: DataFrame, key: String, salt: Int = 64): DataFrame = {
     df.select(col(key))
-      .groupBy(pmod(xxhash64(col(key)), lit(salt.toLong)).as("_salt"), col(key))
+      .groupBy(pmod(spark_partition_id().cast("long"), lit(salt.toLong)).as("_salt"), col(key))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col(key))
       .agg(sum("_c").as("dup_count"))

@@ -28,11 +28,18 @@ import org.apache.spark.sql.types._
   * NULL, matching the composed zip_with form's behavior.
   */
 object CosineSimUtil {
+  // isNullAt guards both loops: parquet reads report containsNull=true,
+  // and a null ELEMENT read via getFloat/getDouble is an unchecked 0.0
+  // (UnsafeArrayData) or an NPE (GenericArrayData) — a silently wrong
+  // similarity either way. Null element ⇒ null result, matching the
+  // composed zip_with form (round-4 review). On the common
+  // containsNull=false layout the bitmap check is a cheap word read.
   def cosF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
@@ -44,6 +51,7 @@ object CosineSimUtil {
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }

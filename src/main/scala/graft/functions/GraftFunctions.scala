@@ -18,12 +18,29 @@ object GraftFunctions {
   private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
     require(args.length == n, s"$name expects $n arguments, got ${args.length}")
 
-  private def intLit(e: Expression): Int =
+  private def intLit(e: Expression): Int = {
+    // foldable check FIRST: eval(null) on a non-foldable arg (a column
+    // reference) throws an opaque unbound-reference error deep inside
+    // Catalyst instead of a usable message (round-4 review)
+    require(e.foldable, s"expected an integer literal, got non-literal expression $e")
     e.eval(null) match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue, s"integer literal out of range: $l")
+        l.toInt
       case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
     }
+  }
+
+  /** Sketch parameters that are SHORT-typed downstream (t-digest k):
+    * range-check before narrowing — `70000.toShort` silently wraps to a
+    * wrong compression with no error (round-4 review).
+    */
+  private def shortLit(e: Expression): Short = {
+    val i = intLit(e)
+    require(i >= 1 && i <= Short.MaxValue, s"sketch parameter must be in [1, 32767], got $i")
+    i.toShort
+  }
 
   /** (name, usage, builder) triples for every custom function. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -34,7 +51,7 @@ object GraftFunctions {
     ("tdigest_agg", "tdigest_agg(col[, k]) - mergeable t-digest sketch of a numeric column",
       args => args match {
         case Seq(c)    => QuantileSketches.TDigestAgg(c)
-        case Seq(c, k) => QuantileSketches.TDigestAgg(c, intLit(k).toShort)
+        case Seq(c, k) => QuantileSketches.TDigestAgg(c, shortLit(k))
         case _ => throw new IllegalArgumentException("tdigest_agg expects 1 or 2 arguments")
       }),
     ("tdigest_quantiles", "tdigest_quantiles(sketch, probs) - quantile values at the given ranks",
@@ -56,7 +73,11 @@ object GraftFunctions {
     ("kll_summary", "kll_summary(sketch) - exact struct(n,min,max) carried by the sketch",
       args => { arity("kll_summary", 1, args); QuantileSketches.KllSummary(args.head) }),
     ("regex_valid", "regex_valid(s) - true iff s compiles as a (Java) regular expression",
-      args => { arity("regex_valid", 1, args); RegexValid(args.head) })
+      args => { arity("regex_valid", 1, args); RegexValid(args.head) }),
+    ("pack_ints", "pack_ints(arr) - int array packed to little-endian int32 binary",
+      args => { arity("pack_ints", 1, args); PackInts(args.head) }),
+    ("token_stats_packed", "token_stats_packed(bin) - token_stats over a pack_ints binary payload",
+      args => { arity("token_stats_packed", 1, args); TokenStatsPacked(args.head) })
   )
 
   /** Register every custom function into a live session. */

@@ -120,7 +120,10 @@ class ChecksSpec extends SparkSpec {
       val total = kvs.map(_._2).sum
       val distinct = kvs.size.toLong
       val oov = kvs.collect { case ((_, t), c) if t < 0 || t >= vocab => c }.sum
-      src -> ((total, distinct, oov, distinct.toDouble / vocab))
+      // coverage counts IN-VOCAB distinct ids only (OOV ids are not
+      // vocabulary entries and must not push coverage past 1.0)
+      val inVocab = kvs.count { case ((_, t), _) => t >= 0 && t < vocab }.toLong
+      src -> ((total, distinct, oov, inVocab.toDouble / vocab))
     }
     assert(got === exp)
   }
