@@ -267,11 +267,14 @@ object ConstraintCompiler {
       case TypeIs("null") => (f.isNull, obsSelf)
       case TypeIs(_)  => (f.isNotNull, lit("null"))
 
-      // --- scalar bounds (PJS:_keywords.py:127-191) ---
-      case Minimum(b, false) => (gated(f >= lit(b)), obsSelf)
-      case Minimum(b, true)  => (gated(f > lit(b)), obsSelf)
-      case Maximum(b, false) => (gated(f <= lit(b)), obsSelf)
-      case Maximum(b, true)  => (gated(f < lit(b)), obsSelf)
+      // --- scalar bounds (PJS:_keywords.py:127-191); numLit keeps an
+      //     integral bound an INT literal so int/long columns compare
+      //     without a per-row double promotion (and bigint values past
+      //     2^53 compare exactly), same as the element-level path ---
+      case Minimum(b, false) => (gated(f >= numLit(b)), obsSelf)
+      case Minimum(b, true)  => (gated(f > numLit(b)), obsSelf)
+      case Maximum(b, false) => (gated(f <= numLit(b)), obsSelf)
+      case Maximum(b, true)  => (gated(f < numLit(b)), obsSelf)
       case MultipleOf(k)     => (gated(pmod(f.cast("double"), lit(k)) === lit(0.0)), obsSelf)
 
       // --- string (PJS:_keywords.py:215-240; Spark length() is
@@ -462,6 +465,14 @@ object ConstraintCompiler {
     */
   def failCounts(df: DataFrame, suite: Suite, fusedIntArrays: Set[String] = Set.empty): DataFrame = {
     val cs = suite.resolved.constraints.map(compile(_, fusedIntArrays))
+    // a suite whose keywords ALL discharge at compile time has zero row
+    // constraints: zero count rows, not a malformed stack(0) (round-4
+    // review; withVerdicts already documents the same vacuous case)
+    if (cs.isEmpty)
+      return withProfiles(df, fusedIntArrays).agg(count(lit(1)).as("__n"))
+        .select(lit(null).cast("string").as("constraint_id"),
+          lit(null).cast("long").as("fails"), col("__n").as("n_rows"))
+        .filter(lit(false))
     val aggCols = cs.zipWithIndex.map { case (c, i) =>
       sum(when(!c.pass, 1L).otherwise(0L)).as(s"__f$i")
     } :+ count(lit(1)).as("__n")
@@ -484,11 +495,13 @@ object ConstraintCompiler {
   def withVerdicts(df: DataFrame, suite: Suite, fusedIntArrays: Set[String]): DataFrame = {
     val cs = suite.resolved.constraints.map(compile(_, fusedIntArrays))
     val withCols = cs.foldLeft(withProfiles(df, fusedIntArrays))((d, c) => d.withColumn(c.id, c.pass))
-    // constraint ids contain dots — backtick-quote to avoid field-access
-    // parsing; a suite whose keywords all discharge at compile time
-    // (e.g. propertyNames every column name satisfies) has ZERO row
-    // constraints and every row is vacuously valid
-    withCols.withColumn("row_valid", cs.map(c => col(s"`${c.id}`")).foldLeft(lit(true))(_ && _))
+    // constraint ids contain dots — backtick-quote (doubling embedded
+    // backticks, which arbitrary suite-author property names may carry)
+    // to avoid field-access parsing; a suite whose keywords all
+    // discharge at compile time (e.g. propertyNames every column name
+    // satisfies) has ZERO row constraints and every row is vacuously valid
+    withCols.withColumn("row_valid",
+      cs.map(c => col(s"`${c.id.replace("`", "``")}`")).foldLeft(lit(true))(_ && _))
   }
 
   /** Keyword path of a constraint in the suite document, JSON-pointer
@@ -524,7 +537,15 @@ object ConstraintCompiler {
   def violations(df: DataFrame, suite: Suite, keyField: String = "doc_id", partField: String = "source",
                  fusedIntArrays: Set[String] = Set.empty,
                  observe: org.apache.spark.sql.Observation = null): DataFrame = {
-    val fails = filter(checksColumn(suite, fusedIntArrays), c => !c("pass"))
+    // a zero-constraint suite still streams rows (the observe() rows
+    // metric must count them) but its checks array is a VOID-typed
+    // array() that the filter lambda cannot field-extract — substitute
+    // a correctly-typed always-empty array (round-4 review)
+    val checks =
+      if (suite.resolved.constraints.isEmpty)
+        array().cast("array<struct<cid:string,pass:boolean,observed:string>>")
+      else checksColumn(suite, fusedIntArrays)
+    val fails = filter(checks, c => !c("pass"))
     val base = withProfiles(df, fusedIntArrays)
       .select(col(keyField), col(partField), fails.as("_fails"))
     val observed =
@@ -534,9 +555,13 @@ object ConstraintCompiler {
         sum(when(size(col("_fails")) > 0, 1L).otherwise(0L)).as("viol"))
     val fcs = suite.resolved.constraints
     // linear per-cid constant lookup (a when/otherwise FOLD would double
-    // the tree per constraint — same codegen blowup as Ann.ivfAssign)
+    // the tree per constraint — same codegen blowup as Ann.ivfAssign);
+    // a zero-constraint suite explodes an always-empty _fails array, so
+    // the lookup is never consulted — but coalesce() with ZERO args is
+    // an analysis error, so guard it (round-4 review)
     def byCid(v: FieldConstraint => String): Column =
-      coalesce(fcs.map(fc => when(col("constraint_id") === fc.id, lit(v(fc)))): _*)
+      if (fcs.isEmpty) lit(null).cast("string")
+      else coalesce(fcs.map(fc => when(col("constraint_id") === fc.id, lit(v(fc)))): _*)
     observed
       .select(col(keyField), col(partField), explode(col("_fails")).as("v"))
       .select(

@@ -183,9 +183,12 @@ final case class Suite(
 ) {
   /** Resolve all Ref nodes by inlining from `defs`, cycle-checked —
     * mirror of the reference resolver walk (REF:_core.py:653-698) done
-    * once at compile time so runtime has zero lookups.
+    * once at compile time so runtime has zero lookups. Memoized: every
+    * compile entry point (failCounts / withVerdicts / violations /
+    * checksColumn) reads it, and the inlining rewrite is pure — a def
+    * re-ran the whole tree rewrite on every call (round-4 review).
     */
-  def resolved: Suite = {
+  lazy val resolved: Suite = {
     import Constraint._
     def inline(c: Constraint, seen: Set[String]): Constraint = c match {
       case Ref(n) =>

@@ -162,16 +162,19 @@ object SuiteLoader {
     // gates active for the subschema being parsed (innermost first);
     // pushed by dependentSchemas (FieldPresent(trigger)), composed by AND
     var gateStack: List[Constraint] = Nil
-    // while parsing an anyOf/oneOf/not branch, marks are buffered here —
-    // the branch-validity gate only exists once the branch has parsed
-    var markSink: Option[scala.collection.mutable.ArrayBuffer[(String, List[Constraint])]] = None
-    // >0 while parsing a combinator branch: an unevaluatedProperties
-    // found there must raise (its annotation scope is the branch)
-    var branchDepth = 0
+    // While parsing an anyOf/oneOf/not branch (or an if/then/else arm),
+    // marks destined for the BRANCH frame and everything outer are
+    // buffered here — the branch-validity gate only exists once the
+    // branch has parsed. `bypass` is the frame count at sink install
+    // (branch frame included): frames pushed AFTER the sink (a $ref
+    // target's or dependentSchemas subschema's own annotation scope
+    // INSIDE the branch) must still receive marks directly, or their
+    // own unevaluatedProperties would resolve against an empty
+    // evaluated set (round-4 review, repro-pinned).
+    var markSink: Option[(scala.collection.mutable.ArrayBuffer[(String, List[Constraint])], Int)] = None
     def markEvaluated(field: String): Unit = commitMark(field, gateStack)
-    def commitMark(field: String, gates: List[Constraint]): Unit = markSink match {
-      case Some(buf) => buf += ((field, gates))
-      case None => frames.foreach { fr =>
+    private def commitTo(frs: List[UpFrame], field: String, gates: List[Constraint]): Unit =
+      frs.foreach { fr =>
         // gates RELATIVE to the frame: the gateStack suffix active when
         // the frame was pushed is the frame's own existence condition
         // (a dependentSchemas subschema's marks are UNCONDITIONAL within
@@ -185,6 +188,13 @@ object SuiteLoader {
             case gs       => AllOf(gs)
           })
       }
+    def commitToFrame(fr: UpFrame, field: String, gates: List[Constraint]): Unit =
+      commitTo(fr :: Nil, field, gates)
+    def commitMark(field: String, gates: List[Constraint]): Unit = markSink match {
+      case Some((buf, bypass)) =>
+        buf += ((field, gates))
+        commitTo(frames.dropRight(math.min(bypass, frames.length)), field, gates)
+      case None => commitTo(frames, field, gates)
     }
   }
   private val docStateVar = new scala.util.DynamicVariable[Option[DocParseState]](None)
@@ -442,18 +452,10 @@ object SuiteLoader {
       root: JsonNode, scope: Map[String, JsonNode], prefix: String, draft: Int,
       buf: scala.collection.mutable.ArrayBuffer[FieldConstraint],
       st: DocParseState): Unit = {
-    marks.foreach { case (f, gates) =>
-      val rel = gates.dropRight(math.min(fr.baseGates, gates.length))
-      if (rel.isEmpty) fr.evaluated += f
-      else fr.condEvaluated.getOrElseUpdate(f,
-        scala.collection.mutable.ArrayBuffer.empty) += (rel match {
-          case g :: Nil => g
-          case gs       => AllOf(gs)
-        })
-    }
+    marks.foreach { case (f, gates) => st.commitToFrame(fr, f, gates) }
     if (fr.up.nonEmpty) {
       val saved = st.markSink
-      st.markSink = Some(scala.collection.mutable.ArrayBuffer.empty)
+      st.markSink = Some((scala.collection.mutable.ArrayBuffer.empty, st.frames.length))
       try resolveUnevaluatedCore(fr, root, scope, prefix, identity, draft, buf, st)
       finally st.markSink = saved
       tableColumnsVar.value.foreach(c => marks += ((c, st.gateStack)))
@@ -613,35 +615,56 @@ object SuiteLoader {
           val branchNodes =
             if (kw == "not") Seq(entry.getValue) else entry.getValue.asScala.toSeq
           val branches = branchNodes.zipWithIndex.map { case (branch, i) =>
-            require(branch.isObject, s"doc-level $kw[$i] must be an object schema")
-            val buf = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
-            val marks = scala.collection.mutable.ArrayBuffer.empty[(String, List[Constraint])]
-            val (savedSink, st) = (docStateVar.value.map(_.markSink), docStateVar.value)
-            st.foreach { s =>
-              s.markSink = Some(marks); s.branchDepth += 1
-              s.frames = new UpFrame(s.gateStack.length) :: s.frames // r4b
+            // boolean branches are valid schemas: `true` asserts nothing
+            // and evaluates nothing, `false` admits nothing — both are
+            // load-bearing for oneOf's exactly-one count (round-4
+            // review: these used to raise)
+            if (branch.isBoolean)
+              (Seq.empty[FieldConstraint], Seq.empty[(String, List[Constraint])],
+                Some(Always(branch.asBoolean()): Constraint))
+            else {
+              require(branch.isObject, s"doc-level $kw[$i] must be an object or boolean schema")
+              val buf = scala.collection.mutable.ArrayBuffer.empty[FieldConstraint]
+              val marks = scala.collection.mutable.ArrayBuffer.empty[(String, List[Constraint])]
+              val (savedSink, st) = (docStateVar.value.map(_.markSink), docStateVar.value)
+              st.foreach { s =>
+                s.frames = new UpFrame(s.gateStack.length) :: s.frames // r4b
+                s.markSink = Some((marks, s.frames.length))
+              }
+              try parseObjectLevel(branch, localScope ++ nodeDefs(branch), root, "",
+                identity, activeRefs, buf, draft)
+              finally st.foreach { s =>
+                s.markSink = savedSink.flatten
+                val fr = s.frames.head
+                s.frames = s.frames.tail
+                // a uP in the branch is part of BRANCH validity (r4b)
+                resolveBranchFrame(fr, marks, root, localScope ++ nodeDefs(branch),
+                  "", draft, buf, s)
+              }
+              // an annotation-only branch ({} / title-only / bare
+              // properties with empty schemas) asserts nothing: it is
+              // Always(true) — but its MARKS still count (a branch
+              // {"properties":{"a":true}} evaluates key 'a' whenever
+              // the row matches, which is always)
+              (buf.toSeq, marks.toSeq, None)
             }
-            try parseObjectLevel(branch, localScope ++ nodeDefs(branch), root, "",
-              identity, activeRefs, buf, draft)
-            finally st.foreach { s =>
-              s.markSink = savedSink.flatten; s.branchDepth -= 1
-              val fr = s.frames.head
-              s.frames = s.frames.tail
-              // a uP in the branch is part of BRANCH validity (r4b)
-              resolveBranchFrame(fr, marks, root, localScope ++ nodeDefs(branch),
-                "", draft, buf, s)
-            }
-            require(buf.nonEmpty, s"doc-level $kw[$i] asserts nothing — cannot decompose")
-            (buf.toSeq, marks.toSeq)
           }
-          val bfield = branches.head._1.head.field
-          val per = branches.map { case (fcs, _) =>
-            val cs = fcs.map(fc =>
-              if (fc.field == bfield) fc.constraint else OnField(fc.field, fc.constraint))
-            if (cs.size == 1) cs.head else AllOf(cs)
+          // attribution field: first asserting branch's first field;
+          // all-constant combinators fall back to the first declared column
+          val bfield = branches.flatMap(_._1.headOption).headOption.map(_.field)
+            .orElse(tableColumnsVar.value.headOption)
+            .getOrElse(throw new IllegalArgumentException(
+              s"doc-level $kw has no asserting branch and no declared columns to anchor to"))
+          val per = branches.map {
+            case (_, _, Some(const))           => const
+            case (fcs, _, None) if fcs.isEmpty => Always(true)
+            case (fcs, _, None) =>
+              val cs = fcs.map(fc =>
+                if (fc.field == bfield) fc.constraint else OnField(fc.field, fc.constraint))
+              if (cs.size == 1) cs.head else AllOf(cs)
           }
           if (kw != "not")
-            branches.zip(per).foreach { case ((_, marks), branchGate) =>
+            branches.zip(per).foreach { case ((_, marks, _), branchGate) =>
               marks.foreach { case (f, gates) =>
                 // the gate must evaluate against the BRANCH's fields, not
                 // the unevaluated column it will guard — re-anchor
@@ -674,13 +697,13 @@ object SuiteLoader {
               val marks = scala.collection.mutable.ArrayBuffer.empty[(String, List[Constraint])]
               val (savedSink, st) = (docStateVar.value.map(_.markSink), docStateVar.value)
               st.foreach { s =>
-                s.markSink = Some(marks); s.branchDepth += 1
                 s.frames = new UpFrame(s.gateStack.length) :: s.frames // r4b
+                s.markSink = Some((marks, s.frames.length))
               }
               try parseObjectLevel(node, localScope ++ nodeDefs(node), root, "",
                 identity, activeRefs, buf, draft)
               finally st.foreach { s =>
-                s.markSink = savedSink.flatten; s.branchDepth -= 1
+                s.markSink = savedSink.flatten
                 val fr = s.frames.head
                 s.frames = s.frames.tail
                 // a uP in the arm is part of ARM validity (r4b)
@@ -1324,9 +1347,16 @@ object SuiteLoader {
   private def resolveFragmentWithRoot(ref: String, root: JsonNode,
                                       scope: Map[String, JsonNode]): (JsonNode, JsonNode) =
     if (ref == "#" || ref == "") (root, root)
-    else if (ref.startsWith("#/"))
-      (root, pointerWalk(root, ref.drop(2))
+    else if (ref.startsWith("#/")) {
+      // RFC 6901: "#/" is the pointer "/" — ONE empty segment (the
+      // ""-named member), NOT the document root ("#" alone is the root;
+      // round-4 review: drop(2) turned "#/" into the empty pointer)
+      val target =
+        if (ref == "#/") Option(root.get(""))
+        else pointerWalk(root, ref.drop(2))
+      (root, target
         .getOrElse(throw new IllegalArgumentException(s"unresolvable $$ref '$ref'")))
+    }
     else if (ref.startsWith("#"))
       (root, findAnchor(root, ref.drop(1))
         .getOrElse(throw new IllegalArgumentException(s"unresolvable $$anchor ref '$ref'")))
@@ -1408,6 +1438,10 @@ object SuiteLoader {
         case "multipleOf" =>
           // draft-3 spells this divisibleBy; multipleOf arrived in draft-4
           requireDraft("multipleOf", 4, draft)
+          // k ≤ 0: pmod-by-zero is SQL NULL, which the null gate would
+          // resolve to an unconditional PASS — a silent weakening; the
+          // reference raises (ZeroDivisionError), so the loader does too
+          require(v.asDouble() > 0, s"multipleOf must be > 0, got $v")
           cs += MultipleOf(v.asDouble())
         case "minLength" => cs += MinLength(v.asInt())
         case "maxLength" => cs += MaxLength(v.asInt())
@@ -1515,6 +1549,7 @@ object SuiteLoader {
         // dialect map claims draft-03, so its own keywords must load:
         // PJS:_legacy_keywords.py:152-229) ----
         case "divisibleBy" if draft <= 3 => // renamed multipleOf in draft-4
+          require(v.asDouble() > 0, s"divisibleBy must be > 0, got $v")
           cs += MultipleOf(v.asDouble())
         case "extends" if draft <= 3 => // became allOf in draft-4
           if (v.isArray) cs += AllOf(v.asScala.map(sub).toSeq) else cs += sub(v)

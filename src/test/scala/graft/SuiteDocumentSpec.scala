@@ -35,6 +35,75 @@ class SuiteDocumentSpec extends SparkSpec {
     assert(invalid > 0L) // the generator injects violations
   }
 
+  test("uP inside a $ref target inside a combinator branch sees the target's own marks") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // Reference semantics: the anyOf branch applies T; T's properties
+    // evaluate key 'a', so T's own unevaluatedProperties: false rejects
+    // only a PRESENT 'b'. A mark-routing bug that buffers branch marks
+    // past the ref target's frame resolves T's uP against an empty
+    // evaluated set and wrongly fails rows whose 'a' is present+valid.
+    val s = SuiteLoader.parseSuiteDocument(
+      """{"anyOf": [{"$ref": "#/$defs/T"}],
+         "$defs": {"T": {"properties": {"a": {"minLength": 1}},
+                         "unevaluatedProperties": false}}}""",
+      Nil, Seq("a", "b"))
+    val schema = StructType(Seq(StructField("a", StringType), StructField("b", StringType)))
+    val df = spark.createDataFrame(Seq(
+      Row("x", null), // a evaluated by T.properties; b absent -> valid
+      Row("x", "y"),  // b present and unevaluated -> T fails -> anyOf fails
+      Row(null, null) // nothing present -> valid
+    ).asJava, schema)
+    val got = ConstraintCompiler.withVerdicts(df, s)
+      .select("row_valid").collect().map(_.getBoolean(0)).toSeq
+    assert(got === Seq(true, false, true), s"verdicts: $got")
+  }
+
+  test("boolean combinator branches participate in oneOf counting") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // oneOf with an always-true branch: row valid iff the OTHER branch
+    // fails (exactly one must hold) — the reference validates this form
+    val s = SuiteLoader.parseSuiteDocument(
+      """{"oneOf": [{"properties": {"a": {"minLength": 3}}, "required": ["a"]}, true]}""",
+      Nil, Seq("a"))
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val df = spark.createDataFrame(Seq(
+      Row("abc"), // first branch holds AND true holds -> two -> invalid
+      Row("x")    // only the true branch holds -> exactly one -> valid
+    ).asJava, schema)
+    val got = ConstraintCompiler.withVerdicts(df, s)
+      .select("row_valid").collect().map(_.getBoolean(0)).toSeq
+    assert(got === Seq(false, true), s"verdicts: $got")
+  }
+
+  test("multipleOf 0 raises at load instead of silently passing everything") {
+    val e = intercept[IllegalArgumentException](SuiteLoader.parseSuiteDocument(
+      """{"properties": {"n_tok": {"multipleOf": 0}}}"""))
+    assert(e.getMessage.contains("multipleOf"))
+  }
+
+  test("ref '#/' resolves the empty-named member per RFC 6901, not the root") {
+    // with no ""-member the ref is unresolvable (the reference raises
+    // too); resolving it to the ROOT would inline the whole document
+    // (usually a spurious circular-ref report) instead
+    val e = intercept[IllegalArgumentException](SuiteLoader.parseSuiteDocument(
+      """{"properties": {"doc_id": {"$ref": "#/"}}}"""))
+    assert(e.getMessage.contains("unresolvable"), e.getMessage)
+  }
+
+  test("zero-constraint suite: failCounts and violations degrade to empty, not crash") {
+    val s = SuiteLoader.parseSuiteDocument(
+      """{"additionalProperties": true}""", Nil, Seq("doc_id"))
+    assert(s.constraints.isEmpty)
+    val df = graft.gen.TokenData.tokenTable(spark, 100L, parallelism = 2)
+    val fc = ConstraintCompiler.failCounts(df, s)
+    assert(fc.columns.toSeq === Seq("constraint_id", "fails", "n_rows") && fc.count() === 0L)
+    assert(ConstraintCompiler.violations(df, s).count() === 0L)
+  }
+
   test("engine extension keyword x-eqLengthOf parses and compiles") {
     val s = SuiteLoader.parseSuiteDocument(
       """{"properties": {"n_chars": {"x-eqLengthOf": "text"}}}""")
