@@ -292,9 +292,14 @@ object RelationalQueries {
          FROM orders) WHERE rk <= 3""".replaceAll("\\s+", " "),
 
     "q_semi_anti" ->
+      // EXISTS / NOT EXISTS, not IN / NOT IN: left_anti keeps every
+      // unmatched row even when the probe side contains NULL keys,
+      // while NOT IN returns ZERO rows on any NULL — the oracle must
+      // mirror the engine's null semantics, not SQL's three-valued IN
+      // (round-4 review; latent until the generator emits NULL keys)
       """SELECT
-         (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders))::BIGINT AS with_orders,
-         (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))::BIGINT AS without_orders""".replaceAll("\\s+", " "),
+         (SELECT count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT AS with_orders,
+         (SELECT count(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT AS without_orders""".replaceAll("\\s+", " "),
 
     "q_rollup_orders" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,

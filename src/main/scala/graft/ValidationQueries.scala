@@ -56,6 +56,20 @@ object ValidationQueries {
     */
   val Severity: Map[String, Int] = graft.suite.Relevance.severityMap(NorthStar.suite)
 
+  /** The ONE severity-ranking expression, shared by [[topViolations]]
+    * and [[bestViolation]] (and mirrored by [[severitySql]] for the two
+    * oracle CASEs) so the rankings cannot drift apart (round-4 review).
+    */
+  private def severityExpr: org.apache.spark.sql.Column = Severity.foldLeft(lit(0)) {
+    case (acc, (cid, w)) => when(col("constraint_id") === cid, lit(w)).otherwise(acc)
+  }
+
+  /** DuckDB mirror of [[severityExpr]], generated from the same map. */
+  private def severitySql: String =
+    "CASE constraint_id " + Severity.toSeq.sortBy(_._1).map { case (cid, w) =>
+      s"WHEN '$cid' THEN $w"
+    }.mkString(" ") + " ELSE 0 END"
+
   /** Two-phase top-k (round-1 VERDICT item 4): a single
     * Window.partitionBy(source) would shuffle EVERY violation to
     * |sources| (=5) reducers — on a bad day (billions of violations,
@@ -69,9 +83,7 @@ object ValidationQueries {
     */
   def topViolations(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sev = Severity.foldLeft(lit(0)) { case (acc, (cid, w)) =>
-      when(col("constraint_id") === cid, lit(w)).otherwise(acc)
-    }
+    val sev = severityExpr
     // NULL doc_ids are real (doc_id.required violations); pin their sort
     // position EXPLICITLY — Spark's bare asc is NULLS FIRST but DuckDB's
     // bare ASC is NULLS LAST, and an implicit mismatch would let the two
@@ -104,9 +116,7 @@ object ValidationQueries {
     */
   def bestViolation(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sev = Severity.foldLeft(lit(0)) { case (acc, (cid, w)) =>
-      when(col("constraint_id") === cid, lit(w)).otherwise(acc)
-    }
+    val sev = severityExpr
     // the ordering must be TOTAL over the OUTPUT columns: duplicated
     // doc_ids (they exist — v_dup_doc_ids) emit the same violation from
     // several rows differing only in source/observed, so those join the
@@ -207,11 +217,16 @@ object ValidationQueries {
         zip_with(sequence(lit(1), size(col("w"))), col("w"),
           (i, t) => i.cast("long") * t),
         lit(0L), (acc, x) => acc + x), lit(0L)).as("ck"))
+    // checksum accumulates in DECIMAL(38,0) — per-window ck is up to
+    // ~5e9, so a LONG accumulator wraps within the 10^12-row design
+    // scale while DuckDB's sum(BIGINT) is already HUGEINT (the sumCents
+    // rule, RelationalQueries). Emitted as the exact digit STRING so
+    // both engines stringify identically reader-independently.
     m.groupBy(col("source")).agg(
       count(lit(1)).as("n_windows"),
       sum((col("len") === ChunkW).cast("long")).as("n_full"),
       sum(col("len").cast("long")).as("sum_len"),
-      sum(col("ck")).as("content_checksum"))
+      sum(col("ck").cast("decimal(38,0)")).cast("string").as("content_checksum"))
   }
 
   /** CONSTRAINT SUGGESTION (the profile->suite direction): derive a
@@ -549,9 +564,7 @@ object ValidationQueries {
       val viols = duckChecks.map { case (cid, failp, obs) =>
         s"SELECT doc_id, '$cid' AS constraint_id, $obs AS observed, source, ${fidelityCols(cid)} FROM $T WHERE $failp"
       }.mkString(" UNION ALL ")
-      val sev = "CASE constraint_id " + Severity.toSeq.sortBy(_._1).map { case (cid, w) =>
-        s"WHEN '$cid' THEN $w"
-      }.mkString(" ") + " ELSE 0 END"
+      val sev = severitySql
       s"""WITH viols AS ($viols),
          ranked AS (SELECT *, $sev AS severity,
            row_number() OVER (PARTITION BY source ORDER BY $sev DESC, doc_id ASC NULLS FIRST, constraint_id ASC) AS rk
@@ -655,9 +668,7 @@ object ValidationQueries {
       val viols = duckChecks.map { case (cid, failp, obs) =>
         s"SELECT doc_id, '$cid' AS constraint_id, $obs AS observed, source, ${fidelityCols(cid)} FROM $T WHERE $failp"
       }.mkString(" UNION ALL ")
-      val sev = "CASE constraint_id " + Severity.toSeq.sortBy(_._1).map { case (cid, w) =>
-        s"WHEN '$cid' THEN $w"
-      }.mkString(" ") + " ELSE 0 END"
+      val sev = severitySql
       s"""WITH viols AS ($viols),
          ranked AS (SELECT *, $sev AS severity,
            row_number() OVER (PARTITION BY doc_id ORDER BY $sev DESC, constraint_id ASC,
@@ -794,7 +805,7 @@ object ValidationQueries {
          SELECT source, count(*)::BIGINT AS n_windows,
            sum(CASE WHEN l = $ChunkW THEN 1 ELSE 0 END)::BIGINT AS n_full,
            sum(l)::BIGINT AS sum_len,
-           sum(ck)::BIGINT AS content_checksum
+           sum(ck)::VARCHAR AS content_checksum
          FROM m GROUP BY source""".replaceAll("\\s+", " "),
 
     "v_suggest_suite" ->

@@ -93,12 +93,18 @@ object TokenData {
     val sfName = new java.io.File(sfDir).getName
     val out = s"$dataRoot/$sfName/token_seqs"
     val success = new java.io.File(s"$out/_SUCCESS")
-    if (!success.exists()) synchronized {
-      if (!success.exists()) {
+    // each artifact keyed on its OWN _SUCCESS marker: a crash between
+    // the two writes must not leave a permanently half-initialized dir
+    // (tokens committed, allowed_sources missing — round-4 review); the
+    // cheap dimension is simply re-written on the next call
+    val allowedOk = new java.io.File(
+      s"$dataRoot/$sfName/allowed_sources/_SUCCESS")
+    if (!success.exists() || !allowedOk.exists()) synchronized {
+      if (!success.exists())
         writeTokens(tokenTable(spark, rowsFor(sfName)), out)
+      if (!allowedOk.exists())
         allowedSources(spark).coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$dataRoot/$sfName/allowed_sources")
-      }
     }
     out
   }

@@ -27,9 +27,21 @@ class PartitionedParquetIO(partCol: String = "source") extends TableIO {
   override def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Note: the FILTER column is the `partCol` argument (per the trait
+    * contract — callers may prune on any column); the constructor's
+    * `partCol` governs only the write layout. The Hive null-partition
+    * sentinel selects the NULL slice via isNull — a bare isin never
+    * matches NULL, which would silently return zero rows for the one
+    * partition value the rest of the engine round-trips (round-4
+    * review).
+    */
   override def readPartitions(spark: SparkSession, path: String, partCol: String, parts: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(path).filter(col(partCol).isin(parts: _*))
+    val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    val (nulls, vals) = parts.partition(_ == sentinel)
+    val base = if (vals.nonEmpty) col(partCol).isin(vals: _*) else org.apache.spark.sql.functions.lit(false)
+    val pred = if (nulls.nonEmpty) base || col(partCol).isNull else base
+    spark.read.parquet(path).filter(pred)
   }
 }
 

@@ -55,27 +55,43 @@ object ValidateJob {
   final case class PartState(files: Set[String], rows: Long, violations: Long,
       hasLineage: Boolean = true)
 
+  /** Manifest line codec: a REAL JSON parser/emitter (Jackson, already
+    * on the Spark classpath), not regexes — a partition value or file
+    * name containing a quote or backslash round-trips correctly instead
+    * of corrupting the record and silently mis-attributing lineage to a
+    * prefix-named partition (round-4 review).
+    */
+  private val manifestMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def completedDetail(checkpointDir: String, hash: String): Map[String, PartState] = {
     val f = Paths.get(checkpointDir, "manifest.jsonl")
     if (!Files.exists(f)) return Map.empty
     val byPart = scala.collection.mutable.LinkedHashMap.empty[String, Option[PartState]]
     Files.readAllLines(f).forEach { raw =>
       // torn-write tolerance: records are newline-bracketed on write, so
-      // a crash-truncated fragment is alone on its line — reject any
-      // line that is not one complete {...} record instead of parsing
-      // whatever fields survived the tear
+      // a crash-truncated fragment is alone on its line — a line that
+      // does not parse as one complete JSON object is rejected outright
+      // instead of salvaging whatever fields survived the tear
       val line = raw.trim
-      if (line.startsWith("{") && line.endsWith("}")) {
-      val part = """"partition":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
-      val h = """"suiteHash":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
-      val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
-      val viol = """"violations":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+      val node =
+        if (line.startsWith("{") && line.endsWith("}"))
+          try manifestMapper.readTree(line) catch { case _: Exception => null }
+        else null
+      if (node != null && node.isObject) {
+      def strField(n: String): Option[String] =
+        Option(node.get(n)).filter(_.isTextual).map(_.asText)
+      def longField(n: String): Option[Long] =
+        Option(node.get(n)).filter(_.canConvertToLong).map(_.asLong)
+      val part = strField("partition")
+      val h = strField("suiteHash")
+      val rows = longField("rows")
+      val viol = longField("violations")
       // files field ABSENT (pre-lineage manifest) is distinct from
       // PRESENT-but-empty (a validated empty or non-partitioned slice):
       // only the former falls back to whole-partition skip semantics
-      val filesOpt = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(line)
-        .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty))
+      val filesOpt = Option(node.get("files")).filter(_.isArray).map { arr =>
+        (0 until arr.size).map(i => arr.get(i).asText).filter(_.nonEmpty)
+      }
       (part, h, rows, viol) match {
         // a later entry under a DIFFERENT hash invalidates the partition
         case (Some(p), Some(hh), Some(r), Some(v)) =>
@@ -107,16 +123,22 @@ object ValidateJob {
 
   def appendManifest(checkpointDir: String, e: ManifestEntry): Unit = {
     Files.createDirectories(Paths.get(checkpointDir))
-    val filesJson = e.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    val node = manifestMapper.createObjectNode()
+    node.put("partition", e.partition)
+    node.put("suiteHash", e.suiteHash)
+    node.put("rows", e.rows)
+    node.put("violations", e.violations)
+    node.put("wallMs", e.wallMs)
+    node.put("ts", e.ts)
+    val arr = node.putArray("files")
+    e.files.foreach(arr.add)
     // Leading newline = torn-write guard: a crash can leave a PARTIAL
     // previous line (at scale the files array spans several write
     // syscalls), and appending directly onto it would merge two records
-    // into one line whose first-match-per-field parse reads the STALE
-    // entry's counts with the new entry's file list — permanently wrong
-    // lineage. Starting every record on a fresh line isolates the torn
-    // fragment, and completedDetail rejects non-{...} lines outright.
-    val line = s"""\n{"partition":"${e.partition}","suiteHash":"${e.suiteHash}","rows":${e.rows},""" +
-      s""""violations":${e.violations},"wallMs":${e.wallMs},"ts":${e.ts},"files":$filesJson}\n"""
+    // into one line that parses with the STALE entry's counts — starting
+    // every record on a fresh line isolates the torn fragment, and
+    // completedDetail rejects unparseable lines outright.
+    val line = "\n" + manifestMapper.writeValueAsString(node) + "\n"
     Files.write(Paths.get(checkpointDir, "manifest.jsonl"), line.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -128,9 +150,7 @@ object ValidateJob {
     */
   def listPartFiles(spark: SparkSession, tablePath: String, partitionCol: String,
                     p: String): Seq[String] = {
-    val dirName = if (p == NullPartition) s"$partitionCol=$NullPartition"
-      else s"$partitionCol=${escapePathName(p)}"
-    val hPath = new org.apache.hadoop.fs.Path(s"$tablePath/$dirName")
+    val hPath = new org.apache.hadoop.fs.Path(s"$tablePath/${partDirName(partitionCol, p)}")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return Seq.empty
     fs.listStatus(hPath).toSeq
@@ -165,6 +185,17 @@ object ValidateJob {
     */
   private[graft] def escapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
+  /** THE Hive directory name for one partition value — the single
+    * encoder shared by file listing (fingerprinting) and file reading
+    * (incremental slices), so lineage paths always resolve the exact
+    * directories that were fingerprinted (round-4 review: this was
+    * hand-copied in three places). The null sentinel is already a
+    * literal directory name and must not be %-escaped.
+    */
+  private[graft] def partDirName(partitionCol: String, p: String): String =
+    if (p == NullPartition) s"$partitionCol=$NullPartition"
+    else s"$partitionCol=${escapePathName(p)}"
 
   /** Hive's directory name for NULL partition values. A partition list
     * containing it must be validated with an `isNull` filter — a literal
@@ -290,9 +321,8 @@ object ValidateJob {
       case (_, Skip, _) => ()
       case (p, Incremental(newFiles, prev), nowFiles) =>
         val t0 = System.currentTimeMillis()
-        val dirName = if (p == NullPartition) s"$partitionCol=$NullPartition"
-          else s"$partitionCol=${escapePathName(p)}"
-        val paths = newFiles.map(f => s"$tablePath/$dirName/${f.takeWhile(_ != ':')}")
+        val paths = newFiles.map(f =>
+          s"$tablePath/${partDirName(partitionCol, p)}/${f.takeWhile(_ != ':')}")
         // basePath re-derives the partition column from the dir name
         val slice = spark.read.option("basePath", tablePath).parquet(paths: _*)
         // intent marker bracketing the non-idempotent append: present
@@ -317,12 +347,11 @@ object ValidateJob {
         // layouts (no per-partition listing) keep the filter path; the
         // partition-pruning pushdown is identical either way.
         val slice =
-          if (nowFiles.nonEmpty) {
-            val dirName = if (p == NullPartition) s"$partitionCol=$NullPartition"
-              else s"$partitionCol=${escapePathName(p)}"
+          if (nowFiles.nonEmpty)
             spark.read.option("basePath", tablePath)
-              .parquet(nowFiles.map(f => s"$tablePath/$dirName/${f.takeWhile(_ != ':')}"): _*)
-          } else table.filter(partitionFilter(partitionCol, p))
+              .parquet(nowFiles.map(f =>
+                s"$tablePath/${partDirName(partitionCol, p)}/${f.takeWhile(_ != ':')}"): _*)
+          else table.filter(partitionFilter(partitionCol, p))
         val (rows, viol) = validatePartition(slice, suite, outDir, p, fused)
         appendManifest(checkpointDir, ManifestEntry(p, hash, rows, viol,
           System.currentTimeMillis() - t0, System.currentTimeMillis(),

@@ -232,7 +232,10 @@ class ChecksSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length === 1,
       s"chunking must be generate + one rollup:\n$plan")
     val got = q.collect().map(r =>
-      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        // content_checksum is an exact digit string (DECIMAL(38,0)
+        // accumulator — long wraps at the design scale)
+        r.getString(4).toLong))).toMap
     val (wSz, st) = (ValidationQueries.ChunkW, ValidationQueries.ChunkS)
     val rows = TokenData.read(spark, dir).select("source", "tokens").collect()
       .map(r => (r.getString(0), r.getSeq[Int](1)))

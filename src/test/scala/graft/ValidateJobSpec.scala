@@ -203,6 +203,42 @@ class ValidateJobSpec extends SparkSpec {
     assert(st("web").files == Set("a:1", "b:2"))
   }
 
+  test("manifest round-trips partition values and file names containing quotes/backslashes") {
+    val ckpt = tmp("esc")
+    // a Hive-unescaped partition value can contain ANY character; the
+    // manifest codec must round-trip it exactly — a regex-era parse
+    // captured up to the first quote and credited a prefix-named
+    // partition with this one's lineage (round-4 review)
+    val nasty = """we"b\x"""
+    val files = Seq("""part-"0000".snappy.parquet:12""", "plain:3")
+    ValidateJob.appendManifest(ckpt,
+      ValidateJob.ManifestEntry(nasty, "h1", 7, 2, 1, 2, files))
+    ValidateJob.appendManifest(ckpt,
+      ValidateJob.ManifestEntry("web", "h1", 100, 0, 1, 2, Seq("a:1")))
+    val st = ValidateJob.completedDetail(ckpt, "h1")
+    assert(st.keySet == Set(nasty, "web"), s"partitions: ${st.keySet}")
+    assert(st(nasty).rows == 7 && st(nasty).files == files.toSet)
+    assert(st("web").rows == 100 && st("web").files == Set("a:1"))
+  }
+
+  test("readPartitions selects the NULL slice via the Hive sentinel") {
+    val io = new PartitionedParquetIO("source")
+    val path = tmp("ionull")
+    val df = TokenData.tokenTable(spark, 1000, 4)
+      .withColumn("source", when(col("n_tok") % 7 === 0, lit(null: String))
+        .otherwise(col("source")))
+    io.write(df, path)
+    val nulls = io.readPartitions(spark, path, "source",
+      Seq(ValidateJob.NullPartition))
+    assert(nulls.count() > 0, "null slice must be selectable")
+    assert(nulls.filter(col("source").isNotNull).count() == 0)
+    val mixed = io.readPartitions(spark, path, "source",
+      Seq("wiki", ValidateJob.NullPartition))
+    val srcs = mixed.select("source").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(srcs == Set(Some("wiki"), None), s"got $srcs")
+  }
+
   test("partition discovery reads directory names, not table data") {
     val table = tmp("disc")
     new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
