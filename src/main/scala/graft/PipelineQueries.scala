@@ -67,6 +67,32 @@ object PipelineQueries {
     graft.compilex.ConstraintCompiler.failCounts(docs(s, dir), DocSuite)
 
   /** Per-document quality signals (single projection). */
+  /** Unicode NFC normalization audit per lang — normalize-before-dedup
+    * via the codegen'd [[graft.functions.NfcNormalize]] scalar (map-only
+    * projection + one 5-row rollup; the expression's ASCII/quick-check
+    * fast paths make it allocation-free on already-normalized text).
+    * The synthetic docs are pure ASCII (trivially NFC), so the audit
+    * runs on a DERIVED decomposed variant — every 'e' followed by
+    * U+0301 COMBINING ACUTE, which canonical composition must fold to
+    * 'é' (U+00E9) — built identically in both engines, so the DuckDB
+    * `nfc_normalize` oracle pins real composition work, not the fast
+    * path. Code-point totals shrink by exactly one per composed pair
+    * and the distinct-content count must survive normalization.
+    */
+  def normalizeAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc_normalize
+    docs(s, dir)
+      .select(col("lang"), regexp_replace(col("text"), "e", "e\u0301").as("dtext"))
+      .withColumn("ntext", nfc_normalize(col("dtext")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ntext") =!= col("dtext"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("dtext")).cast("long")).as("chars_decomposed"),
+        sum(length(col("ntext")).cast("long")).as("chars_nfc"),
+        countDistinct(md5(col("ntext"))).as("n_distinct_nfc"))
+  }
+
   def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"), col("lang"),
@@ -974,6 +1000,7 @@ object PipelineQueries {
     "d_doc_tags" -> (docTagChecks _),
     "d_doc_suite" -> (docSuiteChecks _),
     "d_dedup_exact" -> (dedupExact _),
+    "d_normalize" -> (normalizeAudit _),
     "d_quality" -> (quality _),
     "d_token_counts" -> (tokenCounts _),
     "d_fingerprints" -> (fingerprints _),
@@ -1199,6 +1226,18 @@ object PipelineQueries {
          count(DISTINCT md5(text))::BIGINT AS n_distinct,
          (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_rows
          FROM documents GROUP BY source""".replaceAll("\\s+", " "),
+
+    // chr(769) = U+0301 COMBINING ACUTE — the decomposed pair NFC must
+    // compose; length() counts code points in both engines
+    "d_normalize" ->
+      """WITH d AS (SELECT lang, regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dtext FROM documents),
+         n AS (SELECT lang, dtext, nfc_normalize(dtext) AS ntext FROM d)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN ntext != dtext THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+           sum(length(dtext))::BIGINT AS chars_decomposed,
+           sum(length(ntext))::BIGINT AS chars_nfc,
+           count(DISTINCT md5(ntext))::BIGINT AS n_distinct_nfc
+         FROM n GROUP BY lang""".replaceAll("\\s+", " "),
 
     "d_quality" ->
       s"""SELECT doc_id, lang,

@@ -136,6 +136,34 @@ object ValidationQueries {
   def dupDocIds(s: SparkSession, dir: String): DataFrame =
     Uniqueness.duplicateKeys(toks(s, dir), "doc_id")
 
+  /** Exact CONTENT-level duplicate sequences per source: two rows with
+    * different doc_ids but identical token arrays are the same training
+    * sequence — the dedup axis v_dup_doc_ids (key identity) does not
+    * see. Content key = md5 over the comma-joined elements (null
+    * elements → a sentinel, empty array → md5("")), so DuckDB recomputes
+    * every hash exactly. Two-phase: groupBy(source, hash) collapses
+    * map-side (each partition emits one row per distinct local content),
+    * then the per-source rollup aggregates ≤ #distinct rows — no row
+    * ever carries its token array across the shuffle, only the 32-byte
+    * hash. At 10^12 rows the shuffle is bounded by distinct-content
+    * cardinality, and a pathological all-identical corpus still spreads:
+    * the first phase keys on (source, hash) across input partitions.
+    */
+  def seqDupContent(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat_ws(",",
+      transform(col("tokens"), x => coalesce(x.cast("string"), lit("~")))))
+    toks(s, dir)
+      .filter(col("tokens").isNotNull)
+      .select(col("source"), h.as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_seqs"),
+        (sum(col("c")) - count(lit(1))).as("dup_rows"),
+        max(col("c")).as("max_group"))
+  }
+
   /** Referential violations per source: broadcast left-anti join. */
   def referential(s: SparkSession, dir: String): DataFrame =
     Referential.violations(toks(s, dir), TokenData.readAllowed(s, dir))
@@ -582,6 +610,18 @@ object ValidationQueries {
     "v_dup_doc_ids" ->
       s"SELECT doc_id, count(*)::BIGINT AS dup_count FROM $T GROUP BY doc_id HAVING count(*) > 1",
 
+    // array_to_string(NULL-coalesced) of an EMPTY list is NULL in
+    // DuckDB — coalesce to '' so empty sequences hash like Spark's
+    // concat_ws (md5("")), forming the duplicate group they are
+    "v_seq_dup_content" ->
+      s"""WITH t AS (SELECT source,
+           md5(coalesce(array_to_string(list_transform(tokens, x -> coalesce(x::VARCHAR, '~')), ','), '')) AS h
+           FROM $T WHERE tokens IS NOT NULL),
+         g AS (SELECT source, h, count(*) AS c FROM t GROUP BY source, h)
+         SELECT source, count(*)::BIGINT AS n_distinct, sum(c)::BIGINT AS n_seqs,
+           (sum(c) - count(*))::BIGINT AS dup_rows, max(c)::BIGINT AS max_group
+         FROM g GROUP BY source""".replaceAll("\\s+", " "),
+
     "v_referential" ->
       s"SELECT source, count(*)::BIGINT AS bad_rows FROM $T WHERE source NOT IN (SELECT source FROM $DIM WHERE active) GROUP BY source",
 
@@ -874,6 +914,7 @@ object ValidationQueries {
     "v_violations" -> (violations _),
     "v_verdict_by_source" -> (verdictBySource _),
     "v_dup_doc_ids" -> (dupDocIds _),
+    "v_seq_dup_content" -> (seqDupContent _),
     "v_referential" -> (referential _),
     "v_stats" -> (stats _),
     "v_ntok_hist" -> (ntokHist _),

@@ -74,6 +74,8 @@ object GraftFunctions {
       args => { arity("kll_summary", 1, args); QuantileSketches.KllSummary(args.head) }),
     ("regex_valid", "regex_valid(s) - true iff s compiles as a (Java) regular expression",
       args => { arity("regex_valid", 1, args); RegexValid(args.head) }),
+    ("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical normalization of a string",
+      args => { arity("nfc_normalize", 1, args); NfcNormalize(args.head) }),
     ("pack_ints", "pack_ints(arr) - int array packed to little-endian int32 binary",
       args => { arity("pack_ints", 1, args); PackInts(args.head) }),
     ("token_stats_packed", "token_stats_packed(bin) - token_stats over a pack_ints binary payload",

@@ -66,6 +66,31 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("nfc_normalize from SQL: composes, is idempotent, keeps ASCII identical, null-propagates") {
+    val r = spark.sql(
+      """SELECT nfc_normalize('éclair') AS composed,
+        |       nfc_normalize(nfc_normalize('éclair')) AS twice,
+        |       nfc_normalize('plain ascii') AS ascii,
+        |       nfc_normalize(CAST(NULL AS STRING)) AS n""".stripMargin).head()
+    assert(r.getString(0) === "éclair")        // e + U+0301 -> é
+    assert(r.getString(1) === r.getString(0))       // idempotent
+    assert(r.getString(2) === "plain ascii")        // ASCII fast path
+    assert(r.isNullAt(3))
+  }
+
+  test("nfc_normalize matches java.text.Normalizer on mixed inputs (codegen path)") {
+    val inputs = Seq(
+      "Ångström",    // Å + ö from combining marks
+      "Ångström",      // already composed — quick-check path
+      "ｶﾀｶﾅ half-width stays",   // compatibility chars NFC must NOT fold
+      "mixed é and é forms", "")
+    import spark.implicits._
+    val got = inputs.toDF("s")
+      .selectExpr("nfc_normalize(s) AS n").as[String].collect().toSeq
+    val want = inputs.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got === want)
+  }
+
   test("GraftExtensions injects the same surface without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-list smoke: no throw
