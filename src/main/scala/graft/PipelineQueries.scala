@@ -93,6 +93,19 @@ object PipelineQueries {
         countDistinct(md5(col("ntext"))).as("n_distinct_nfc"))
   }
 
+  /** Per-doc character-level Shannon entropy (bits/char) via the
+    * codegen'd [[graft.functions.CharEntropy]] scalar — the cheap junk
+    * detector (near-zero = degenerate repetition, implausibly high =
+    * random noise) a curation funnel thresholds on. Pure map-side
+    * projection; rounded to 6 dp so DuckDB's independent summation
+    * order hashes identically.
+    */
+  def charEntropyPerDoc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CharEntropy.char_entropy
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      round(char_entropy(col("text")), 6).as("entropy"))
+  }
+
   def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"), col("lang"),
@@ -1001,6 +1014,7 @@ object PipelineQueries {
     "d_doc_suite" -> (docSuiteChecks _),
     "d_dedup_exact" -> (dedupExact _),
     "d_normalize" -> (normalizeAudit _),
+    "d_entropy" -> (charEntropyPerDoc _),
     "d_quality" -> (quality _),
     "d_token_counts" -> (tokenCounts _),
     "d_fingerprints" -> (fingerprints _),
@@ -1238,6 +1252,18 @@ object PipelineQueries {
            sum(length(ntext))::BIGINT AS chars_nfc,
            count(DISTINCT md5(ntext))::BIGINT AS n_distinct_nfc
          FROM n GROUP BY lang""".replaceAll("\\s+", " "),
+
+    // empty docs would drop out of the unnest — LEFT JOIN + coalesce(0)
+    // mirrors char_entropy("") = 0.0
+    "d_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(list_transform(range(1, length(text)+1), i -> substr(text, i::INT, 1))) AS ch
+           FROM documents),
+         f AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+         t AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id),
+         e AS (SELECT f.doc_id, -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS h
+           FROM f JOIN t ON f.doc_id = t.doc_id GROUP BY f.doc_id)
+         SELECT d.doc_id, d.lang, round(coalesce(e.h, 0.0), 6) AS entropy
+         FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".replaceAll("\\s+", " "),
 
     "d_quality" ->
       s"""SELECT doc_id, lang,

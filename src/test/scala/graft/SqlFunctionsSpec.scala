@@ -91,6 +91,28 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("char_entropy from SQL: textbook values, empty = 0, null propagates") {
+    val r = spark.sql(
+      """SELECT round(char_entropy('aab'), 6) AS h1,
+        |       char_entropy('abcd') AS h2,
+        |       char_entropy('aaaa') AS h3,
+        |       char_entropy('') AS h4,
+        |       char_entropy(CAST(NULL AS STRING)) AS h5""".stripMargin).head()
+    assert(r.getDouble(0) === 0.918296) // -(2/3·log2(2/3) + 1/3·log2(1/3))
+    assert(r.getDouble(1) === 2.0)      // 4 distinct of 4
+    assert(r.getDouble(2) === 0.0)      // degenerate repetition
+    assert(r.getDouble(3) === 0.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("char_entropy counts code points, not UTF-16 units") {
+    // 😀 is a surrogate pair: "😀😀" is ONE symbol repeated -> 0 bits;
+    // "😀a" is two equiprobable symbols -> 1 bit
+    val r = spark.sql("SELECT char_entropy('😀😀') AS a, char_entropy('😀a') AS b").head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 1.0)
+  }
+
   test("GraftExtensions injects the same surface without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-list smoke: no throw
