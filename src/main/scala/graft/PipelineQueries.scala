@@ -1262,7 +1262,8 @@ object PipelineQueries {
          t AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id),
          e AS (SELECT f.doc_id, -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS h
            FROM f JOIN t ON f.doc_id = t.doc_id GROUP BY f.doc_id)
-         SELECT d.doc_id, d.lang, round(coalesce(e.h, 0.0), 6) AS entropy
+         SELECT d.doc_id, d.lang,
+           CASE WHEN d.text IS NULL THEN NULL ELSE round(coalesce(e.h, 0.0), 6) END AS entropy
          FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".replaceAll("\\s+", " "),
 
     "d_quality" ->
