@@ -276,6 +276,36 @@ object PipelineQueries {
         sum(when(col("is_dropped").isNull, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** QUALITY-AWARE dedup keep (the production keep rule): within each
+    * near-dup cluster keep the HIGHEST-[[modelScore]] member (ties →
+    * lowest doc_id), not the min-id canonical — near-dup groups mix a
+    * clean original with boilerplate-wrapped copies, and min-id picks
+    * arbitrarily. Per-source ledger over CLUSTERED docs only, plus the
+    * count of clusters whose quality keeper differs from the min-id
+    * rule (how often the cheap rule gets it wrong). Scale shape: the
+    * components frame joins the scored corpus on doc_id (well-spread
+    * shuffle key; no broadcast hint — at web scale clustered docs are
+    * 30-50% of the corpus), then ONE window over cluster_id
+    * (fine-grained, cluster sizes bounded by the LSH bucket cap).
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.pipeline.ConnectedComponents.components(
+        lshPairs(s, dir).filter(col("is_dup")).select(col("id_a"), col("id_b")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val scored = docs(s, dir).select(col("doc_id"), col("source"), modelScore.as("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    comp.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_clustered"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") === 1 && col("doc_id") =!= col("cluster_id"), 1L)
+          .otherwise(0L)).as("n_keep_differs_minid"))
+  }
+
   // ---- shared curation-pipeline pieces (decontam / dedup / funnel /
   //      the end-to-end d_curate_ledger + CurateJob) -------------------
 
@@ -728,15 +758,20 @@ object PipelineQueries {
     * counts at the threshold plus the score-decile histogram — integer
     * counts only, no cross-row double sums.
     */
+  /** The model-stub quality score column — weights are exact binary
+    * fractions over round-6 TextOps signals, so the score bits are
+    * engine-independent. ONE definition shared by [[qualityScore]] and
+    * the quality-aware dedup keep rule ([[dedupKeepBest]]) so the two
+    * can never drift.
+    */
+  private[graft] def modelScore: Column =
+    lit(1.5) * stopwordRatio(col("text")) -
+      lit(2.0) * punctRatio(col("text")) +
+      lit(0.25) * least(avgWordLen(col("text")), lit(16.0)) +
+      lit(0.5) * (least(nWords(col("text")), lit(200)).cast("double") / lit(200.0))
+
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    // weights are exact binary fractions; signals are the round-6
-    // TextOps values, so score bits are engine-independent
-    val score =
-      lit(1.5) * stopwordRatio(col("text")) -
-        lit(2.0) * punctRatio(col("text")) +
-        lit(0.25) * least(avgWordLen(col("text")), lit(16.0)) +
-        lit(0.5) * (least(nWords(col("text")), lit(200)).cast("double") / lit(200.0))
-    val d = docs(s, dir).select(col("source"), score.as("score"))
+    val d = docs(s, dir).select(col("source"), modelScore.as("score"))
     d.groupBy(col("source"), floor(col("score") * 4).cast("long").as("score_band"))
       .agg(count(lit(1)).as("n_docs"),
         sum((col("score") >= 1.0).cast("long")).as("n_keep"))
@@ -1024,6 +1059,7 @@ object PipelineQueries {
     "d_lsh_pairs" -> (lshPairs _),
     "d_dup_clusters" -> (dupClusters _),
     "d_dedup_keep" -> (dedupKeep _),
+    "d_dedup_keep_best" -> (dedupKeepBest _),
     "d_source_overlap" -> (sourceOverlap _),
     "d_curate_ledger" -> (curateLedger _),
     "d_sample_hash" -> (sampleHash _),
@@ -1328,6 +1364,30 @@ object PipelineQueries {
            sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
          FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
          GROUP BY d.source""".replaceAll("\\s+", " "),
+
+    // same pinned score expression as d_quality_score; ordering compares
+    // the identical IEEE doubles in both engines, doc_id breaks exact ties
+    "d_dedup_keep_best" ->
+      s"""WITH RECURSIVE $LshPairsCtes,
+         dups AS (SELECT id_a, id_b FROM uniq WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM dups UNION SELECT id_b, id_a FROM dups),
+         reach(u, v) AS (SELECT u, v FROM edges
+           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         m AS (SELECT doc_id, source,
+           (1.5 * round(len(list_filter($W, x -> x IN $STOP))::DOUBLE / greatest(len($W),1), 6)
+            - 2.0 * round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE / greatest(length(text),1), 6)
+            + 0.25 * least(round((length(text) - len($W) + 1)::DOUBLE / greatest(len($W),1), 6), 16.0)
+            + 0.5 * (least(len($W), 200)::DOUBLE / 200.0)) AS score
+           FROM documents),
+         k AS (SELECT c.doc_id, c.cluster_id, m.source,
+           row_number() OVER (PARTITION BY c.cluster_id ORDER BY m.score DESC, c.doc_id ASC) AS rk
+           FROM comp c JOIN m ON c.doc_id = m.doc_id)
+         SELECT source, count(*)::BIGINT AS n_clustered,
+           sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN rk <> 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+           sum(CASE WHEN rk = 1 AND doc_id <> cluster_id THEN 1 ELSE 0 END)::BIGINT AS n_keep_differs_minid
+         FROM k GROUP BY source""".replaceAll("\\s+", " "),
 
     "d_curate_ledger" ->
       s"""WITH RECURSIVE $LshPairsCtes,

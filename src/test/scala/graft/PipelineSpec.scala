@@ -398,6 +398,30 @@ class PipelineSpec extends SparkSpec {
       "every clustered doc except one canonical per cluster must drop")
   }
 
+  test("quality-aware keep: one keeper per cluster, keeper has the cluster-max score") {
+    val best = PipelineQueries.dedupKeepBest(spark, dir).collect()
+    val clusters = PipelineQueries.dupClusters(spark, dir).collect()
+    val nClusters = clusters.map(_.getLong(1)).distinct.length
+    // exactly one keeper per cluster, everything else drops
+    assert(best.map(_.getLong(2)).sum == nClusters, "one kept doc per cluster")
+    assert(best.map(_.getLong(1)).sum == clusters.length, "ledger covers every clustered doc")
+    best.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      s"${r.getString(0)}: n_clustered must equal kept+dropped"))
+    // the keeper really is the score-argmax: recompute per cluster
+    import org.apache.spark.sql.functions._
+    val scored = docs.select(col("doc_id"), PipelineQueries.modelScore.as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val differs = clusters.groupBy(_.getLong(1)).count { case (clusterId, members) =>
+      val ids = members.map(_.getLong(0))
+      // keep rule: max score, MIN doc_id on exact ties — mirror exactly
+      val bestScore = ids.map(scored).max
+      val kept = ids.filter(id => scored(id) == bestScore).min
+      kept != clusterId // cluster_id IS the min-id canonical
+    }
+    assert(best.map(_.getLong(4)).sum == differs,
+      "n_keep_differs_minid must count clusters whose argmax-quality keeper isn't the min-id")
+  }
+
   test("curate pipeline end-to-end: ledger stages are monotone and n_final matches the written corpus") {
     val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
     graft.run.CurateJob.run(spark, dir, out)
