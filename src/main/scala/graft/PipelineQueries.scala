@@ -285,24 +285,35 @@ object PipelineQueries {
     * rule (how often the cheap rule gets it wrong). Scale shape: the
     * components frame joins the scored corpus on doc_id (well-spread
     * shuffle key; no broadcast hint — at web scale clustered docs are
-    * 30-50% of the corpus), then ONE window over cluster_id
-    * (fine-grained, cluster sizes bounded by the LSH bucket cap).
+    * 30-50% of the corpus). The keeper is an ARGMAX AGGREGATE
+    * (max_by over a (score, -doc_id) total order), NOT a row_number
+    * window over cluster_id: component sizes are NOT bounded by the
+    * LSH bucket cap (chains merge across buckets — that is the point
+    * of the closure), and a window would sort a degenerate giant
+    * boilerplate cluster on one reducer; max_by's map-side combine
+    * leaves ONE candidate per cluster per partition instead. The
+    * keeper join back is per-key tiny (1 row per cluster), so AQE's
+    * skew split stays available on the clustered side.
     */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val comp = graft.pipeline.ConnectedComponents.components(
         lshPairs(s, dir).filter(col("is_dup")).select(col("id_a"), col("id_b")))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     val scored = docs(s, dir).select(col("doc_id"), col("source"), modelScore.as("score"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    comp.join(scored, Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
+    val clustered = comp.join(scored, Seq("doc_id"))
+    // (score, -doc_id) makes the argmax total: highest score, then
+    // LOWEST doc_id on exact ties — deterministic in both engines
+    val keeper = clustered.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("score"), (-col("doc_id")).as("nid")))
+        .as("keep_id"))
+    clustered.join(keeper, Seq("cluster_id"))
+      .withColumn("is_kept", col("doc_id") === col("keep_id"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_clustered"),
-        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("rk") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(col("rk") === 1 && col("doc_id") =!= col("cluster_id"), 1L)
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("is_kept"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_kept") && col("doc_id") =!= col("cluster_id"), 1L)
           .otherwise(0L)).as("n_keep_differs_minid"))
   }
 
