@@ -135,10 +135,31 @@ object ConstraintCompiler {
 
   def formatPred(name: String, f: Column): Column =
     formatExtensions.get(name).map(_(f)).getOrElse(name match {
-      case "date"      => try_to_timestamp(f, lit("yyyy-MM-dd")).isNotNull
-      case "date-time" => try_to_timestamp(f, lit("yyyy-MM-dd'T'HH:mm:ss[XXX]")).isNotNull
+      // full-date: strict shape + proleptic-calendar validity + the
+      // reference's year>=1 floor (PJS is_date = _RE_DATE.fullmatch +
+      // date.fromisoformat; Python's date has no year 0) — pinned by
+      // the fuzz-format corpus
+      case "date" =>
+        f.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$") && !f.startsWith("0000") &&
+          try_to_timestamp(f, lit("yyyy-MM-dd")).isNotNull
+      // RFC 3339 date-time matching the reference's
+      // validate_rfc3339(instance.upper()): 'T'/'t' separator only,
+      // optional fraction (>=1 digit, '.' only), offset REQUIRED
+      // (Z/z or +-(00-23):(00-59)), no leap second, calendar-checked
+      // date part, year >= 1 — pinned by the fuzz-format corpus
+      case "date-time" =>
+        f.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt]([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]" +
+          "(\\.[0-9]+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$") &&
+          !f.startsWith("0000") &&
+          try_to_timestamp(substring(f, 1, 10), lit("yyyy-MM-dd")).isNotNull
+      // PJS is_uuid = UUID(instance) + dashes at positions 8/13/18/23:
+      // Python's UUID strips ALL dashes before its 32-hex check, so
+      // extra dashes inside the variable spans are accepted as long as
+      // the mandated positions hold and exactly 32 hex digits remain —
+      // pinned by the fuzz-format corpus (near-miss group widths)
       case "uuid" =>
-        f.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+        f.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]*$") &&
+          length(translate(f, "-", "")) === 32
       case "ipv4" =>
         f.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
       case "email"    => f.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")

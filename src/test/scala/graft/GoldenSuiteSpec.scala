@@ -163,3 +163,15 @@ class FuzzLegacySuiteSpec extends GoldenCorpusSpec("golden/fuzz_legacy_cases.jso
   * compile-time winner is a red test, never a silent divergence.
   */
 class FuzzDynamicSuiteSpec extends GoldenCorpusSpec("golden/fuzz_dynamic_cases.json")
+
+/** The format fuzz corpus: structured near-miss strings (mis-padded
+  * dates, leap-second times, +24:00 offsets, mis-sized uuid groups,
+  * leading-zero octets, ~2 pointer escapes, …) against the format
+  * checkers the engine claims EXACT reference semantics for — date,
+  * date-time, time, uuid, ipv4, json-pointer, relative-json-pointer —
+  * each labeled by the live reference checker
+  * (Draft202012Validator.FORMAT_CHECKER). The documented-approximation
+  * checkers (email/ipv6/idn-*) and the Java-dialect `regex` are
+  * deliberately excluded, like the generator's other model boundaries.
+  */
+class FuzzFormatSuiteSpec extends GoldenCorpusSpec("golden/fuzz_format_cases.json")

@@ -921,3 +921,151 @@ json.dump(dyn_groups, open(out4, "w"), indent=1)
 print(f"wrote {len(dyn_groups)} dynamic-ref groups / {dtotal} cases "
       f"({dvalid} valid, {dtotal - dvalid} invalid) to {out4}")
 
+
+# ---------------------------------------------------------------------------
+# FORMAT fuzz: differential over the format checkers the ENGINE claims
+# EXACT reference semantics for AND whose reference checker is importable
+# in this container (Draft202012Validator.FORMAT_CHECKER): date,
+# date-time, time, uuid, ipv4, json-pointer, relative-json-pointer —
+# plus unknown-format annotation no-op groups. Excluded, each with a
+# reason documented at the checker (ConstraintCompiler.formatPred):
+# regex (Java-vs-Python dialect caveat, same as `pattern`), email /
+# idn-email / idn-hostname / ipv6 (documented approximations — curated
+# goldens pin the agreement subset), hostname / uri / duration /
+# uri-reference / iri / iri-reference / uri-template (no importable
+# reference checker in this env — spec-derived, spec-tested). Pools are
+# ASCII throughout: the reference's own isascii()/int() guards would
+# otherwise dominate the labels with unicode-digit noise that no real
+# corpus column carries.
+# ---------------------------------------------------------------------------
+
+frng = random.Random(SEED + 77)
+
+
+def _pad(v, w, r):
+    """Zero-pad to width w, or (sometimes) mis-pad — near-miss widths."""
+    if r.random() < 0.85:
+        return f"{v:0{w}d}"
+    return str(v) if r.random() < 0.7 else f"{v:0{w + 1}d}"
+
+
+def fz_date(r):
+    y = r.choice([0, 1, 999, 2023, 2024, 2026, 9999])
+    m = r.choice([0, 1, 2, 4, 9, 11, 12, 13])
+    d = r.choice([0, 1, 9, 28, 29, 30, 31, 32])
+    s = f"{_pad(y, 4, r)}-{_pad(m, 2, r)}-{_pad(d, 2, r)}"
+    if r.random() < 0.15:
+        s = s.replace("-", r.choice(["/", "", "."]), r.choice([1, 2]))
+    if r.random() < 0.12:
+        s += r.choice([" ", "T00:00:00Z", "\n", "x"])
+    return s
+
+
+def fz_timepart(r):
+    h = r.choice([0, 1, 9, 12, 23, 24])
+    mi = r.choice([0, 5, 59, 60])
+    sec = r.choice([0, 30, 59, 60])
+    frac = r.choice(["", "", "", ".5", ".123456", ".", ",5", ".123456789"])
+    off = r.choice(["Z", "Z", "z", "", "+05:30", "-00:00", "+23:59",
+                    "+24:00", "+0:00", "+00:60", "-08:00"])
+    return f"{_pad(h, 2, r)}:{_pad(mi, 2, r)}:{_pad(sec, 2, r)}{frac}{off}"
+
+
+def fz_time(r):
+    s = fz_timepart(r)
+    return s + " " if r.random() < 0.06 else s
+
+
+def fz_datetime(r):
+    sep = r.choice(["T", "T", "T", "t", " "])
+    s = f"{fz_date(r)}{sep}{fz_timepart(r)}"
+    return s + " " if r.random() < 0.05 else s
+
+
+HEX = "0123456789abcdefABCDEF"
+
+
+def fz_uuid(r):
+    widths = [8, 4, 4, 4, 12]
+    if r.random() < 0.2:
+        widths[r.randrange(5)] += r.choice([-1, 1])
+    groups = ["".join(r.choice(HEX) for _ in range(w)) for w in widths]
+    if r.random() < 0.1:
+        g = r.randrange(5)
+        pos = r.randrange(len(groups[g]))
+        # no whitespace here: Python's int(x, 16) tolerates TRAILING
+        # whitespace, so a trailing-space 31-hex string with the right
+        # dash positions is reference-"valid" — an implementation
+        # pathology, not uuid semantics; extra '-' is the real edge
+        groups[g] = groups[g][:pos] + r.choice("ghz-") + groups[g][pos + 1:]
+    s = "-".join(groups)
+    if r.random() < 0.08:
+        s = s.replace("-", "", 1)
+    if r.random() < 0.08:
+        s = r.choice(["urn:uuid:", "{", " "]) + s + (r.random() < 0.5 and "}" or "")
+    return s
+
+
+def fz_ipv4(r):
+    n = r.choice([3, 4, 4, 4, 4, 5])
+    octs = [r.choice(["0", "1", "01", "00", "9", "10", "99", "100", "199",
+                      "249", "250", "255", "256", "999"]) for _ in range(n)]
+    s = ".".join(octs)
+    if r.random() < 0.08:
+        s = " " + s if r.random() < 0.5 else s + " "
+    return s
+
+
+def fz_jsonptr(r):
+    segs = [r.choice(["", "a", "ab", "~0", "~1", "~2", "a~", "~", "a b",
+                      "0", "~01", "a~1b"]) for _ in range(r.randint(0, 3))]
+    s = "".join("/" + x for x in segs)
+    if r.random() < 0.2 and segs:
+        s = s[1:]  # drop the leading slash → invalid unless empty
+    return s
+
+
+def fz_reljsonptr(r):
+    pre = r.choice(["0", "1", "10", "01", "00", "-1", "+1", "", "2"])
+    tail = r.choice(["", "#", "#/a", "/a/~1", "/", "a", "#a", "/~2"])
+    return pre + tail
+
+
+FORMAT_POOLS = {
+    "date": fz_date, "date-time": fz_datetime, "time": fz_time,
+    "uuid": fz_uuid, "ipv4": fz_ipv4, "json-pointer": fz_jsonptr,
+    "relative-json-pointer": fz_reljsonptr,
+}
+
+
+def format_group(i):
+    fmt = frng.choice(list(FORMAT_POOLS) + ["x-unknown-format"])
+    gen = FORMAT_POOLS.get(fmt)
+    insts = ([gen(frng) for _ in range(8)] if gen
+             else [frng.choice(STRINGS) for _ in range(4)])
+    if frng.random() < 0.15:
+        insts[frng.randrange(len(insts))] = None
+    schema = {"format": fmt}
+    rr = frng.random()
+    if rr < 0.10:
+        schema = {"allOf": [schema, {"minLength": frng.randint(0, 10)}]}
+    elif rr < 0.18:
+        schema = {"anyOf": [schema, {"const": frng.choice(STRINGS)}]}
+    elif rr < 0.24:
+        schema = {"not": schema}
+    v = jsonschema.Draft202012Validator(
+        schema, format_checker=jsonschema.Draft202012Validator.FORMAT_CHECKER)
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz-format[{i}] {fmt} seed={SEED}",
+            "ctype": "string", "schema": schema, "tests": tests}
+
+
+NF = max(140, N // 2)
+fmt_groups = [format_group(i) for i in range(NF)]
+fvalid = sum(1 for g in fmt_groups for t in g["tests"] if t["valid"])
+ftotal = sum(len(g["tests"]) for g in fmt_groups)
+out5 = "src/test/resources/golden/fuzz_format_cases.json"
+json.dump(fmt_groups, open(out5, "w"), indent=1)
+print(f"wrote {len(fmt_groups)} format groups / {ftotal} cases "
+      f"({fvalid} valid, {ftotal - fvalid} invalid) to {out5}")
