@@ -162,16 +162,40 @@ object ConstraintCompiler {
           length(translate(f, "-", "")) === 32
       case "ipv4" =>
         f.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
-      case "email"    => f.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+      // EXACT reference semantics (PJS:_format.py is_email, registered
+      // for BOTH email and idn-email): the reference's checker is
+      // literally `"@" in instance` — deliberate laxity mirrored for
+      // parity, pinned by the fuzz-format corpus. A stricter RFC-shape
+      // checker belongs in formatExtensions if a deployment wants one.
+      case "email" | "idn-email" => f.contains("@")
       // RFC3339 full-time (2020-12 draft-bound checker semantics:
       // offset REQUIRED, Z/z accepted); leap seconds excluded like the
       // reference's own declared skips (PJS:tests/...:73-115)
       case "time" =>
         f.rlike("^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\\.[0-9]+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$")
-      // approximation caveat (documented like the regex dialect): no
-      // embedded-IPv4 form, compressed-group count not cross-checked
-      case "ipv6" =>
-        f.rlike("^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|(([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4})?::(([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4})?)$")
+      // EXACT reference semantics (PJS is_ipv6 = ipaddress.IPv6Address
+      // + no scope id): the RFC 3986 IPv6address grammar — '::' elides
+      // >=1 group (explicit groups <=7 when present, exactly 8
+      // otherwise), h16 = 1-4 hex digits, embedded dotted-quad takes
+      // the last TWO group slots with Python-strict octets (no leading
+      // zeros); no scope id/brackets/whitespace. Pinned by the
+      // fuzz-format corpus against the live reference checker.
+      case "ipv6" => {
+        val h = "[0-9a-fA-F]{1,4}"
+        val o = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        val v4 = s"($o\\.){3}$o"
+        val ls32 = s"($h:$h|$v4)"
+        f.rlike(
+          s"^(($h:){6}$ls32" +
+          s"|::($h:){5}$ls32" +
+          s"|($h)?::($h:){4}$ls32" +
+          s"|(($h:)?$h)?::($h:){3}$ls32" +
+          s"|(($h:){0,2}$h)?::($h:){2}$ls32" +
+          s"|(($h:){0,3}$h)?::$h:$ls32" +
+          s"|(($h:){0,4}$h)?::$ls32" +
+          s"|(($h:){0,5}$h)?::$h" +
+          s"|(($h:){0,6}$h)?::)$$")
+      }
       case "json-pointer" => f.rlike("^(/([^/~]|~[01])*)*$")
       case "hostname" => f.rlike("^(?=.{1,253}$)([a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?\\.)*[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?$")
       case "uri"      => f.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^\\s]+$")

@@ -927,11 +927,14 @@ print(f"wrote {len(dyn_groups)} dynamic-ref groups / {dtotal} cases "
 # EXACT reference semantics for AND whose reference checker is importable
 # in this container (Draft202012Validator.FORMAT_CHECKER): date,
 # date-time, time, uuid, ipv4, json-pointer, relative-json-pointer —
-# plus unknown-format annotation no-op groups. Excluded, each with a
-# reason documented at the checker (ConstraintCompiler.formatPred):
-# regex (Java-vs-Python dialect caveat, same as `pattern`), email /
-# idn-email / idn-hostname / ipv6 (documented approximations — curated
-# goldens pin the agreement subset), hostname / uri / duration /
+# plus unknown-format annotation no-op groups. Round-4g additions,
+# after their checkers were made EXACT: ipv6 (ipaddress.IPv6Address
+# grammar, no scope id) and email/idn-email (the reference's checker
+# is literally '@' containment). Excluded, each with a reason
+# documented at the checker (ConstraintCompiler.formatPred):
+# regex (Java-vs-Python dialect caveat, same as `pattern`),
+# idn-hostname (real idna.encode with bidi/contextual rules — the
+# documented approximation), hostname / uri / duration /
 # uri-reference / iri / iri-reference / uri-template (no importable
 # reference checker in this env — spec-derived, spec-tested). Pools are
 # ASCII throughout: the reference's own isascii()/int() guards would
@@ -1031,10 +1034,48 @@ def fz_reljsonptr(r):
     return pre + tail
 
 
+def fz_ipv6(r):
+    """h16 groups with near-miss widths, random '::' elision, embedded
+    dotted-quads (incl. leading-zero near-misses), scope ids, brackets.
+    """
+    def h16():
+        return "".join(r.choice(HEX) for _ in range(r.choice([1, 1, 2, 4, 4, 5])))
+    n = r.randint(0, 8)
+    groups = [h16() for _ in range(n)]
+    if r.random() < 0.35:
+        v4 = ".".join(r.choice(["0", "1", "01", "9", "99", "100", "199",
+                                "255", "256"])
+                      for _ in range(r.choice([3, 4, 4, 4])))
+        groups = groups[:max(0, n - 2)] + [v4]
+    if r.random() < 0.6:
+        cut = r.randint(0, len(groups))
+        s = ":".join(groups[:cut]) + "::" + ":".join(groups[cut:])
+    else:
+        s = ":".join(groups)
+    if r.random() < 0.08:
+        s += r.choice(["%eth0", " ", ":"])
+    if r.random() < 0.05:
+        s = "[" + s + "]"
+    return s
+
+
+def fz_email(r):
+    """The reference checker is literally '@' containment (is_email,
+    registered for both email and idn-email) — fuzz the containment."""
+    pat = r.random()
+    if pat < 0.65:
+        return (r.choice(["a", "a.b", "", "a b", "user+tag"]) + "@" +
+                r.choice(["b", "example.com", "", "ex ample", "@x"]))
+    if pat < 0.85:
+        return r.choice(["no-at", "example.com", "a.b.c", "", "a b c"])
+    return r.choice(["@", "@@", "a@", "@b", "a@b@c"])
+
+
 FORMAT_POOLS = {
     "date": fz_date, "date-time": fz_datetime, "time": fz_time,
     "uuid": fz_uuid, "ipv4": fz_ipv4, "json-pointer": fz_jsonptr,
     "relative-json-pointer": fz_reljsonptr,
+    "ipv6": fz_ipv6, "email": fz_email, "idn-email": fz_email,
 }
 
 
@@ -1061,7 +1102,7 @@ def format_group(i):
             "ctype": "string", "schema": schema, "tests": tests}
 
 
-NF = max(140, N // 2)
+NF = max(200, N * 5 // 6)
 fmt_groups = [format_group(i) for i in range(NF)]
 fvalid = sum(1 for g in fmt_groups for t in g["tests"] if t["valid"])
 ftotal = sum(len(g["tests"]) for g in fmt_groups)
