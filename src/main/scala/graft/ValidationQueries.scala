@@ -345,6 +345,80 @@ object ValidationQueries {
       kll_summary(col("sb"))("max").as("max_base"))
   }
 
+  /** Driver-gate row for the FORMAT checker family: deterministic
+    * probe strings derived from the token table (md5-based uuid/ipv6
+    * shapes, printf-composed date/date-time/time/ipv4 shapes keyed on
+    * n_tok — valid, near-miss, and pathological variants per format)
+    * evaluated with [[ConstraintCompiler.formatPred]] and counted per
+    * source. The DuckDB oracle re-derives the SAME probe strings and
+    * re-implements the reference checker semantics INDEPENDENTLY
+    * (TRY_CAST for calendar validity, RE2 grammars, '@' containment),
+    * so the row only hashes green if both engines agree with PJS's
+    * is_date/is_datetime/is_time/is_uuid/is_ipv4/is_ipv6/is_email and
+    * the pointer grammars on every probe. Scale shape: pure per-row
+    * projection + one partial/final agg keyed on the 6-value source —
+    * nothing but agg state shuffles.
+    */
+  def formatProbe(s: SparkSession, dir: String): DataFrame = {
+    val nt = col("n_tok")
+    val m = md5(col("doc_id"))
+    def seg(a: Int, len: Int) = substring(m, a, len)
+    def mod(k: Int) = pmod(nt, lit(k))
+    val uuidBase = concat_ws("-", seg(1, 8), seg(9, 4), seg(13, 4), seg(17, 4), seg(21, 12))
+    val probes = Seq(
+      "date" -> format_string("%04d-%02d-%02d",
+        lit(1998) + mod(40), mod(15), mod(35)),
+      "date-time" -> concat(
+        format_string("%04d-%02d-%02d", lit(1998) + mod(40), mod(15), mod(35)),
+        lit("T"),
+        format_string("%02d:%02d:%02d", mod(30), mod(60), mod(61)),
+        when(mod(3) === 0, lit(".5")).otherwise(lit("")),
+        when(mod(4) === 0, lit("Z")).when(mod(4) === 1, lit("z"))
+          .when(mod(4) === 2, lit("+05:30")).otherwise(lit(""))),
+      "time" -> concat(
+        format_string("%02d:%02d:%02d", mod(30), mod(60), mod(61)),
+        when(mod(3) === 0, lit(".5")).otherwise(lit("")),
+        when(mod(4) === 0, lit("Z")).when(mod(4) === 1, lit("z"))
+          .when(mod(4) === 2, lit("+05:30")).otherwise(lit(""))),
+      "uuid" -> when(mod(5) === 0, uuidBase)
+        .when(mod(5) === 1, substring(uuidBase, 1, 35)) // 31 hex digits
+        .when(mod(5) === 2, concat(lit("g"), substring(uuidBase, 2, 35)))
+        // extra dash inside the tail span: 32 hex, mandated positions
+        // hold — reference-VALID (the UUID() strip-all-dashes rule)
+        .when(mod(5) === 3, concat_ws("-", seg(1, 8), seg(9, 4), seg(13, 4), seg(17, 4),
+          concat(seg(21, 6), lit("-"), seg(27, 6))))
+        .otherwise(upper(uuidBase)),
+      "ipv4" -> when(mod(7) === 0,
+          format_string("%d.%d.%d.%03d", mod(300), pmod(nt * 3, lit(256)),
+            pmod(nt * 5, lit(256)), pmod(nt * 11, lit(256))))
+        .otherwise(format_string("%d.%d.%d.%d", mod(300), pmod(nt * 3, lit(256)),
+          pmod(nt * 5, lit(256)), pmod(nt * 11, lit(256)))),
+      "ipv6" -> when(mod(6) === 0, concat_ws(":",
+          seg(1, 4), seg(5, 4), seg(9, 4), seg(13, 4), seg(17, 4), seg(21, 4), seg(25, 4), seg(29, 4)))
+        .when(mod(6) === 1, concat(seg(1, 4), lit("::"), seg(5, 4), lit(":"), seg(9, 4)))
+        .when(mod(6) === 2, concat_ws(":", seg(1, 4), seg(5, 4), seg(9, 4), seg(13, 4),
+          seg(17, 4), seg(21, 4), seg(25, 4), seg(29, 4), seg(1, 4))) // 9 groups
+        .when(mod(6) === 3, concat(seg(1, 4), lit("f::"), seg(5, 4))) // 5-digit h16
+        .when(mod(6) === 4, concat(lit("::ffff:"),
+          format_string("%d.%d.%d.%d", pmod(nt, lit(256)), pmod(nt * 3, lit(256)),
+            pmod(nt * 5, lit(256)), pmod(nt * 11, lit(256)))))
+        .otherwise(concat(seg(1, 4), lit("::1%eth0"))),
+      "email" -> when(mod(3) === 0, concat(lit("u@"), col("source")))
+        .when(mod(3) === 1, col("source")).otherwise(lit("@")),
+      "json-pointer" -> when(mod(4) === 0, lit("/a/~0"))
+        .when(mod(4) === 1, concat(lit("/"), seg(1, 3)))
+        .when(mod(4) === 2, lit("a/b")).otherwise(lit("/~2")),
+      "relative-json-pointer" -> when(mod(4) === 0, lit("0#"))
+        .when(mod(4) === 1, format_string("%d/a", mod(12)))
+        .when(mod(4) === 2, lit("01/a")).otherwise(lit("#")))
+    val aggs = probes.map { case (fmt, probe) =>
+      sum(when(ConstraintCompiler.formatPred(fmt, probe), 1L).otherwise(0L))
+        .as("n_" + fmt.replace("-", "_"))
+    }
+    toks(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** The wider keyword surface — pattern, multipleOf, contains,
     * oneOf/anyOf/not, exclusive bounds, if/then/else, maxLength,
     * dependentRequired — as an ad-hoc suite over the token table, each
@@ -808,6 +882,67 @@ object ValidationQueries {
       }.mkString(" UNION ALL ")
     },
 
+    "v_format_probe" -> {
+      // probe-string derivations EXACTLY as formatProbe builds them
+      // (md5/printf/CASE on n_tok are cross-engine deterministic), then
+      // an INDEPENDENT DuckDB implementation of each reference checker:
+      // TRY_CAST for calendar validity, RE2 full-match grammars,
+      // contains() for the reference's '@'-containment email checker
+      val h = "[0-9a-fA-F]{1,4}"
+      val o = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+      val v4 = s"($o\\.){3}$o"
+      val ls32 = s"($h:$h|$v4)"
+      val ipv6Re = s"(($h:){6}$ls32|::($h:){5}$ls32|($h)?::($h:){4}$ls32" +
+        s"|(($h:)?$h)?::($h:){3}$ls32|(($h:){0,2}$h)?::($h:){2}$ls32" +
+        s"|(($h:){0,3}$h)?::$h:$ls32|(($h:){0,4}$h)?::$ls32" +
+        s"|(($h:){0,5}$h)?::$h|(($h:){0,6}$h)?::)"
+      val timeRe = "([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\\.[0-9]+)?" +
+        "([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])"
+      s"""WITH p AS (SELECT source, n_tok, md5(doc_id) AS m FROM $T),
+         d AS (SELECT source,
+           printf('%04d-%02d-%02d', 1998 + n_tok%40, n_tok%15, n_tok%35) AS ds,
+           printf('%02d:%02d:%02d', n_tok%30, n_tok%60, n_tok%61)
+             || (CASE WHEN n_tok%3=0 THEN '.5' ELSE '' END)
+             || (CASE n_tok%4 WHEN 0 THEN 'Z' WHEN 1 THEN 'z' WHEN 2 THEN '+05:30' ELSE '' END) AS ts,
+           substr(m,1,8)||'-'||substr(m,9,4)||'-'||substr(m,13,4)||'-'||substr(m,17,4)||'-'||substr(m,21,12) AS ub,
+           CASE WHEN n_tok%7=0
+             THEN printf('%d.%d.%d.%03d', n_tok%300, (n_tok*3)%256, (n_tok*5)%256, (n_tok*11)%256)
+             ELSE printf('%d.%d.%d.%d', n_tok%300, (n_tok*3)%256, (n_tok*5)%256, (n_tok*11)%256) END AS i4,
+           CASE n_tok%6
+             WHEN 0 THEN substr(m,1,4)||':'||substr(m,5,4)||':'||substr(m,9,4)||':'||substr(m,13,4)||':'||substr(m,17,4)||':'||substr(m,21,4)||':'||substr(m,25,4)||':'||substr(m,29,4)
+             WHEN 1 THEN substr(m,1,4)||'::'||substr(m,5,4)||':'||substr(m,9,4)
+             WHEN 2 THEN substr(m,1,4)||':'||substr(m,5,4)||':'||substr(m,9,4)||':'||substr(m,13,4)||':'||substr(m,17,4)||':'||substr(m,21,4)||':'||substr(m,25,4)||':'||substr(m,29,4)||':'||substr(m,1,4)
+             WHEN 3 THEN substr(m,1,4)||'f::'||substr(m,5,4)
+             WHEN 4 THEN '::ffff:'||printf('%d.%d.%d.%d', n_tok%256, (n_tok*3)%256, (n_tok*5)%256, (n_tok*11)%256)
+             ELSE substr(m,1,4)||'::1%eth0' END AS i6,
+           CASE n_tok%3 WHEN 0 THEN 'u@'||source WHEN 1 THEN source ELSE '@' END AS es,
+           CASE n_tok%4 WHEN 0 THEN '/a/~0' WHEN 1 THEN '/'||substr(m,1,3) WHEN 2 THEN 'a/b' ELSE '/~2' END AS jp,
+           CASE n_tok%4 WHEN 0 THEN '0#' WHEN 1 THEN printf('%d/a', n_tok%12) WHEN 2 THEN '01/a' ELSE '#' END AS rjp,
+           n_tok FROM p),
+         e AS (SELECT source, ds, ds||'T'||ts AS dt, ts, i4, i6, es, jp, rjp,
+           CASE n_tok%5 WHEN 0 THEN ub WHEN 1 THEN substr(ub,1,35)
+             WHEN 2 THEN 'g'||substr(ub,2,35)
+             WHEN 3 THEN substr(ub,1,24)||substr(ub,25,6)||'-'||substr(ub,31,6)
+             ELSE upper(ub) END AS us
+           FROM d)
+         SELECT source, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN regexp_full_match(ds, '[0-9]{4}-[0-9]{2}-[0-9]{2}')
+             AND substr(ds,1,4) <> '0000' AND TRY_CAST(ds AS DATE) IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_date,
+           sum(CASE WHEN regexp_full_match(dt, '[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt]$timeRe')
+             AND substr(dt,1,4) <> '0000' AND TRY_CAST(substr(dt,1,10) AS DATE) IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_date_time,
+           sum(CASE WHEN regexp_full_match(ts, '$timeRe') THEN 1 ELSE 0 END)::BIGINT AS n_time,
+           sum(CASE WHEN regexp_full_match(us, '[0-9a-fA-F]{8}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]*')
+             AND length(replace(us, '-', '')) = 32 THEN 1 ELSE 0 END)::BIGINT AS n_uuid,
+           sum(CASE WHEN regexp_full_match(i4, '$v4') THEN 1 ELSE 0 END)::BIGINT AS n_ipv4,
+           sum(CASE WHEN regexp_full_match(i6, '$ipv6Re') THEN 1 ELSE 0 END)::BIGINT AS n_ipv6,
+           sum(CASE WHEN contains(es, '@') THEN 1 ELSE 0 END)::BIGINT AS n_email,
+           sum(CASE WHEN regexp_full_match(jp, '(/([^/~]|~[01])*)*') THEN 1 ELSE 0 END)::BIGINT AS n_json_pointer,
+           sum(CASE WHEN regexp_full_match(rjp, '(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)') THEN 1 ELSE 0 END)::BIGINT AS n_relative_json_pointer
+         FROM e GROUP BY source""".replaceAll("\\s+", " ")
+    },
+
     "v_keyword_matrix" -> {
       // fail predicates mirroring ConstraintCompiler's null-gated
       // compilation of each keyword, in DuckDB dialect
@@ -928,6 +1063,7 @@ object ValidationQueries {
     "v_ks_sketch_summary" -> (ksSketchSummary _),
     "v_best_violation" -> (bestViolation _),
     "v_keyword_matrix" -> (keywordMatrix _),
+    "v_format_probe" -> (formatProbe _),
     "v_object_keywords" -> (objectKeywords _),
     "v_doc_conditional" -> (docConditional _),
     "v_dynamic_refs" -> (dynamicRefs _),
