@@ -288,4 +288,21 @@ class ChecksSpec extends SparkSpec {
       .agg(sum("fails")).head().getLong(0)
     assert(fails === 0L, "data must satisfy its own suggested constraints")
   }
+
+  test("formatProbe: one scan + agg-only plan; counts match driver-side recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val df = ValidationQueries.formatProbe(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"pure projection + agg expected:\n$plan")
+    // driver-side recompute of the closed-form variants: email is valid
+    // iff the probe carries '@' (n_tok%3 != 1), uuid iff the variant is
+    // base/tail-dashed/uppercase (n_tok%5 in {0,3,4})
+    val nt = TokenData.read(spark, dir).select("n_tok")
+      .collect().map(_.getInt(0))
+    val got = df.agg(sum("n_email"), sum("n_uuid")).head()
+    assert(got.getLong(0) === nt.count(_ % 3 != 1).toLong)
+    assert(got.getLong(1) === nt.count(n => Set(0, 3, 4)(n % 5)).toLong)
+  }
 }
