@@ -1005,7 +1005,13 @@ def fz_uuid(r):
     if r.random() < 0.08:
         s = s.replace("-", "", 1)
     if r.random() < 0.08:
-        s = r.choice(["urn:uuid:", "{", " "]) + s + (r.random() < 0.5 and "}" or "")
+        # no LEADING whitespace either (seed-sweep find): a leading
+        # space plus a dropped hex char keeps the dash positions AND
+        # the 32-length check (the space counts), and int(x, 16)
+        # strips edge whitespace — reference-"valid". Same int()
+        # pathology family as trailing spaces / '+' signs / '_'
+        # separators: implementation accidents, not uuid semantics.
+        s = r.choice(["urn:uuid:", "{"]) + s + (r.random() < 0.5 and "}" or "")
     return s
 
 
