@@ -422,6 +422,28 @@ class ValidateJobSpec extends SparkSpec {
     assert(upIds.contains("allOf[0].doc_id.minLength"), s"ids: $upIds")
   }
 
+  test("--suite with format keywords round-trips through run (exact checkers in the job surface)") {
+    val table = tmp("fmtsuite"); val out = tmp("fmtsuiteout"); val ckpt = tmp("fmtsuiteckpt")
+    new PartitionedParquetIO("source").write(TokenData.tokenTable(spark, 2000, 4), table)
+    val suiteJson = tmp("fmtsuite") + ".json"
+    // doc_id is never uuid-shaped -> every present doc_id fails; the
+    // source labels are all valid single-label hostnames -> no failures
+    Files.writeString(Paths.get(suiteJson),
+      """{"$id": "format-suite",
+          "properties": {
+            "doc_id": {"format": "uuid"},
+            "source": {"format": "hostname"}}}""")
+    val suite = ValidateJob.loadSuite(spark, table, suiteJson, Nil)
+    assert(suite.constraints.exists(c => c.field == "doc_id" && c.id.contains("format")),
+      s"ids: ${suite.constraints.map(_.id)}")
+    ValidateJob.run(spark, table, out, ckpt, suite = suite)
+    val violations = spark.read.parquet(s"$out/verdicts")
+      .agg(org.apache.spark.sql.functions.sum("violations")).head().getLong(0)
+    val expected = spark.read.parquet(table).where("doc_id IS NOT NULL").count()
+    assert(violations === expected,
+      s"every present non-uuid doc_id must fail format: got $violations, expected $expected")
+  }
+
   test("formatSummary renders the pretty console sink (PJS:cli.py:76-118 analogue)") {
     val s = ValidateJob.formatSummary(
       Seq(("web", 100L, 0L, true), ("spam", 50L, 3L, false)), dupDocIds = 2L, referentialBad = 5L)
