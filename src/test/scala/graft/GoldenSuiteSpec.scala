@@ -175,3 +175,12 @@ class FuzzDynamicSuiteSpec extends GoldenCorpusSpec("golden/fuzz_dynamic_cases.j
   * deliberately excluded, like the generator's other model boundaries.
   */
 class FuzzFormatSuiteSpec extends GoldenCorpusSpec("golden/fuzz_format_cases.json")
+
+/** The double-column fuzz corpus: numeric keywords over a DoubleType
+  * column — mixed integral/fractional bounds, enum/const carrying JSON
+  * ints AND floats (cross-type numeric equality 2 == 2.0), -0.0,
+  * exclusive bounds, combinator wrappers. multipleOf stays curated-only
+  * (IEEE float-remainder boundary), values stay inside the float-exact
+  * integer range.
+  */
+class FuzzDoubleSuiteSpec extends GoldenCorpusSpec("golden/fuzz_double_cases.json")

@@ -1116,3 +1116,77 @@ out5 = "src/test/resources/golden/fuzz_format_cases.json"
 json.dump(fmt_groups, open(out5, "w"), indent=1)
 print(f"wrote {len(fmt_groups)} format groups / {ftotal} cases "
       f"({fvalid} valid, {ftotal - fvalid} invalid) to {out5}")
+
+# ---------------------------------------------------------------------------
+# DOUBLE-COLUMN fuzz: numeric keywords over a double column — mixed
+# integral/fractional bounds, enum/const with JSON ints AND floats (the
+# cross-type numeric equality 2 == 2.0 both engines must share), -0.0,
+# exclusive bounds, the usual combinator/$ref wrappers. Deliberately
+# excluded, same documented boundaries as the int kind: multipleOf
+# (IEEE float-remainder semantics pinned by curated cases only),
+# type names other than the column's own JSON type ("number"/"null"
+# here — `integer`-against-float is the engine's static-type model
+# boundary), and values outside the float-exact integer range (2^53).
+# ---------------------------------------------------------------------------
+
+drng2 = random.Random(SEED + 99)
+
+DOUBLES = [-10.5, -1.0, -0.0, 0.0, 0.5, 1.0, 1.1, 1.5, 2.0, 2.5,
+           3.0, 7.0, 100.25, 262144.0]
+NUMVALS = DOUBLES + [0, 1, 2, 3, -1, 100]  # JSON ints mix in
+
+
+def double_leaf():
+    k = drng2.choice(["minimum", "maximum", "exclusiveMinimum",
+                      "exclusiveMaximum", "enum", "const", "type"])
+    if k in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        return {k: drng2.choice(NUMVALS)}
+    if k == "enum":
+        return {"enum": drng2.sample(NUMVALS, drng2.randint(1, 4))}
+    if k == "const":
+        return {"const": drng2.choice(NUMVALS)}
+    return {"type": drng2.choice(["number", "null"])}
+
+
+def combine2(depth=0):
+    """combine() twin driven by drng2 so this section never perturbs the
+    other corpora's rng streams."""
+    if depth >= 2 or drng2.random() < 0.45:
+        return double_leaf()
+    k = drng2.choice(["allOf", "anyOf", "oneOf", "not", "if"])
+    if k == "not":
+        return {"not": combine2(depth + 1)}
+    if k == "if":
+        s = {"if": combine2(depth + 1)}
+        if drng2.random() < 0.8:
+            s["then"] = combine2(depth + 1)
+        if drng2.random() < 0.8:
+            s["else"] = combine2(depth + 1)
+        return s
+    return {k: [combine2(depth + 1) for _ in range(drng2.randint(1, 3))]}
+
+
+def double_group(i):
+    if drng2.random() < 0.6:
+        schema = combine2()
+    else:
+        schema = {}
+        for _ in range(2):
+            for k, v in double_leaf().items():
+                schema.setdefault(k, v)
+    v = jsonschema.Draft202012Validator(schema)
+    insts = [drng2.choice(NUMVALS + [None]) for _ in range(6)]
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz-double[{i}] seed={SEED}",
+            "ctype": "double", "schema": schema, "tests": tests}
+
+
+NDB = max(120, N // 2)
+dbl_groups = [double_group(i) for i in range(NDB)]
+dbvalid = sum(1 for g in dbl_groups for t in g["tests"] if t["valid"])
+dbtotal = sum(len(g["tests"]) for g in dbl_groups)
+out6 = "src/test/resources/golden/fuzz_double_cases.json"
+json.dump(dbl_groups, open(out6, "w"), indent=1)
+print(f"wrote {len(dbl_groups)} double groups / {dbtotal} cases "
+      f"({dbvalid} valid, {dbtotal - dbvalid} invalid) to {out6}")
