@@ -184,3 +184,12 @@ class FuzzFormatSuiteSpec extends GoldenCorpusSpec("golden/fuzz_format_cases.jso
   * integer range.
   */
 class FuzzDoubleSuiteSpec extends GoldenCorpusSpec("golden/fuzz_double_cases.json")
+
+/** The string-array fuzz corpus: element-level STRING keywords
+  * (minLength/maxLength/pattern/enum/const + the exact-semantics
+  * formats uuid/ipv4) inside items/prefixItems/contains over
+  * array<string> and array<string?> columns, plus array-level keywords
+  * and unevaluatedItems — pins the elementPred string path with
+  * in-array null gating against the reference.
+  */
+class FuzzStrArraySuiteSpec extends GoldenCorpusSpec("golden/fuzz_strarray_cases.json")

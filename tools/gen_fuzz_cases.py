@@ -1190,3 +1190,97 @@ out6 = "src/test/resources/golden/fuzz_double_cases.json"
 json.dump(dbl_groups, open(out6, "w"), indent=1)
 print(f"wrote {len(dbl_groups)} double groups / {dbtotal} cases "
       f"({dbvalid} valid, {dbtotal - dbvalid} invalid) to {out6}")
+
+# ---------------------------------------------------------------------------
+# STRING-ARRAY fuzz: element-level STRING keywords (minLength/maxLength/
+# pattern/enum/const + the exact-semantics formats uuid/ipv4) inside
+# items / prefixItems / contains over array<string> and array<string?>
+# columns, plus the array-level keywords and unevaluatedItems — the
+# elementPred string path with in-array null gating. Own RNG stream.
+# ---------------------------------------------------------------------------
+
+arng = random.Random(SEED + 111)
+
+FMT_EXACT = ["uuid", "ipv4"]
+FMT_SAMPLES = ["c7b8f9a0-1234-4abc-8def-001122334455", "1.2.3.4",
+               "256.1.1.1", "01.2.3.4", "c7b8f9a0-1234-4abc-8def-0011"]
+
+
+def str_elem_leaf():
+    k = arng.choice(["minLength", "maxLength", "pattern", "enum", "const",
+                     "type", "format"])
+    if k == "minLength":
+        return {"minLength": arng.randint(0, 8)}
+    if k == "maxLength":
+        return {"maxLength": arng.randint(0, 8)}
+    if k == "pattern":
+        return {"pattern": arng.choice(PATTERNS)}
+    if k == "enum":
+        return {"enum": arng.sample(STRINGS, arng.randint(1, 4))}
+    if k == "const":
+        return {"const": arng.choice(STRINGS)}
+    if k == "format":
+        return {"format": arng.choice(FMT_EXACT)}
+    return {"type": arng.choice(["string", "null"])}
+
+
+def merge_str_leaves(n):
+    s = {}
+    for _ in range(n):
+        for k, v in str_elem_leaf().items():
+            s.setdefault(k, v)
+    return s
+
+
+def str_array_schema():
+    s = {}
+    r = arng.random()
+    if r < 0.35:
+        s["items"] = merge_str_leaves(arng.randint(1, 2))
+    elif r < 0.55:
+        s["prefixItems"] = [merge_str_leaves(1)
+                            for _ in range(arng.randint(1, 3))]
+        if arng.random() < 0.5:
+            s["items"] = merge_str_leaves(1)
+    elif r < 0.75:
+        s["contains"] = merge_str_leaves(1)
+        if arng.random() < 0.4:
+            s["minContains"] = arng.randint(0, 3)
+        if arng.random() < 0.4:
+            s["maxContains"] = arng.randint(1, 4)
+    for extra in ("minItems", "maxItems", "uniqueItems"):
+        if arng.random() < 0.25:
+            s[extra] = arng.randint(0, 5) if extra != "uniqueItems" else True
+    if arng.random() < 0.3:
+        s["unevaluatedItems"] = (False if arng.random() < 0.5
+                                 else merge_str_leaves(1))
+    return s or {"minItems": arng.randint(0, 3)}
+
+
+def str_array_instance(nullable):
+    if arng.random() < 0.08:
+        return None
+    pool = STRINGS + FMT_SAMPLES + ([None] * 3 if nullable else [])
+    return [arng.choice(pool) for _ in range(arng.randint(0, 6))]
+
+
+def str_array_group(i):
+    kind = arng.choice(["array<string>", "array<string?>"])
+    schema = str_array_schema()
+    v = jsonschema.Draft202012Validator(
+        schema, format_checker=jsonschema.Draft202012Validator.FORMAT_CHECKER)
+    insts = [str_array_instance(kind == "array<string?>") for _ in range(6)]
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz-strarray[{i}] {kind} seed={SEED}",
+            "ctype": kind, "schema": schema, "tests": tests}
+
+
+NSA = max(120, N // 2)
+sa_groups = [str_array_group(i) for i in range(NSA)]
+savalid = sum(1 for g in sa_groups for t in g["tests"] if t["valid"])
+satotal = sum(len(g["tests"]) for g in sa_groups)
+out7 = "src/test/resources/golden/fuzz_strarray_cases.json"
+json.dump(sa_groups, open(out7, "w"), indent=1)
+print(f"wrote {len(sa_groups)} string-array groups / {satotal} cases "
+      f"({savalid} valid, {satotal - savalid} invalid) to {out7}")
