@@ -56,7 +56,30 @@ object ConstraintCompiler {
     * review: the int cast silently weakened fractional bounds).
     */
   private def numLit(b: Double): Column =
-    if (b.isWhole && math.abs(b) <= Int.MaxValue) lit(b.toInt) else lit(b)
+    if (b.isWhole && math.abs(b) <= Int.MaxValue) lit(b.toInt)
+    // an integral bound stays an INTEGER literal up to 2^62 (safely
+    // inside Long), so a LONG column compares in exact 64-bit integer
+    // arithmetic: with a double literal the column itself is promoted
+    // and values adjacent to the bound past 2^53 collapse onto it
+    // (e.g. exclusiveMinimum 2^53 vs instance 2^53+1 — the reference
+    // compares exact ints and says pass; the double path said fail).
+    // Bounds must themselves be binary64-representable — they arrive
+    // through the JSON number model (asDouble), the same boundary every
+    // float64-parsing engine has.
+    else if (b.isWhole && math.abs(b) <= (1L << 62).toDouble) lit(b.toLong)
+    else lit(b)
+
+  /** multipleOf: an INTEGRAL divisor uses `pmod` on the column's own
+    * type — exact 64-bit integer remainders for long columns (the
+    * double cast collapsed values past 2^53; the reference computes
+    * exact int %). A fractional divisor keeps the IEEE double
+    * remainder, bit-matching the reference's float `%` for the
+    * positive divisors the spec admits (curated-pinned).
+    */
+  private def multipleOfPred(f: Column, k: Double): Column =
+    if (k.isWhole && math.abs(k) <= (1L << 62).toDouble)
+      pmod(f, numLit(k)) === lit(0)
+    else pmod(f.cast("double"), lit(k)) === lit(0.0)
 
   def elementPred(c: Constraint)(e: Column): Column =
     if (extensions.isDefinedAt(c)) extensions(c)(e)
@@ -80,7 +103,7 @@ object ConstraintCompiler {
         case Maximum(b, true)  => coalesce(e < numLit(b), lit(true))
         // same double-pmod form as the top-level compile: an int cast
         // would turn multipleOf 0.5 into pmod-by-zero = always-pass
-        case MultipleOf(k)     => coalesce(pmod(e.cast("double"), lit(k)) === lit(0.0), lit(true))
+        case MultipleOf(k)     => coalesce(multipleOfPred(e, k), lit(true))
         case Enum(vs) =>
           val nonNull = vs.filter(_ != null)
           val base = if (nonNull.isEmpty) lit(false) else e.isin(nonNull: _*)
@@ -320,7 +343,7 @@ object ConstraintCompiler {
       case Minimum(b, true)  => (gated(f > numLit(b)), obsSelf)
       case Maximum(b, false) => (gated(f <= numLit(b)), obsSelf)
       case Maximum(b, true)  => (gated(f < numLit(b)), obsSelf)
-      case MultipleOf(k)     => (gated(pmod(f.cast("double"), lit(k)) === lit(0.0)), obsSelf)
+      case MultipleOf(k)     => (gated(multipleOfPred(f, k)), obsSelf)
 
       // --- string (PJS:_keywords.py:215-240; Spark length() is
       //     code-point based on strings, matching the spec) ---

@@ -193,3 +193,12 @@ class FuzzDoubleSuiteSpec extends GoldenCorpusSpec("golden/fuzz_double_cases.jso
   * in-array null gating against the reference.
   */
 class FuzzStrArraySuiteSpec extends GoldenCorpusSpec("golden/fuzz_strarray_cases.json")
+
+/** The long-column fuzz corpus: 64-bit integer exactness — instances
+  * adjacent to 2^53 (where a double model collapses neighbors onto the
+  * bound), bounds/divisors up to 2^62 (binary64-representable, the
+  * JSON-number model boundary), exact integral multipleOf, enum/const
+  * with big longs. Pins the numLit long-literal path and the exact
+  * integer multipleOf against the reference's arbitrary-precision ints.
+  */
+class FuzzLongSuiteSpec extends GoldenCorpusSpec("golden/fuzz_long_cases.json")

@@ -1284,3 +1284,78 @@ out7 = "src/test/resources/golden/fuzz_strarray_cases.json"
 json.dump(sa_groups, open(out7, "w"), indent=1)
 print(f"wrote {len(sa_groups)} string-array groups / {satotal} cases "
       f"({savalid} valid, {satotal - savalid} invalid) to {out7}")
+
+# ---------------------------------------------------------------------------
+# LONG-COLUMN fuzz: 64-bit integer exactness — instances ADJACENT to
+# 2^53 (where a double model collapses neighbors onto the bound),
+# bounds/divisors up to 2^62, exact integral multipleOf, enum/const
+# with big longs. Bounds and divisors are restricted to binary64-
+# REPRESENTABLE integers (they ride the JSON-number model through
+# asDouble — the boundary every float64-parsing engine shares);
+# instances are unrestricted 64-bit (they stay in long arithmetic
+# end to end). Own RNG stream.
+# ---------------------------------------------------------------------------
+
+lrng = random.Random(SEED + 123)
+
+LONG_INSTS = [0, 1, -1, 2, 3, 10, 2**31, 2**53 - 1, 2**53, 2**53 + 1,
+              2**53 + 2, 2**53 + 3, 2**62, -(2**53 + 1), 2**63 - 1]
+LONG_BOUNDS = [0, 1, 100, 2**31, 2**52, 2**53, 2**53 + 2, 2**53 + 4,
+               2**62, -(2**53)]  # all exactly representable in binary64
+LONG_DIVS = [1, 2, 3, 5, 7, 2**32]
+
+
+def long_leaf():
+    k = lrng.choice(["minimum", "maximum", "exclusiveMinimum",
+                     "exclusiveMaximum", "multipleOf", "enum", "const", "type"])
+    if k in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        return {k: lrng.choice(LONG_BOUNDS)}
+    if k == "multipleOf":
+        return {"multipleOf": lrng.choice(LONG_DIVS)}
+    if k == "enum":
+        return {"enum": lrng.sample(LONG_INSTS, lrng.randint(1, 4))}
+    if k == "const":
+        return {"const": lrng.choice(LONG_INSTS)}
+    return {"type": lrng.choice(["integer", "null"])}
+
+
+def combine3(depth=0):
+    if depth >= 2 or lrng.random() < 0.45:
+        return long_leaf()
+    k = lrng.choice(["allOf", "anyOf", "oneOf", "not", "if"])
+    if k == "not":
+        return {"not": combine3(depth + 1)}
+    if k == "if":
+        s = {"if": combine3(depth + 1)}
+        if lrng.random() < 0.8:
+            s["then"] = combine3(depth + 1)
+        if lrng.random() < 0.8:
+            s["else"] = combine3(depth + 1)
+        return s
+    return {k: [combine3(depth + 1) for _ in range(lrng.randint(1, 3))]}
+
+
+def long_group(i):
+    if lrng.random() < 0.6:
+        schema = combine3()
+    else:
+        schema = {}
+        for _ in range(2):
+            for k, v in long_leaf().items():
+                schema.setdefault(k, v)
+    v = jsonschema.Draft202012Validator(schema)
+    insts = [lrng.choice(LONG_INSTS + [None]) for _ in range(6)]
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz-long[{i}] seed={SEED}",
+            "ctype": "long", "schema": schema, "tests": tests}
+
+
+NLG = max(120, N // 2)
+long_groups = [long_group(i) for i in range(NLG)]
+lvalid = sum(1 for g in long_groups for t in g["tests"] if t["valid"])
+ltotal = sum(len(g["tests"]) for g in long_groups)
+out8 = "src/test/resources/golden/fuzz_long_cases.json"
+json.dump(long_groups, open(out8, "w"), indent=1)
+print(f"wrote {len(long_groups)} long groups / {ltotal} cases "
+      f"({lvalid} valid, {ltotal - lvalid} invalid) to {out8}")
