@@ -375,8 +375,17 @@ object Bench {
       // m4 leads: it is the cheaper config, so when the slice is tight
       // the mandatory pair (one submit of each) completes soonest —
       // the m1-first order lost the pair in bench_1787024620 (m1 ate
-      // 179 s of a 264 s slice, m4's leftover timeout was fatal)
-      val schedule = Iterator.continually(Seq(m4, m1, m4, m4, m1, m4)).flatten
+      // 179 s of a 264 s slice, m4's leftover timeout was fatal).
+      // The SECOND m1 comes 4th (was 5th): in windows 23-26 the 400 s
+      // warm slice fit exactly m4+m1+m4+m4 (~310 s) and stopped before
+      // the 5th-position m1, leaving ex1=1 — and every outlier criterion
+      // reading in those windows (1.136, 0.778, 1.052) traced to that
+      // single m1 sample while the m4 minima sat stable at 998-1,245k
+      // rows/s. The empirical noise-sensitive config is m1, so it gets
+      // its second sample before m4 gets its third (still a FIXED
+      // schedule with budget-only stopping, re-decided between rounds
+      // from archived variance, never within a run).
+      val schedule = Iterator.continually(Seq(m4, m1, m4, m1, m4, m4)).flatten
       var stop = false
       while (!stop && counts(m1) + counts(m4) < 12) {
         val next = schedule.next()
