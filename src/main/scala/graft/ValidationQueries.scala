@@ -933,7 +933,7 @@ object ValidationQueries {
              AND substr(dt,1,4) <> '0000' AND TRY_CAST(substr(dt,1,10) AS DATE) IS NOT NULL
              THEN 1 ELSE 0 END)::BIGINT AS n_date_time,
            sum(CASE WHEN regexp_full_match(ts, '$timeRe') THEN 1 ELSE 0 END)::BIGINT AS n_time,
-           sum(CASE WHEN regexp_full_match(us, '[0-9a-fA-F]{8}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]*')
+           sum(CASE WHEN regexp_full_match(us, '[0-9a-fA-F-]{8}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]*')
              AND length(replace(us, '-', '')) = 32 THEN 1 ELSE 0 END)::BIGINT AS n_uuid,
            sum(CASE WHEN regexp_full_match(i4, '$v4') THEN 1 ELSE 0 END)::BIGINT AS n_ipv4,
            sum(CASE WHEN regexp_full_match(i6, '$ipv6Re') THEN 1 ELSE 0 END)::BIGINT AS n_ipv6,

@@ -177,11 +177,13 @@ object ConstraintCompiler {
           try_to_timestamp(substring(f, 1, 10), lit("yyyy-MM-dd")).isNotNull
       // PJS is_uuid = UUID(instance) + dashes at positions 8/13/18/23:
       // Python's UUID strips ALL dashes before its 32-hex check, so
-      // extra dashes inside the variable spans are accepted as long as
-      // the mandated positions hold and exactly 32 hex digits remain —
-      // pinned by the fuzz-format corpus (near-miss group widths)
+      // extra dashes are accepted in EVERY span — including the first
+      // eight characters (seed-99 sweep find: '51-99E8e-…' is
+      // reference-valid) — as long as the mandated positions hold and
+      // exactly 32 hex digits remain. Pinned by the fuzz-format corpus
+      // (near-miss group widths, in-span dash mutations).
       case "uuid" =>
-        f.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]*$") &&
+        f.rlike("^[0-9a-fA-F-]{8}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]*$") &&
           length(translate(f, "-", "")) === 32
       case "ipv4" =>
         f.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
