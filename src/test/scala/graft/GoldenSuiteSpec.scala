@@ -202,3 +202,9 @@ class FuzzStrArraySuiteSpec extends GoldenCorpusSpec("golden/fuzz_strarray_cases
   * integer multipleOf against the reference's arbitrary-precision ints.
   */
 class FuzzLongSuiteSpec extends GoldenCorpusSpec("golden/fuzz_long_cases.json")
+
+/** The bool-column fuzz corpus: enum/const/type over BooleanType —
+  * tiny surface, completes the ctype matrix (notably: jsonschema's
+  * equal() special-cases bool so true is NOT the number 1).
+  */
+class FuzzBoolSuiteSpec extends GoldenCorpusSpec("golden/fuzz_bool_cases.json")

@@ -1359,3 +1359,47 @@ out8 = "src/test/resources/golden/fuzz_long_cases.json"
 json.dump(long_groups, open(out8, "w"), indent=1)
 print(f"wrote {len(long_groups)} long groups / {ltotal} cases "
       f"({lvalid} valid, {ltotal - lvalid} invalid) to {out8}")
+
+# ---------------------------------------------------------------------------
+# BOOL-COLUMN fuzz: the boolean keyword surface is tiny (enum/const/
+# type) but completes the ctype matrix; notable reference semantics
+# pinned here: JSON true/false are NOT the numbers 1/0 for enum/const
+# (Python bool == int, but jsonschema's equal() special-cases bool), and
+# type "boolean" vs "null". Own RNG stream.
+# ---------------------------------------------------------------------------
+
+brng = random.Random(SEED + 131)
+
+
+def bool_leaf():
+    k = brng.choice(["enum", "const", "type"])
+    if k == "enum":
+        return {"enum": brng.sample([True, False], brng.randint(1, 2))}
+    if k == "const":
+        return {"const": brng.choice([True, False])}
+    return {"type": brng.choice(["boolean", "null"])}
+
+
+def bool_group(i):
+    if brng.random() < 0.5:
+        k = brng.choice(["allOf", "anyOf", "oneOf", "not"])
+        schema = ({"not": bool_leaf()} if k == "not"
+                  else {k: [bool_leaf() for _ in range(brng.randint(1, 3))]})
+    else:
+        schema = bool_leaf()
+    v = jsonschema.Draft202012Validator(schema)
+    insts = [brng.choice([True, False, None]) for _ in range(6)]
+    tests = [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+             for j, d in enumerate(insts)]
+    return {"description": f"fuzz-bool[{i}] seed={SEED}",
+            "ctype": "bool", "schema": schema, "tests": tests}
+
+
+NB = max(48, N // 5)
+bool_groups = [bool_group(i) for i in range(NB)]
+bvalid = sum(1 for g in bool_groups for t in g["tests"] if t["valid"])
+btotal = sum(len(g["tests"]) for g in bool_groups)
+out9 = "src/test/resources/golden/fuzz_bool_cases.json"
+json.dump(bool_groups, open(out9, "w"), indent=1)
+print(f"wrote {len(bool_groups)} bool groups / {btotal} cases "
+      f"({bvalid} valid, {btotal - bvalid} invalid) to {out9}")
