@@ -253,13 +253,6 @@ object ConstraintCompiler {
       case "uri-reference" =>
         val pct = "%[0-9A-Fa-f]{2}"
         f.rlike(s"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://(?:(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:]|$pct)*@)?(?:\\[[0-9A-Fa-f:.]+\\]|(?:[A-Za-z0-9\\-._~!$$&'()*+,;=]|$pct)*)(?::[0-9]*)?)?(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/]|$pct)*(?:\\?(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/?]|$pct)*)?(?:#(?:[A-Za-z0-9\\-._~!$$&'()*+,;=:@/?]|$pct)*)?$$")
-      // idn-email: the reference parses with email.headerregistry
-      // (PJS:_format.py is_email with allow_smtputf8) — approximation:
-      // the ASCII email shape with unicode letters/digits admitted in
-      // both local part and domain labels; golden cases are chosen
-      // where this agrees with the reference parser (cross-checked)
-      case "idn-email" =>
-        f.rlike("^[\\p{L}\\p{N}._%+-]+@[\\p{L}\\p{N}.-]+\\.[\\p{L}]{2,}$")
       // iri / iri-reference (RFC 3987): the URI grammars with the
       // unreserved class widened to unicode (ucschar). The reference
       // env lacks rfc3987, so these are spec-derived + spec-tested,
