@@ -65,8 +65,13 @@ object ConstraintCompiler {
     // compares exact ints and says pass; the double path said fail).
     // Bounds must themselves be binary64-representable — they arrive
     // through the JSON number model (asDouble), the same boundary every
-    // float64-parsing engine has.
-    else if (b.isWhole && math.abs(b) <= (1L << 62).toDouble) lit(b.toLong)
+    // float64-parsing engine has. The guard runs to 2^63 EXCLUSIVE
+    // (round-4 ADVICE): every whole double strictly below 2^63 converts
+    // exactly via toLong (ulp ≤ 1024 there, all values integral), so
+    // bounds in (2^62, 2^63) keep the exact-integer path too — the
+    // double-literal fallback is only for |b| ≥ 2^63, where Long cannot
+    // represent the bound and the column is double-typed anyway.
+    else if (b.isWhole && math.abs(b) < 9.223372036854776E18) lit(b.toLong)
     else lit(b)
 
   /** multipleOf: an INTEGRAL divisor uses `pmod` on the column's own
@@ -77,7 +82,7 @@ object ConstraintCompiler {
     * positive divisors the spec admits (curated-pinned).
     */
   private def multipleOfPred(f: Column, k: Double): Column =
-    if (k.isWhole && math.abs(k) <= (1L << 62).toDouble)
+    if (k.isWhole && math.abs(k) < 9.223372036854776E18) // 2^63 excl., same guard as numLit
       pmod(f, numLit(k)) === lit(0)
     else pmod(f.cast("double"), lit(k)) === lit(0.0)
 
@@ -182,6 +187,13 @@ object ConstraintCompiler {
       // reference-valid) — as long as the mandated positions hold and
       // exactly 32 hex digits remain. Pinned by the fuzz-format corpus
       // (near-miss group widths, in-span dash mutations).
+      // EXCLUDED implementation pathology (round-4 ADVICE, same family
+      // as the int(,16) whitespace boundary): UUID() also strips
+      // '{}'/'urn:'/'uuid:' wrappers BEFORE the hex check, so a
+      // brace-shifted form like '{1234567-89ab-cdef-0123-456789abcdef0}'
+      // (dash positions 8/13/18/23 hold on the wrapped string, 32 hex
+      // after strip) is reference-valid; the engine rejects wrappers.
+      // fz_uuid only emits non-compensated wrappers — deliberate.
       case "uuid" =>
         f.rlike("^[0-9a-fA-F-]{8}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]{4}-[0-9a-fA-F-]*$") &&
           length(translate(f, "-", "")) === 32
@@ -228,10 +240,17 @@ object ConstraintCompiler {
       // validity-of-a-regex (PJS is_regex = re.compile; Java dialect,
       // documented like the pattern keyword's caveat)
       case "regex" => graft.functions.RegexValid.regex_valid(f)
-      // RFC 6901 relative pointer: non-negative int then '#' or pointer
-      // (PJS _format.py is_relative_json_pointer)
+      // Relative pointer with EXACT reference semantics (PJS _format.py
+      // is_relative_json_pointer): the reference's hand-rolled scanner
+      // rejects ANY digit that immediately follows a '0' — not just a
+      // leading zero — so spec-valid prefixes like '100'/'205'/'1023'
+      // are reference-INVALID (verified live against jsonschema 4.26.0;
+      // round-4 ADVICE find). Valid prefixes are exactly 0 | [1-9]+0?
+      // (a '0' can only be the lone prefix or the final digit), then
+      // '#' or a JSON pointer. Pinned by interior-zero curated cases +
+      // the widened fz_reljsonptr pool.
       case "relative-json-pointer" =>
-        f.rlike("^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$")
+        f.rlike("^(0|[1-9]+0?)(#|(/([^/~]|~[01])*)*)$")
       // idn-hostname: documented approximation of the reference's idna
       // encode with UTS-46 remapping (unicode letters/digits in
       // 1-63-char labels, no edge hyphens; uppercase accepted — the

@@ -166,13 +166,16 @@ class FuzzDynamicSuiteSpec extends GoldenCorpusSpec("golden/fuzz_dynamic_cases.j
 
 /** The format fuzz corpus: structured near-miss strings (mis-padded
   * dates, leap-second times, +24:00 offsets, mis-sized uuid groups,
-  * leading-zero octets, ~2 pointer escapes, …) against the format
-  * checkers the engine claims EXACT reference semantics for — date,
-  * date-time, time, uuid, ipv4, json-pointer, relative-json-pointer —
+  * leading-zero octets, ~2 pointer escapes, interior-zero relative
+  * pointer prefixes, …) against the TEN format checkers the engine
+  * claims EXACT reference semantics for — date, date-time, time, uuid,
+  * ipv4, ipv6, email, idn-email, json-pointer, relative-json-pointer —
   * each labeled by the live reference checker
-  * (Draft202012Validator.FORMAT_CHECKER). The documented-approximation
-  * checkers (email/ipv6/idn-*) and the Java-dialect `regex` are
-  * deliberately excluded, like the generator's other model boundaries.
+  * (Draft202012Validator.FORMAT_CHECKER). The Java-dialect `regex`,
+  * idn-hostname, and the spec-derived grammars (duration, uri*, iri*)
+  * stay excluded, like the generator's other model boundaries; so do
+  * the int(,16)-family uuid wrapper pathologies (brace/urn stripping
+  * with compensated dash positions — see the checker's doc comment).
   */
 class FuzzFormatSuiteSpec extends GoldenCorpusSpec("golden/fuzz_format_cases.json")
 

@@ -1035,7 +1035,13 @@ def fz_jsonptr(r):
 
 
 def fz_reljsonptr(r):
-    pre = r.choice(["0", "1", "10", "01", "00", "-1", "+1", "", "2"])
+    # interior-zero prefixes ('100', '205', '1023', '109') target the
+    # reference's digit-after-'0' scanner quirk (is_relative_json_pointer
+    # rejects ANY digit following a '0', not just leading zeros — so
+    # spec-valid '100' is reference-invalid while '120'/'90' pass);
+    # round-4 ADVICE find — the old pool could never surface it
+    pre = r.choice(["0", "1", "10", "01", "00", "-1", "+1", "", "2",
+                    "100", "205", "1023", "109", "120", "90", "1230"])
     tail = r.choice(["", "#", "#/a", "/a/~1", "/", "a", "#a", "/~2"])
     return pre + tail
 
@@ -1299,9 +1305,15 @@ print(f"wrote {len(sa_groups)} string-array groups / {satotal} cases "
 lrng = random.Random(SEED + 123)
 
 LONG_INSTS = [0, 1, -1, 2, 3, 10, 2**31, 2**53 - 1, 2**53, 2**53 + 1,
-              2**53 + 2, 2**53 + 3, 2**62, -(2**53 + 1), 2**63 - 1]
+              2**53 + 2, 2**53 + 3, 2**62, -(2**53 + 1), 2**63 - 1,
+              2**62 + 1023, 2**62 + 1024, 2**62 + 1025]
 LONG_BOUNDS = [0, 1, 100, 2**31, 2**52, 2**53, 2**53 + 2, 2**53 + 4,
-               2**62, -(2**53)]  # all exactly representable in binary64
+               2**62, -(2**53),
+               # in (2^62, 2^63): ulp=1024 there, value representable;
+               # exercises the widened exact-Long guard (round-4 ADVICE —
+               # old guard stopped at 2^62 and let these take the lossy
+               # double path, collapsing ulp-adjacent long instances)
+               2**62 + 1024]  # all exactly representable in binary64
 LONG_DIVS = [1, 2, 3, 5, 7, 2**32]
 
 
