@@ -365,6 +365,21 @@ class PipelineSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("decontam: shuffle_hash fallback above the broadcast ceiling gives identical results") {
+    val fast = PipelineQueries.decontam(spark, dir).collect().toSet
+    spark.conf.set("spark.graft.decontam.broadcastMaxNgrams", "0")
+    try {
+      val slow = PipelineQueries.decontam(spark, dir)
+      val plan = slow.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"threshold 0 must force the shuffle path:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"fallback must be a shuffle_hash join (big side never sorts):\n$plan")
+      assert(slow.collect().toSet === fast,
+        "both join strategies must produce the identical ledger")
+    } finally spark.conf.unset("spark.graft.decontam.broadcastMaxNgrams")
+  }
+
   test("repetition: per-doc dup fractions and top-bigram share match a driver-side recompute") {
     val q = PipelineQueries.repetition(spark, dir)
     val got = q.collect().map(r => r.getLong(0) ->

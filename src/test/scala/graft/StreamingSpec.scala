@@ -201,6 +201,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driver-gate streaming query: violationsStreamed row set == batch v_violations") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.ValidationQueries.violationsStreamed(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ValidationQueries.violations(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "streamed violations must be non-empty at sf0.001")
+    assert(streamed === batch,
+      "AvailableNow file-stream must reproduce the exact batch violation row set")
+  }
+
   test("session stream: native session windows merge gap-bridged events across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
