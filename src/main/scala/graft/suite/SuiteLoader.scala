@@ -1026,7 +1026,8 @@ object SuiteLoader {
 
   private def evaluatedIndexInfo(n: JsonNode, scope: Map[String, JsonNode],
                                  root: JsonNode, seen: Set[RefId],
-                                 inheritedDraft: Int): EvalIdx = {
+                                 inheritedDraft: Int,
+                                 ownUi: Boolean = true): EvalIdx = {
     if (n.isBoolean) return EvalIdx(0, Nil, everything = false, Nil)
     val draft = draftOf(n, inheritedDraft)
     val defs = scope ++ nodeDefs(n)
@@ -1056,11 +1057,24 @@ object SuiteLoader {
       }
     }
     Option(n.get("prefixItems")).foreach(p => plen = math.max(plen, p.size()))
-    Option(n.get("contains")).foreach(c => cont += toConstraint(c, defs, root, seen, draft))
+    // the tracker treats `contains` and `unevaluatedItems` IDENTICALLY:
+    // an element valid against either subschema counts evaluated
+    // (PJS:_utils.py:243-247 `for keyword in ["contains",
+    // "unevaluatedItems"]`). For the node whose uI is being compiled
+    // the self-contribution is a provable no-op ("matches u OR u"), so
+    // the TOP call skips it (ownUi=false) to keep the compiled tree
+    // minimal; for a RECURSED node (combinator branch, ref target) its
+    // own uI is load-bearing: the outer uI must exempt elements the
+    // branch's uI validated (round-5 fix, live-pinned by the
+    // fuzz_boundary corpus branch-ui groups).
+    (if (ownUi) Seq("contains", "unevaluatedItems") else Seq("contains")).foreach(kw =>
+      Option(n.get(kw)).foreach(c => cont += toConstraint(c, defs, root, seen, draft)))
     // allOf merges UNCONDITIONALLY: the tracker gates on branch validity,
-    // but a failing allOf branch fails the row anyway — verdict-exact
+    // but a failing allOf branch fails the row anyway — verdict-exact.
+    // Boolean branches contribute nothing (the tracker returns [] for
+    // boolean schemas: PJS:_utils.py:190-191); evaluatedIndexInfo's own
+    // isBoolean early-return implements that, so no shape raises here.
     Option(n.get("allOf")).foreach(_.asScala.foreach { b =>
-      require(b.isObject, "unevaluatedItems walk: allOf branch must be an object schema")
       merge(evaluatedIndexInfo(b, defs, root, seen, draft))
     })
     // anyOf/oneOf: each branch contributes iff the row VALIDATES against
@@ -1122,7 +1136,7 @@ object SuiteLoader {
   private def unevaluatedItemsConstraint(n: JsonNode, scope: Map[String, JsonNode],
                                          root: JsonNode, seen: Set[RefId],
                                          draft: Int): Option[Constraint] = {
-    val info = evaluatedIndexInfo(n, scope, root, seen, draft)
+    val info = evaluatedIndexInfo(n, scope, root, seen, draft, ownUi = false)
     if (info.everything) return None
     val defs = scope ++ nodeDefs(n)
     val u = toConstraint(n.get("unevaluatedItems"), defs, root, seen, draft)
@@ -1485,8 +1499,12 @@ object SuiteLoader {
           // past the prefix is unevaluated iff it matches NO contains,
           // so `unevaluatedItems: U` becomes "matches any contains OR U"
           // over those positions (exact — minContains/maxContains don't
-          // change the per-element annotation). Truly branch-dependent
-          // siblings (anyOf/oneOf/not/if, dynamic refs) still RAISE.
+          // change the per-element annotation). anyOf/oneOf/if arms fold
+          // in as per-row GATED contributors (r4 widening); `not` never
+          // contributes (the tracker skips it). The only remaining raise
+          // is a CYCLIC ref reachable from the walk — compile-time
+          // inlining cannot represent cycles (pinned by the boundary
+          // fuzz kind, fuzz_boundary_cases.json).
           unevaluatedItemsConstraint(n, scope, root, activeRefs, draft).foreach(cs += _)
         case "contains" =>
           requireDraft("contains", 6, draft)

@@ -1415,3 +1415,284 @@ out9 = "src/test/resources/golden/fuzz_bool_cases.json"
 json.dump(bool_groups, open(out9, "w"), indent=1)
 print(f"wrote {len(bool_groups)} bool groups / {btotal} cases "
       f"({bvalid} valid, {btotal - bvalid} invalid) to {out9}")
+
+# ---------------------------------------------------------------------------
+# BOUNDARY fuzz (kind 10, round-5): pins the unevaluated* RAISE BOUNDARY.
+# Two outputs:
+#   fuzz_boundary_cases.json  — COMPILE side: dense near-boundary shapes
+#     that the static model MUST accept (nested branch-uI contributions —
+#     the tracker's `for keyword in ["contains","unevaluatedItems"]` loop,
+#     PJS:_utils.py:243-247 — boolean combinator branches, uI through ref
+#     targets, if-arm uI, dual uP scopes), reference-labeled; a raise on
+#     any of these is a red test, which is assertion (b): no compilable
+#     shape raises.
+#   fuzz_boundary_raises.json — RAISE side: every family the loader
+#     rejects, with the REFERENCE'S OWN OUTCOME recorded at generation
+#     time, which is assertion (a):
+#       cycle-ref     — ref cycles reachable from the uI walk. The
+#                       reference's runtime tracker has NO cycle guard
+#                       (find_evaluated_item_indexes_by_schema recurses
+#                       unconditionally into $ref) and its validation
+#                       descends the same cycle: RecursionError, verified
+#                       live per group. Engine refuses at compile time —
+#                       full parity, earlier and explicit.
+#       draft-gate    — unevaluatedItems/Properties under a draft-7
+#                       document: the reference silently treats the
+#                       unknown keyword as an annotation (all instances
+#                       keep their pre-uI verdicts); the engine raises
+#                       (raise-don't-silently-weaken, documented policy).
+#       field-object  — object applicators inside a FIELD subschema:
+#                       column values are scalars/arrays, an object
+#                       instance is unrepresentable, so the reference
+#                       verdict is vacuously the non-object behavior;
+#                       the engine raises on the almost-surely-wrong
+#                       schema rather than compiling a vacuous no-op.
+# The uP duplicate-scope guard (SuiteLoader "multiple unevaluatedProperties
+# in the same annotation scope") is NOT a generatable family: every JSON
+# object node opens its own annotation frame (root, allOf/anyOf/oneOf/not
+# branches, if/then/else arms, dependentSchemas subschemas, ref targets),
+# and one node carries at most one uP key, so the guard is a defensive
+# invariant unreachable from JSON input — asserted here by the dual-uP
+# COMPILE family.
+# ---------------------------------------------------------------------------
+
+xrng = random.Random(SEED + 173)
+
+D7 = "http://json-schema.org/draft-07/schema#"
+
+
+def x_array_instance():
+    if xrng.random() < 0.06:
+        return None
+    return [xrng.choice(INTS) for _ in range(xrng.randint(0, 5))]
+
+
+def _xlabel(schema, resources, insts):
+    regs = [Resource.from_contents(r, default_specification=DRAFT202012)
+            for r in resources]
+    registry = Registry().with_resources((r.id(), r) for r in regs)
+    cls = jsonschema.validators.validator_for(
+        schema, default=jsonschema.Draft202012Validator)
+    v = cls(schema, registry=registry) if resources else cls(schema)
+    return [{"description": f"case {j}", "data": d, "valid": v.is_valid(d)}
+            for j, d in enumerate(insts)]
+
+
+def x_inner_ui():
+    """A subschema carrying its own unevaluatedItems (+ optional prefix/
+    contains) — the branch-level annotation contributor."""
+    s = {}
+    if xrng.random() < 0.7:
+        s["prefixItems"] = [{"minimum": xrng.choice(INTS)}
+                            for _ in range(xrng.randint(1, 2))]
+    if xrng.random() < 0.3:
+        s["contains"] = {"minimum": xrng.choice(INTS)}
+    s["unevaluatedItems"] = (False if xrng.random() < 0.35
+                             else {"maximum": xrng.choice(INTS)})
+    return s
+
+
+def xb_branch_ui(i):
+    """COMPILE: a combinator branch carries its OWN unevaluatedItems;
+    elements it validates count evaluated for the OUTER uI (the round-5
+    walk fix — the tracker's contains/unevaluatedItems loop)."""
+    kw = xrng.choice(["anyOf", "oneOf", "allOf"])
+    branches = [x_inner_ui()]
+    if kw != "allOf" or xrng.random() < 0.5:
+        branches.append({"minItems": xrng.randint(2, 4)})
+    schema = {kw: branches,
+              "unevaluatedItems": (False if xrng.random() < 0.6
+                                   else {"maximum": xrng.choice(INTS)})}
+    if xrng.random() < 0.4:
+        schema["prefixItems"] = [{}]
+    insts = [x_array_instance() for _ in range(6)]
+    return {"description": f"fuzz-bnd[{i}] branch-ui seed={SEED}",
+            "ctype": "array<int>", "schema": schema, "resources": [],
+            "tests": _xlabel(schema, [], insts)}
+
+
+def xb_bool_branch(i):
+    """COMPILE: boolean allOf/anyOf/oneOf branches next to uI — the
+    tracker returns [] for boolean schemas (PJS:_utils.py:190-191), so
+    they contribute nothing; `false` in allOf rejects every row."""
+    kw = xrng.choice(["allOf", "anyOf", "oneOf"])
+    branches = [xrng.random() < 0.75]
+    if xrng.random() < 0.7:
+        branches.append({"prefixItems": [{"minimum": xrng.choice(INTS)}]})
+    xrng.shuffle(branches)
+    schema = {kw: branches, "unevaluatedItems": False}
+    if xrng.random() < 0.5:
+        schema["prefixItems"] = [{"type": "integer"}]
+    insts = [x_array_instance() for _ in range(6)]
+    return {"description": f"fuzz-bnd[{i}] bool-branch seed={SEED}",
+            "ctype": "array<int>", "schema": schema, "resources": [],
+            "tests": _xlabel(schema, [], insts)}
+
+
+def xb_ref_ui(i):
+    """COMPILE: the $ref target carries its own uI — the walk follows
+    the ref and the target's uI exempts pointwise at the referrer."""
+    target = x_inner_ui()
+    schema = {"unevaluatedItems": False}
+    resources = []
+    if xrng.random() < 0.5:
+        schema["$defs"] = {"t": target}
+        schema["$ref"] = "#/$defs/t"
+    else:
+        lib_uri = f"https://fuzz.example/bndlib{i}"
+        resources = [dict(target, **{"$id": lib_uri})]
+        schema["$ref"] = lib_uri
+    if xrng.random() < 0.4:
+        schema["prefixItems"] = [{}]
+    insts = [x_array_instance() for _ in range(6)]
+    return {"description": f"fuzz-bnd[{i}] ref-ui seed={SEED}",
+            "ctype": "array<int>", "schema": schema, "resources": resources,
+            "tests": _xlabel(schema, resources, insts)}
+
+
+def xb_ifarm_ui(i):
+    """COMPILE: an if/then/else ARM carries its own uI; its pointwise
+    exemptions apply under the arm's activation condition."""
+    schema = {"if": {"minItems": xrng.randint(1, 3)},
+              "then": x_inner_ui(),
+              "unevaluatedItems": False}
+    if xrng.random() < 0.5:
+        schema["else"] = x_inner_ui()
+    insts = [x_array_instance() for _ in range(6)]
+    return {"description": f"fuzz-bnd[{i}] ifarm-ui seed={SEED}",
+            "ctype": "array<int>", "schema": schema, "resources": [],
+            "tests": _xlabel(schema, [], insts)}
+
+
+def xb_dual_up(i):
+    """COMPILE: TWO unevaluatedProperties in DIFFERENT annotation scopes
+    (root + combinator branch / dependentSchemas subschema) — each sees
+    only its own subtree's evaluations; pins that the duplicate-scope
+    guard never fires on real JSON (one frame per object node)."""
+    cols = list(COLS)
+    xrng.shuffle(cols)
+    branch = {"properties": {cols[0]: gated_field_schema(COLS[cols[0]])},
+              "unevaluatedProperties": False}
+    schema = {"properties": {cols[1]: gated_field_schema(COLS[cols[1]])},
+              "unevaluatedProperties": False}
+    via = xrng.random()
+    if via < 0.4:
+        schema["allOf"] = [branch]
+    elif via < 0.7:
+        schema["anyOf"] = [branch,
+                           {"required": [cols[2]],
+                            "properties": {cols[2]: gated_field_schema(COLS[cols[2]])}}]
+    else:
+        schema["dependentSchemas"] = {cols[2]: branch}
+    insts = [row_instance_with(xrng) for _ in range(6)]
+    return {"description": f"fuzz-bnd[{i}] dual-up seed={SEED}",
+            "ctype": "row", "columns": COLS, "schema": schema,
+            "resources": [], "tests": _xlabel(schema, [], insts)}
+
+
+def xr_cycle(i):
+    """RAISE: a $ref cycle reachable from the uI sibling walk. The
+    reference RecursionErrors on the same shape at runtime (verified
+    here, per group); compile-time inlining refuses explicitly."""
+    if xrng.random() < 0.5:
+        defs = {"n": {"$ref": "#/$defs/n"}}
+    else:
+        defs = {"n": {"allOf": [{"$ref": "#/$defs/m"}]},
+                "m": {"$ref": "#/$defs/n"}}
+    schema = {"$defs": defs,
+              "allOf": [{"$ref": "#/$defs/n"}],
+              "prefixItems": [{"type": "integer"}],
+              "unevaluatedItems": False}
+    v = jsonschema.Draft202012Validator(schema)
+    try:
+        v.is_valid([1, 2])
+        raise AssertionError("cycle family: reference unexpectedly validated")
+    except RecursionError:
+        pass
+    return {"description": f"fuzz-bnd[{i}] raise-cycle seed={SEED}",
+            "ctype": "array<int>", "schema": schema, "resources": [],
+            "expect": "raise", "family": "cycle-ref",
+            "reference_outcome": "RecursionError",
+            "why": "runtime tracker recurses unboundedly on the same shape; "
+                   "compile-time inlining cannot represent cycles",
+            "tests": []}
+
+
+def xr_draftgate(i):
+    """RAISE: unevaluated* under a draft-7 document — the reference
+    IGNORES the post-2019 keyword (annotation semantics, labels recorded
+    to prove it); the engine raises rather than silently weakening."""
+    if xrng.random() < 0.6:
+        schema = {"$schema": D7, "unevaluatedItems": False}
+        if xrng.random() < 0.5:
+            schema["items"] = [{"type": "integer"}]  # draft-7 array form
+        insts = [x_array_instance() for _ in range(4)]
+        return {"description": f"fuzz-bnd[{i}] raise-draftgate-ui seed={SEED}",
+                "ctype": "array<int>", "schema": schema, "resources": [],
+                "expect": "raise", "family": "draft-gate",
+                "reference_outcome": "ignored_annotation",
+                "why": "draft-7 has no unevaluatedItems; the reference treats "
+                       "it as an unknown annotation, the engine refuses",
+                "tests": _xlabel(schema, [], insts)}
+    cols = list(COLS)
+    xrng.shuffle(cols)
+    schema = {"$schema": D7, "unevaluatedProperties": False,
+              "properties": {cols[0]: gated_field_schema(COLS[cols[0]])}}
+    insts = [row_instance_with(xrng) for _ in range(4)]
+    return {"description": f"fuzz-bnd[{i}] raise-draftgate-up seed={SEED}",
+            "ctype": "row", "columns": COLS, "schema": schema,
+            "resources": [], "expect": "raise", "family": "draft-gate",
+            "reference_outcome": "ignored_annotation",
+            "why": "draft-7 has no unevaluatedProperties; the reference "
+                   "treats it as an unknown annotation, the engine refuses",
+            "tests": _xlabel(schema, [], insts)}
+
+
+def xr_field_object(i):
+    """RAISE: an object applicator (incl. unevaluatedProperties) inside a
+    FIELD subschema — the column model's values are scalars/arrays, so
+    the reference verdict is the vacuous non-object behavior (labels
+    recorded); the engine raises on the almost-surely-wrong schema."""
+    kw = xrng.choice(["unevaluatedProperties", "properties",
+                      "minProperties", "required"])
+    cols = list(COLS)
+    xrng.shuffle(cols)
+    field = cols[0]
+    subval = {"unevaluatedProperties": False,
+              "properties": {"x": {"type": "integer"}},
+              "minProperties": 1,
+              "required": ["x"]}[kw]
+    schema = {"properties": {field: {kw: subval}}}
+    insts = [row_instance_with(xrng) for _ in range(4)]
+    return {"description": f"fuzz-bnd[{i}] raise-fieldobj seed={SEED}",
+            "ctype": "row", "columns": COLS, "schema": schema,
+            "resources": [], "expect": "raise", "family": "field-object",
+            "reference_outcome": "vacuous_nonobject",
+            "why": f"'{kw}' inside a field subschema: column values are "
+                   "scalars/arrays, the keyword can only be vacuous — the "
+                   "engine raises instead of compiling a silent no-op",
+            "tests": _xlabel(schema, [], insts)}
+
+
+NX = max(60, N // 4)
+x_compile_makers = [xb_branch_ui, xb_bool_branch, xb_ref_ui, xb_ifarm_ui,
+                    xb_dual_up]
+x_compile = [x_compile_makers[i % len(x_compile_makers)](i) for i in range(NX)]
+xvalid = sum(1 for g in x_compile for t in g["tests"] if t["valid"])
+xtotal = sum(len(g["tests"]) for g in x_compile)
+out10 = "src/test/resources/golden/fuzz_boundary_cases.json"
+json.dump(x_compile, open(out10, "w"), indent=1)
+print(f"wrote {len(x_compile)} boundary COMPILE groups / {xtotal} cases "
+      f"({xvalid} valid, {xtotal - xvalid} invalid) to {out10}")
+
+NXR = max(36, N // 6)
+x_raise_makers = [xr_cycle, xr_draftgate, xr_field_object]
+x_raises = [x_raise_makers[i % len(x_raise_makers)](i) for i in range(NXR)]
+xrtotal = sum(len(g["tests"]) for g in x_raises)
+out11 = "src/test/resources/golden/fuzz_boundary_raises.json"
+json.dump(x_raises, open(out11, "w"), indent=1)
+fams = {}
+for g in x_raises:
+    fams[g["family"]] = fams.get(g["family"], 0) + 1
+print(f"wrote {len(x_raises)} boundary RAISE groups ({fams}) / "
+      f"{xrtotal} reference-labeled cases to {out11}")
