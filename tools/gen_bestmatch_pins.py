@@ -13,13 +13,27 @@ The authored `ref_validator`/`ref_path`/`engine_id` fields are
 VERIFIED LIVE against jsonschema's best_match here (the script fails
 loudly on any disagreement), then committed; BestMatchParitySpec
 asserts the engine's severity-ranked pick equals `engine_id` for the
-same pair. Run:   python3 tools/gen_bestmatch_pins.py
+same pair.
+
+Round 5 adds a RANDOM differential mode: `gen_bestmatch_pins.py
+[n_random] [seed]` (default 40, seed 20260819) generates random
+multi-failure suites inside the engine-supported flat subset
+(per-field scalar keywords, field-level anyOf/oneOf, root required,
+untyped allOf property overlays), labels each with the LIVE
+best_match, and keeps only cases whose reference relevance maximum is
+STRICTLY unique (a tied max falls to dict-iteration order in the
+reference and to constraint_id order in the engine — the documented
+stand-in, not a parity claim) and whose winning error maps
+mechanically onto an engine constraint id. Random pins are appended
+after the authored ones in the same committed file, so
+BestMatchParitySpec pins both by construction.
 """
 import json
+import random
 import sys
 
 import jsonschema
-from jsonschema.exceptions import best_match
+from jsonschema.exceptions import best_match, relevance
 
 CASES = [
     {
@@ -98,7 +112,138 @@ CASES = [
 ]
 
 
+# ---- random differential mode (round 5) --------------------------------
+
+FIELD_NAMES = ["a", "b", "m", "z", "q2", "tag"]
+INT_VALS = [-10, -1, 0, 1, 2, 3, 5, 7, 10, 63, 100]
+STR_VALS = ["", "a", "ab", "abc", "doc-42", "web", "0123456789", "x" * 12]
+PATTERNS = ["^a", "b$", "^[0-9]+$", "^doc-[0-9]+$", "a.b", "[A-Z]"]
+ARR_VALS = [[], [1], [1, 2, 3], [5, 5], [-1, 0, 1, 2], [7] * 4]
+
+
+def _int_kw(rng):
+    k = rng.choice(["minimum", "maximum", "exclusiveMinimum",
+                    "exclusiveMaximum", "multipleOf", "enum", "const"])
+    if k == "multipleOf":
+        return {k: rng.choice([2, 3, 5, 7])}
+    if k == "enum":
+        return {k: rng.sample(INT_VALS, rng.randint(1, 3))}
+    if k == "const":
+        return {k: rng.choice(INT_VALS)}
+    return {k: rng.choice(INT_VALS)}
+
+
+def _str_kw(rng):
+    k = rng.choice(["minLength", "maxLength", "pattern", "enum", "const"])
+    if k in ("minLength", "maxLength"):
+        return {k: rng.randint(0, 8)}
+    if k == "pattern":
+        return {k: rng.choice(PATTERNS)}
+    if k == "enum":
+        return {k: rng.sample(STR_VALS, rng.randint(1, 3))}
+    return {k: rng.choice(STR_VALS)}
+
+
+def _arr_kw(rng):
+    k = rng.choice(["minItems", "maxItems", "uniqueItems"])
+    if k == "uniqueItems":
+        return {k: True}
+    return {k: rng.randint(0, 4)}
+
+
+KW_MAKERS = {"int": _int_kw, "string": _str_kw, "array<int>": _arr_kw}
+JSON_TYPE = {"int": "integer", "string": "string", "array<int>": "array"}
+
+
+def _one_random(rng, idx, seed):
+    """One random candidate (suite, instance); None when it doesn't
+    qualify as a deterministic adversarial pin (see module doc)."""
+    nf = rng.randint(2, 3)
+    fields = rng.sample(FIELD_NAMES, nf)
+    ctypes = {f: rng.choice(list(KW_MAKERS)) for f in fields}
+    props, schema = {}, {}
+    for f in fields:
+        sub = {}
+        if rng.random() < 0.7:
+            sub["type"] = JSON_TYPE[ctypes[f]]
+        mk = KW_MAKERS[ctypes[f]]
+        if ctypes[f] != "array<int>" and rng.random() < 0.3:
+            sub[rng.choice(["anyOf", "oneOf"])] = [mk(rng) for _ in range(2)]
+            if rng.random() < 0.5:
+                sub.update(mk(rng))
+        else:
+            for _ in range(rng.randint(1, 2)):
+                sub.update(mk(rng))
+        props[f] = sub
+    schema["properties"] = props
+    omitted = None
+    if rng.random() < 0.35:
+        omitted = rng.choice(fields)
+        schema["required"] = [omitted]
+    if rng.random() < 0.25:  # untyped overlay scope (_matches_type arm)
+        f = rng.choice(fields)
+        schema["allOf"] = [{"properties": {f: KW_MAKERS[ctypes[f]](rng)}}]
+    data = {}
+    for f in fields:
+        if f == omitted:
+            continue
+        pool = {"int": INT_VALS, "string": STR_VALS, "array<int>": ARR_VALS}[ctypes[f]]
+        data[f] = rng.choice(pool)
+
+    V = jsonschema.Draft202012Validator
+    errs = list(V(schema).iter_errors(data))
+    if len(errs) < 2:
+        return None
+    rels = sorted((relevance(e) for e in errs), reverse=True)
+    if not (rels[0] > rels[1]):  # tied max: iteration-order territory, skip
+        return None
+    bm = best_match(errs)
+    sp = list(bm.absolute_schema_path)
+    path = list(bm.path)
+    if bm.validator == "required":
+        missing = [p for p in bm.validator_value if p not in data]
+        if len(missing) != 1:
+            return None
+        engine_id = f"{missing[0]}.required"
+    elif len(path) == 1 and sp[:2] == ["properties", path[0]] and len(sp) == 3:
+        engine_id = f"{path[0]}.{sp[2]}"
+    elif (len(path) == 1 and len(sp) == 5 and sp[0] == "allOf"
+          and sp[2] == "properties" and sp[3] == path[0]):
+        engine_id = f"allOf[{sp[1]}].{path[0]}.{sp[4]}"
+    else:
+        return None  # element-level / nested pick: outside the flat map
+    return {
+        "description": f"random[{idx}] seed={seed}: {bm.validator} at {path or '[]'} wins over {len(errs) - 1} other error(s)",
+        "schema": schema,
+        "columns": ctypes,
+        "data": data,
+        "ref_validator": bm.validator,
+        "ref_path": path,
+        "engine_id": engine_id,
+    }
+
+
+def random_cases(n, seed):
+    rng = random.Random(seed)
+    out, idx, attempts = [], 0, 0
+    cap = max(2, n // 6)  # per-validator cap: keep the winner mix diverse
+    counts = {}
+    while len(out) < n and attempts < n * 400:
+        attempts += 1
+        c = _one_random(rng, idx, seed)
+        if c is not None and counts.get(c["ref_validator"], 0) < cap:
+            counts[c["ref_validator"]] = counts.get(c["ref_validator"], 0) + 1
+            out.append(c)
+            idx += 1
+    if len(out) < n:
+        print(f"WARNING: only {len(out)}/{n} random pins after {attempts} attempts",
+              file=sys.stderr)
+    return out
+
+
 def main():
+    n_random = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260819
     V = jsonschema.Draft202012Validator
     failures = []
     for case in CASES:
@@ -118,10 +263,12 @@ def main():
         for f in failures:
             print("  " + f, file=sys.stderr)
         sys.exit(1)
+    randoms = random_cases(n_random, seed)
     out = "src/test/resources/golden/bestmatch_pins.json"
     with open(out, "w") as fh:
-        json.dump(CASES, fh, indent=1)
-    print(f"{len(CASES)} pins live-verified against jsonschema "
+        json.dump(CASES + randoms, fh, indent=1)
+    print(f"{len(CASES)} authored pins live-verified + {len(randoms)} random "
+          f"differential pins (seed={seed}) against jsonschema "
           f"{jsonschema.__version__} best_match -> {out}")
 
 
