@@ -72,6 +72,22 @@ class BestMatchParitySpec extends SparkSpec {
         s"\nengine best pick != reference best_match pick" +
           s"\n  failing: ${failing.map(id => s"$id(sev=${sev(id)})").mkString(", ")}" +
           s"\n  reference: ${pin.get("ref_validator").asText()} at ${pin.get("ref_path")}")
+
+      // FULL order parity (round-5): when the pin carries engine_order
+      // (every failing error maps to an engine id and every reference
+      // relevance tuple is pairwise distinct), the engine's whole
+      // severity-DESC ranking must reproduce the reference's
+      // sorted(errors, key=relevance, reverse=True) — i.e. by_relevance,
+      // the ordering v_top_violations exposes.
+      val orderNode = pin.get("engine_order")
+      if (orderNode != null && !orderNode.isNull) {
+        val want = orderNode.asScala.map(_.asText()).toSeq
+        val got = failing.sortBy(id => (-sev(id), id))
+        assert(got === want,
+          s"\nengine severity ORDER != reference by_relevance order" +
+            s"\n  engine:    ${got.map(id => s"$id(sev=${sev(id)})").mkString(", ")}" +
+            s"\n  reference: ${want.mkString(", ")}")
+      }
     }
   }
 }

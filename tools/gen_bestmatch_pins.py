@@ -151,7 +151,21 @@ def _arr_kw(rng):
     return {k: rng.randint(0, 4)}
 
 
+def _int_gated(rng):
+    # NULL-GATED only (no enum/const/type): vacuous on an absent key in
+    # both the reference and the engine's null-column reinterpretation
+    k = rng.choice(["minimum", "maximum", "exclusiveMinimum",
+                    "exclusiveMaximum", "multipleOf"])
+    return {k: rng.choice([2, 3, 5, 7])} if k == "multipleOf" else {k: rng.choice(INT_VALS)}
+
+
+def _str_gated(rng):
+    k = rng.choice(["minLength", "maxLength", "pattern"])
+    return {k: rng.choice(PATTERNS)} if k == "pattern" else {k: rng.randint(0, 8)}
+
+
 KW_MAKERS = {"int": _int_kw, "string": _str_kw, "array<int>": _arr_kw}
+GATED_MAKERS = {"int": _int_gated, "string": _str_gated, "array<int>": _arr_kw}
 JSON_TYPE = {"int": "integer", "string": "string", "array<int>": "array"}
 
 
@@ -161,9 +175,20 @@ def _one_random(rng, idx, seed):
     nf = rng.randint(2, 3)
     fields = rng.sample(FIELD_NAMES, nf)
     ctypes = {f: rng.choice(list(KW_MAKERS)) for f in fields}
+    # the required-omitted field carries ONLY null-gated keywords and no
+    # type: the engine reads an absent key as a NULL column, which is
+    # stricter than the reference for enum/const/type (the documented
+    # row-model reinterpretation, tools/gen_fuzz_cases.py row kind) —
+    # those keywords on an absent-able field are not a parity surface
+    omitted = rng.choice(fields) if rng.random() < 0.35 else None
     props, schema = {}, {}
     for f in fields:
         sub = {}
+        if f == omitted:
+            for _ in range(rng.randint(1, 2)):
+                sub.update(GATED_MAKERS[ctypes[f]](rng))
+            props[f] = sub
+            continue
         if rng.random() < 0.7:
             sub["type"] = JSON_TYPE[ctypes[f]]
         mk = KW_MAKERS[ctypes[f]]
@@ -176,12 +201,10 @@ def _one_random(rng, idx, seed):
                 sub.update(mk(rng))
         props[f] = sub
     schema["properties"] = props
-    omitted = None
-    if rng.random() < 0.35:
-        omitted = rng.choice(fields)
+    if omitted is not None:
         schema["required"] = [omitted]
     if rng.random() < 0.25:  # untyped overlay scope (_matches_type arm)
-        f = rng.choice(fields)
+        f = rng.choice([x for x in fields if x != omitted])
         schema["allOf"] = [{"properties": {f: KW_MAKERS[ctypes[f]](rng)}}]
     data = {}
     for f in fields:
@@ -198,29 +221,43 @@ def _one_random(rng, idx, seed):
     if not (rels[0] > rels[1]):  # tied max: iteration-order territory, skip
         return None
     bm = best_match(errs)
-    sp = list(bm.absolute_schema_path)
-    path = list(bm.path)
-    if bm.validator == "required":
-        missing = [p for p in bm.validator_value if p not in data]
-        if len(missing) != 1:
-            return None
-        engine_id = f"{missing[0]}.required"
-    elif len(path) == 1 and sp[:2] == ["properties", path[0]] and len(sp) == 3:
-        engine_id = f"{path[0]}.{sp[2]}"
-    elif (len(path) == 1 and len(sp) == 5 and sp[0] == "allOf"
-          and sp[2] == "properties" and sp[3] == path[0]):
-        engine_id = f"allOf[{sp[1]}].{path[0]}.{sp[4]}"
-    else:
-        return None  # element-level / nested pick: outside the flat map
-    return {
-        "description": f"random[{idx}] seed={seed}: {bm.validator} at {path or '[]'} wins over {len(errs) - 1} other error(s)",
+
+    def to_engine_id(e):
+        sp = list(e.absolute_schema_path)
+        path = list(e.path)
+        if e.validator == "required":
+            missing = [p for p in e.validator_value if p not in data]
+            return f"{missing[0]}.required" if len(missing) == 1 else None
+        if len(path) == 1 and sp[:2] == ["properties", path[0]] and len(sp) == 3:
+            return f"{path[0]}.{sp[2]}"
+        if (len(path) == 1 and len(sp) == 5 and sp[0] == "allOf"
+                and sp[2] == "properties" and sp[3] == path[0]):
+            return f"allOf[{sp[1]}].{path[0]}.{sp[4]}"
+        return None  # element-level / nested: outside the flat map
+
+    engine_id = to_engine_id(bm)
+    if engine_id is None:
+        return None
+    case = {
+        "description": f"random[{idx}] seed={seed}: {bm.validator} at {list(bm.path) or '[]'} wins over {len(errs) - 1} other error(s)",
         "schema": schema,
         "columns": ctypes,
         "data": data,
         "ref_validator": bm.validator,
-        "ref_path": path,
+        "ref_path": list(bm.path),
         "engine_id": engine_id,
     }
+    # FULL ranked-order label when every failing error maps and every
+    # relevance tuple is pairwise distinct (ties fall to iteration order
+    # in the reference and constraint_id order in the engine — not a
+    # parity surface): the engine's whole severity-DESC ordering must
+    # reproduce sorted(errors, key=relevance, reverse=True).
+    all_ids = [to_engine_id(e) for e in errs]
+    pairwise_distinct = all(rels[i] > rels[i + 1] for i in range(len(rels) - 1))
+    if None not in all_ids and len(set(all_ids)) == len(all_ids) and pairwise_distinct:
+        ordered = sorted(errs, key=relevance, reverse=True)
+        case["engine_order"] = [to_engine_id(e) for e in ordered]
+    return case
 
 
 def random_cases(n, seed):
