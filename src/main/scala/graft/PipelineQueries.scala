@@ -206,19 +206,35 @@ object PipelineQueries {
     lshPairsFrom(lshLong(s, dir), LshBucketCap)
 
   private[graft] def lshPairsFrom(longAll: DataFrame, cap: Int): DataFrame = {
+    // r6 shape (guide §8: decide with small rows, move big rows once).
+    // The old plan carried every doc's shingle ARRAY (KBs per row, x4
+    // band copies) through the bucket-cap window exchange AND the bucket
+    // self-join, then computed the Jaccard intersection once per BAND
+    // COLLISION before deduplicating pairs. Now: the window and the
+    // bucket join run on (doc_id, band, sig) only — Catalyst prunes the
+    // shingle columns out of that branch entirely — pairs deduplicate
+    // FIRST, and the shingle arrays attach by doc_id join to compute the
+    // Jaccard exactly once per unique pair. jac is band-independent, so
+    // max-over-collisions == the single computation; row set unchanged.
     val wcnt = Window.partitionBy(col("band"), col("sig"))
-    val long = longAll
+    val long = longAll.select(col("doc_id"), col("band"), col("sig"))
       .withColumn("_bn", count(lit(1)).over(wcnt))
       .filter(col("_bn") <= cap)
       .drop("_bn")
-    val a = long.select(col("band"), col("sig"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = long.select(col("band"), col("sig"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = long.select(col("band"), col("sig"), col("doc_id").as("id_a"))
+      .join(long.select(col("band"), col("sig"), col("doc_id").as("id_b")), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may collide in several bands
+    // one (doc_id, sh) row per doc: every doc emits band 0, and sh is
+    // identical across its band copies
+    val sh = longAll.filter(col("band") === 0).select(col("doc_id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - size(array_intersect(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(inter / uni, 6).as("jac"))
-      .groupBy(col("id_a"), col("id_b")) // a pair may collide in several bands
-      .agg(max(col("jac")).as("jac"))
       .withColumn("is_dup", col("jac") >= 0.5)
   }
 
@@ -423,7 +439,7 @@ object PipelineQueries {
     * Scale shape: one scan computes the row-local flags; the contam and
     * dropped sets join back on doc_id; one per-source rollup.
     */
-  def curateLedger(s: SparkSession, dir: String): DataFrame =
+  def curateLedger(s: SparkSession, dir: String): DataFrame = {
     // localCheckpoint(eager) the two expensive id frames HERE, not just
     // in CurateJob: without it the single-action ledger plan re-runs the
     // whole LSH + connected-components chain inside droppedDocIds and
@@ -432,9 +448,21 @@ object PipelineQueries {
     // next to the corpus — so materializing them is the scale-correct
     // shape at any corpus size (swap for reliable checkpoint + a
     // checkpoint dir on a real cluster, as ConnectedComponents notes).
+    // r6: the two chains are INDEPENDENT, and the dedup side is a
+    // sequential multi-round loop (LSH + connected components) that
+    // cannot fill the cluster by itself — materialize them from two
+    // driver threads so the decontamination jobs back-fill the dedup
+    // chain's stragglers (guide §2.6 "overlap independent jobs"); the
+    // scheduler interleaves the jobs, results are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fContam = Future { contamDocIds(s, dir).localCheckpoint(true) }
+    val fDropped = Future { droppedDocIds(s, dir).localCheckpoint(true) }
     curateLedgerWith(s, dir,
-      contamDocIds(s, dir).localCheckpoint(true),
-      droppedDocIds(s, dir).localCheckpoint(true))
+      Await.result(fContam, Duration.Inf),
+      Await.result(fDropped, Duration.Inf))
+  }
 
   /** [[curateLedger]] over PRE-COMPUTED contaminated/dropped id frames —
     * what [[graft.run.CurateJob]] calls so one persisted computation of

@@ -30,11 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object TokenFreq {
 
-  /** Exploded (source, token, cnt) exact counts — the shared substrate. */
+  /** (source, token, cnt) exact counts — the shared substrate.
+    *
+    * r6 shape: ONE mergeable histogram aggregate per source
+    * ([[graft.functions.TokenHist]]) instead of
+    * explode + groupBy(source, token). The explode shape pays a
+    * per-INSTANCE UnsafeRow hash probe under a string+int key (measured
+    * 11-19 s for 264M instances at local[32]; int-only keys are ~3x
+    * cheaper — TokAggProbe) and ships O(distinct keys per partition)
+    * rows through the exchange. The histogram probes the group key once
+    * per ROW, counts instances with a dense-array increment, and ships
+    * |vocab|-bounded sparse buffer state. The (token, cnt) multiset it
+    * explodes to afterwards is value-identical — exact integer counts,
+    * same null-element and out-of-range handling as the explode.
+    */
   def tokenCounts(toks: DataFrame): DataFrame =
-    toks.select(col("source"), explode(col("tokens")).as("token"))
-      .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
+    toks.groupBy(col("source"))
+      .agg(graft.functions.TokenHist.token_hist_agg(col("tokens")).as("h"))
+      .select(col("source"), explode(col("h")).as("tc"))
+      .select(col("source"), col("tc.token").as("token"), col("tc.cnt").as("cnt"))
 
   /** (cnt DESC, token ASC) is TOTAL within a source because token is
     * the grouping key — the two engines can never pick different
@@ -63,20 +77,33 @@ object TokenFreq {
     * instances, and covered fraction of the vocab. The one double
     * division happens once per output row AFTER aggregation —
     * bit-identical in any engine.
+    *
+    * Shape (r6): derived from the [[tokenCounts]] wordcount substrate
+    * instead of two countDistinct aggregates over the raw explode — the
+    * multi-distinct rewrite EXPANDS every token instance 3x into a
+    * 4-column-key hash aggregate (plan: Expand(3x) before the partial
+    * agg), tripling the hot aggregation. Over (source, token, cnt) every
+    * output is a plain aggregate: total = sum(cnt), distinct = row
+    * count, in-vocab distinct = conditional row count, oov instances =
+    * conditional sum(cnt) — identical values, one pass, no Expand.
     */
   def vocabCoverage(toks: DataFrame, vocab: Int): DataFrame =
-    toks.select(col("source"), explode(col("tokens")).as("token"))
+    tokenCounts(toks)
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("total_tokens"),
-        countDistinct(col("token")).as("distinct_tokens"),
+        sum(col("cnt")).as("total_tokens"),
+        // countDistinct semantics: null token ids (possible under the
+        // schema even if absent from the generator) form a substrate row
+        // but must not count as a distinct id
+        count(col("token")).as("distinct_tokens"),
         // coverage counts IN-VOCAB distinct ids only: OOV ids are not
         // vocabulary entries, so they must not inflate the covered
         // fraction past 1.0 (round-4 review); distinct_tokens stays the
         // raw distinct count (OOV presence is its own oov_tokens column)
-        countDistinct(when(col("token") >= 0 && col("token") < vocab, col("token")))
+        count(when(col("token") >= 0 && col("token") < vocab, lit(1)))
           .as("in_vocab_distinct"),
-        sum(when(col("token") < 0 || col("token") >= vocab, 1L).otherwise(0L)).as("oov_tokens"))
+        sum(when(col("token") < 0 || col("token") >= vocab, col("cnt")).otherwise(0L))
+          .as("oov_tokens"))
       .withColumn("vocab_coverage",
         col("in_vocab_distinct").cast("double") / lit(vocab.toDouble))
       .drop("in_vocab_distinct")
@@ -96,7 +123,14 @@ object TokenFreq {
     * (special tokens, a watchlist) — bounded, broadcast.
     */
   def cmsTopkEst(toks: DataFrame, k: Int, width: Long = 1024L): DataFrame = {
-    val counts = tokenCounts(toks)
+    // the (source, token, cnt) substrate feeds BOTH the sketch cells and
+    // the probe top-k; without materialization each branch re-runs the
+    // full explode + wordcount aggregation over every token instance.
+    // The frame is vocab-bounded (≤ |vocab|·|sources| rows regardless of
+    // corpus size), so an eager localCheckpoint is scale-safe and halves
+    // the row-count-proportional work (r6; guide §1.2 "don't compute
+    // things twice").
+    val counts = tokenCounts(toks).localCheckpoint(true)
     val cms = counts
       .select(col("source"), col("cnt"),
         explode(array(
@@ -130,8 +164,17 @@ object TokenFreq {
     * All integer arithmetic until one rounded division per output row.
     */
   def rareTokens(toks: DataFrame): DataFrame = {
-    val ex = toks.select(col("source"), explode(col("tokens")).as("token"))
-    val counts = ex.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // ONE pass over the token instances builds the (source, token, scnt)
+    // wordcount substrate; everything downstream — global counts, the
+    // threshold window, the rare join, the per-source rollup — operates
+    // on vocab-bounded frames only (r6: the old shape exploded the
+    // corpus TWICE — once for the global counts, once for the final
+    // rollup — and ran a countDistinct Expand inside the rollup). The
+    // substrate is ≤ |vocab|·|sources| rows at any corpus size, so the
+    // eager localCheckpoint is scale-safe.
+    val srcCounts = tokenCounts(toks).withColumnRenamed("cnt", "scnt")
+      .localCheckpoint(true)
+    val counts = srcCounts.groupBy(col("token")).agg(sum(col("scnt")).as("cnt"))
     // exact bottom-decile threshold over the count DISTRIBUTION:
     // histogram of count values -> ordered cumulative window
     val hist = counts.groupBy(col("cnt")).agg(count(lit(1)).as("ids"))
@@ -143,14 +186,17 @@ object TokenFreq {
       .agg(min(col("cnt")).as("rare_threshold"))
     val rare = counts.join(broadcast(thr), counts("cnt") <= thr("rare_threshold"))
       .select(col("token"), lit(1).as("is_rare"), col("rare_threshold"))
-    ex.join(broadcast(rare), Seq("token"), "left")
+    // per-source metrics from the substrate: instance counts weight by
+    // scnt; "rare ids present" = rare rows of the substrate (one row per
+    // present (source, token), so no countDistinct Expand needed)
+    srcCounts.join(broadcast(rare), Seq("token"), "left")
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("is_rare"), lit(0)).cast("long")).as("n_rare"),
-        round(sum(coalesce(col("is_rare"), lit(0))).cast("double") /
-          count(lit(1)), 6).as("rare_frac"),
-        countDistinct(when(col("is_rare") === 1, col("token"))).as("rare_ids_present"),
+        sum(col("scnt")).as("n_tokens"),
+        sum(when(col("is_rare") === 1, col("scnt")).otherwise(0L)).as("n_rare"),
+        round(sum(when(col("is_rare") === 1, col("scnt")).otherwise(0L)).cast("double") /
+          sum(col("scnt")), 6).as("rare_frac"),
+        count(when(col("is_rare") === 1, lit(1))).as("rare_ids_present"),
         max(col("rare_threshold")).as("rare_threshold"))
   }
 
@@ -165,9 +211,18 @@ object TokenFreq {
     * |sources|·nBuckets rows.
     */
   def tokenDriftKS(toks: DataFrame, nBuckets: Int = 64): DataFrame = {
-    val ex = toks.select(col("source"), explode(col("tokens")).as("token"))
-      .select(col("source"), pmod(col("token"), lit(nBuckets)).as("bucket"))
-    val sb = ex.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // r6: bucket counts fold the tokenCounts histogram substrate
+    // (sum of exact per-id counts per id bucket ≡ count of instances
+    // per bucket), and sb is localCheckpoint'ed because it feeds THREE
+    // consumers (corpus histogram, the source grid, the per-source
+    // join) — without materialization each one re-ran the full explode
+    // + bucket aggregation over every token instance. The frame is
+    // |sources|·nBuckets rows (hundreds), so materializing is free at
+    // any corpus size.
+    val sb = tokenCounts(toks)
+      .groupBy(col("source"), pmod(col("token"), lit(nBuckets)).as("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
     // corpus histogram derived from the already-aggregated frame
     val corpus = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("ccnt"))
       .withColumn("ccum", sum(col("ccnt")).over(Window.partitionBy(lit(1)).orderBy(col("bucket"))))
