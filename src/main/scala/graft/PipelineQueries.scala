@@ -186,8 +186,10 @@ object PipelineQueries {
       .withColumn("_sh", shingleHashes(col("text")))
       .withColumn("sh", array_distinct(shingles3(col("text"))))
       .select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          concat_ws("_", minhash(col("_sh"), 2 * b), minhash(col("_sh"), 2 * b + 1)).as("sig"))): _*)).as("bs"))
+        array((0 until 4).map(b => struct(lit(b).as("band"),
+          concat_ws("_", minhash(col("_sh"), 2 * b), minhash(col("_sh"), 2 * b + 1)).as("sig"))): _*).as("bands"))
+      .observe("lsh_long_base", count(lit(1))) // barrier, see ngBase
+      .select(col("doc_id"), col("sh"), explode(col("bands")).as("bs"))
       .select(col("doc_id"), col("sh"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   private def lshLong(s: SparkSession, dir: String): DataFrame = lshLongFrom(docs(s, dir))
@@ -346,8 +348,14 @@ object PipelineQueries {
     * off it; unused columns are pruned by Catalyst per consumer).
     */
   private[graft] def ngBase(s: SparkSession, dir: String): DataFrame =
+    // observe() = zero-cost optimizer barrier (see dupNgrams): keeps the
+    // md5 8-gram chain in the scan stage instead of letting
+    // CollapseProject inline it into downstream Generates, where the
+    // consumer explode drops to interpreted evaluation (measured 2.6 s →
+    // 0.2 s for decontam's train side at sf0.1, DocFragProbe r6)
     docs(s, dir).select(col("doc_id"), col("source"),
       isBenchCol.as("is_bench"), wordNgramHashes(col("text"), 8).as("ng"))
+      .observe("ng_base", count(lit(1)))
 
   /** The benchmark slice's distinct n-gram set (the broadcast side). */
   private[graft] def benchNgrams(base: DataFrame): DataFrame =
@@ -688,6 +696,7 @@ object PipelineQueries {
     val w = words(col("text"))
     val bg = wordBigrams(col("text"))
     val d = docs(s, dir).select(col("doc_id"), w.as("w"), bg.as("bg"))
+      .observe("repetition_base", count(lit(1))) // barrier, see ngBase
     val perDoc = d.select(col("doc_id"),
       size(col("w")).as("n_words"),
       dupFrac(col("w")).as("dup_word_frac"),
@@ -812,13 +821,27 @@ object PipelineQueries {
     * duplicated set, not the corpus.
     */
   def dupNgrams(s: SparkSession, dir: String): DataFrame = {
+    // observe() is a zero-cost optimizer barrier: without it,
+    // CollapseProject inlines the array_distinct(md5-transform) chain
+    // INTO the Generate, which drops the generator out of codegen and
+    // re-evaluates the lambda-bound word split per n-gram — measured
+    // 2.9 s vs 0.2 s for the same explode at sf0.1 (DocFragProbe, r6).
+    // Behind the barrier the chain evaluates once per row in the scan
+    // stage and the Generate explodes a plain attribute.
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       array_distinct(wordNgramHashes(col("text"), 8)).as("ng"))
+      .observe("dup_ngrams_base", count(lit(1)))
     val ex = base.select(col("doc_id"), col("source"), explode(col("ng")).as("ng"))
-    // per-doc-distinct explode => count(*) == number of supporting docs
-    val shared = ex.groupBy(col("ng")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") > 1).select(col("ng"))
-    val perDoc = ex.join(shared, Seq("ng"))
+    // r6: support counts via ONE window over the exploded frame instead
+    // of groupBy(ng) + join-back — the old plan computed the explode
+    // (and the md5 8-gram projection behind it) TWICE, once for the
+    // shared-ngram set and once for the join probe. The window keys on
+    // the same fine-grained ng hash the groupBy used (skew-free), and
+    // because ng is per-doc-distinct, count-over-window == supporting
+    // docs exactly as before.
+    val perDoc = ex
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("ng"))))
+      .filter(col("ndocs") > 1)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
     base.select(col("doc_id"), col("source"), size(col("ng")).as("n_ng"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -875,6 +898,7 @@ object PipelineQueries {
       .cast("int")
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       benchId.as("bid"), ng.as("ng"))
+      .observe("decontam_matrix_base", count(lit(1))) // barrier, see ngBase
     // benchmarks: md5 first hex digit 0/1/2 -> three held-out slices
     val bench = base.filter(col("bid") <= 2)
       .select(col("bid").as("benchmark"), explode(col("ng")).as("ng")).distinct()

@@ -149,9 +149,24 @@ object ValidationQueries {
     import org.apache.spark.sql.streaming.Trigger
     val path = graft.gen.TokenData.ensure(s, dir)
     val schema = s.read.parquet(path).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_vstream_").toString
-    val q = graft.streaming.StreamingValidate
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_vstream_")
+    val tmp = tmpPath.toString
+    // r5 ADVICE: repeated bench sweeps must not accumulate unbounded
+    // temp parquet/checkpoint data — register the whole tree for
+    // JVM-exit deletion (the read-back below is lazy, so an immediate
+    // delete would break the returned frame; deleteOnExit is the
+    // correct lifetime).
+    def registerDeleteOnExit(p: java.nio.file.Path): Unit = {
+      p.toFile.deleteOnExit() // parents registered first = deleted last
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(c => registerDeleteOnExit(c)) finally st.close()
+      }
+    }
+    val stream = graft.streaming.StreamingValidate
       .fileStreamViolations(s, path, schema, NorthStar.suite, Fused)
+    val outSchema = stream.schema
+    val q = stream
       .writeStream
       .format("parquet")
       .option("path", s"$tmp/out")
@@ -159,7 +174,11 @@ object ValidationQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$tmp/out")
+    registerDeleteOnExit(tmpPath)
+    // r5 ADVICE: pass the known violations schema so an empty streamed
+    // set (AvailableNow writes no data files) reads back as an empty
+    // frame instead of throwing on schema inference
+    s.read.schema(outSchema).parquet(s"$tmp/out")
   }
 
   /** Exact duplicate doc_ids via salted two-phase aggregation. */
@@ -269,22 +288,41 @@ object ValidationQueries {
   }
 
   def chunkWindows(s: SparkSession, dir: String): DataFrame = {
-    val wnd = windowsOf(toks(s, dir), Seq("source")).select(col("source"), col("w"))
-    val m = wnd.select(col("source"), size(col("w")).as("len"),
-      coalesce(aggregate(
-        zip_with(sequence(lit(1), size(col("w"))), col("w"),
-          (i, t) => i.cast("long") * t),
-        lit(0L), (acc, x) => acc + x), lit(0L)).as("ck"))
+    // r6 shape: per-ROW nested aggregation instead of posexplode — the
+    // old plan materialized one row per window (2.75M at sf0.1), each
+    // carrying a 128-element slice COPY of the tokens array (~1.4 GB of
+    // Generate output) plus a sequence + zip_with allocation per window.
+    // The same per-window arithmetic now folds inside the row: window j
+    // of a window starting at st reads tokens[st+j] directly
+    // (try_element_at, 1-based — exactly slice(tokens, st+1, W)[j]),
+    // the per-window checksum is coalesced to 0 on null elements just
+    // like the exploded shape, and the per-row window checksums sum in
+    // a LONG (≤ ~5e9 per window × windows-per-row — overflow-free for
+    // any row that fits in memory) before the cross-row DECIMAL(38,0)
+    // accumulation. Values identical; zero Generate, zero slice copies.
+    val n = size(col("tokens"))
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(ChunkS)))
+      .otherwise(array().cast("array<int>"))
+    val wlen = (st: org.apache.spark.sql.Column) => least(lit(ChunkW), n - st)
+    val m = toks(s, dir).select(col("source"),
+      size(starts).as("n_windows_row"),
+      size(filter(starts, st => n - st >= ChunkW)).as("n_full_row"),
+      aggregate(starts, lit(0L), (acc, st) => acc + wlen(st).cast("long")).as("sum_len_row"),
+      aggregate(starts, lit(0L), (acc, st) =>
+        acc + coalesce(
+          aggregate(sequence(lit(1), wlen(st)), lit(0L),
+            (a2, j) => a2 + j.cast("long") * try_element_at(col("tokens"), st + j)),
+          lit(0L))).as("ck_row"))
     // checksum accumulates in DECIMAL(38,0) — per-window ck is up to
     // ~5e9, so a LONG accumulator wraps within the 10^12-row design
     // scale while DuckDB's sum(BIGINT) is already HUGEINT (the sumCents
     // rule, RelationalQueries). Emitted as the exact digit STRING so
     // both engines stringify identically reader-independently.
     m.groupBy(col("source")).agg(
-      count(lit(1)).as("n_windows"),
-      sum((col("len") === ChunkW).cast("long")).as("n_full"),
-      sum(col("len").cast("long")).as("sum_len"),
-      sum(col("ck").cast("decimal(38,0)")).cast("string").as("content_checksum"))
+      sum(col("n_windows_row").cast("long")).as("n_windows"),
+      sum(col("n_full_row").cast("long")).as("n_full"),
+      sum(col("sum_len_row").cast("long")).as("sum_len"),
+      sum(col("ck_row").cast("decimal(38,0)")).cast("string").as("content_checksum"))
   }
 
   /** CONSTRAINT SUGGESTION (the profile->suite direction): derive a
