@@ -35,7 +35,13 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val Seq(uc, vc) = edges.columns.take(2).toSeq
-    val raw = edges.select(col(uc).as("u"), col(vc).as("v"))
+    // r6: materialize the input edge list ONCE — it feeds both the node
+    // universe below and the symmetrized round-0 set, and in every
+    // production caller `edges` is the full LSH candidate chain, which
+    // would otherwise re-run end to end for the second consumer. The
+    // edge list is id pairs (tiny next to the corpus), the same
+    // localCheckpoint pattern the round loop already uses.
+    val raw = edges.select(col(uc).as("u"), col(vc).as("v")).localCheckpoint(true)
     // full node universe BEFORE dropping self-loops: a node whose only
     // edge is (x, x) is a singleton component, not absent (the doc
     // contract is one row per node appearing in ANY edge; round-4
@@ -43,15 +49,28 @@ object ConnectedComponents {
     // as the output itself.
     val allNodes = raw.select(col("u").as("node"))
       .unionByName(raw.select(col("v").as("node"))).distinct()
-    var e = symmetrize(raw.filter(col("u") =!= col("v")))
-      .localCheckpoint(true)
+    // r6: the set fingerprint rides the SAME action that materializes
+    // the round's edge set — observe() metrics are computed by
+    // accumulator during the localCheckpoint job, so each round is ONE
+    // Spark job instead of two (checkpoint + separate checksum scan).
+    // At test scale the rounds are pure scheduling overhead, and on a
+    // cluster this halves the number of sequential driver round-trips.
+    def checkpointWithChecksum(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation() // fresh unique name
+      val out = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .localCheckpoint(true)
+      val r = obs.get
+      (out, (r("n").asInstanceOf[Long], r("x").asInstanceOf[Long]))
+    }
+    var (e, cur) = checkpointWithChecksum(symmetrize(raw.filter(col("u") =!= col("v"))))
     var prev = (-1L, -1L)
-    var cur = checksum(e)
     var round = 0
     while (cur != prev && round < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val (e2, c2) = checkpointWithChecksum(smallStar(largeStar(e)))
+      e = e2
       prev = cur
-      cur = checksum(e)
+      cur = c2
       round += 1
     }
     require(cur == prev,
@@ -79,31 +98,34 @@ object ConnectedComponents {
       e.groupBy("u").agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("m")), "u")
 
-  /** Large-star: every neighbor v > u is connected to u's min m. */
+  /** Large-star: every neighbor v > u is connected to u's min m.
+    *
+    * r6: emitted ORIENTED (u > v always, since m <= center < v) instead
+    * of symmetrized — the only consumer is [[smallStar]], whose first
+    * step re-filters the symmetric set back to exactly this orientation
+    * (symmetrize(X).filter(v < u) == X.distinct for big→small X), so
+    * the union and the doubled rows through the dedup exchange were
+    * pure waste. The round's OUTPUT (smallStar) stays symmetrized, so
+    * loop fixpoint detection and the final star-forest read-out are
+    * unchanged.
+    */
   private def largeStar(e: DataFrame): DataFrame =
-    symmetrize(withMin(e).filter(col("v") > col("u"))
+    withMin(e).filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
 
   /** Small-star: over edges oriented big→small, every smaller neighbor
-    * (and u itself) is connected to the min m.
+    * (and u itself) is connected to the min m. (The (u, m) branch's
+    * per-branch dedup is subsumed by symmetrize's distinct — r6.)
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val d = e.filter(col("v") < col("u"))
     val dm = withMin(d)
     symmetrize(
       dm.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v"))
-        .unionByName(dm.select(col("u"), col("m").as("v")).distinct())
+        .unionByName(dm.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")))
   }
 
-  /** (count, xor-of-hashes) set fingerprint — order-independent,
-    * overflow-free under ANSI mode (the edge set is distinct, so xor
-    * cancellation of duplicates cannot occur).
-    */
-  private def checksum(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
-  }
 }
