@@ -199,8 +199,11 @@ object ValidationQueries {
     * the first phase keys on (source, hash) across input partitions.
     */
   def seqDupContent(s: SparkSession, dir: String): DataFrame = {
-    val h = md5(concat_ws(",",
-      transform(col("tokens"), x => coalesce(x.cast("string"), lit("~")))))
+    // r6: fused codegen join (graft.functions.CsvJoinInts) — byte-
+    // identical to concat_ws(",", transform(tokens, x =>
+    // coalesce(cast(x as string), '~'))) under the tokens-not-null
+    // filter below, without materializing ~n_tok boxed strings per row
+    val h = md5(graft.functions.CsvJoinInts.csv_join_ints(col("tokens")))
     toks(s, dir)
       .filter(col("tokens").isNotNull)
       .select(col("source"), h.as("h"))
@@ -288,41 +291,32 @@ object ValidationQueries {
   }
 
   def chunkWindows(s: SparkSession, dir: String): DataFrame = {
-    // r6 shape: per-ROW nested aggregation instead of posexplode — the
-    // old plan materialized one row per window (2.75M at sf0.1), each
+    // r6 shape: ONE fused codegen'd per-row pass
+    // (graft.functions.WindowStats) instead of posexplode — the old
+    // plan materialized one row per window (2.75M at sf0.1), each
     // carrying a 128-element slice COPY of the tokens array (~1.4 GB of
-    // Generate output) plus a sequence + zip_with allocation per window.
-    // The same per-window arithmetic now folds inside the row: window j
-    // of a window starting at st reads tokens[st+j] directly
-    // (try_element_at, 1-based — exactly slice(tokens, st+1, W)[j]),
-    // the per-window checksum is coalesced to 0 on null elements just
-    // like the exploded shape, and the per-row window checksums sum in
-    // a LONG (≤ ~5e9 per window × windows-per-row — overflow-free for
-    // any row that fits in memory) before the cross-row DECIMAL(38,0)
-    // accumulation. Values identical; zero Generate, zero slice copies.
-    val n = size(col("tokens"))
-    val starts = when(n > 0, sequence(lit(0), n - 1, lit(ChunkS)))
-      .otherwise(array().cast("array<int>"))
-    val wlen = (st: org.apache.spark.sql.Column) => least(lit(ChunkW), n - st)
-    val m = toks(s, dir).select(col("source"),
-      size(starts).as("n_windows_row"),
-      size(filter(starts, st => n - st >= ChunkW)).as("n_full_row"),
-      aggregate(starts, lit(0L), (acc, st) => acc + wlen(st).cast("long")).as("sum_len_row"),
-      aggregate(starts, lit(0L), (acc, st) =>
-        acc + coalesce(
-          aggregate(sequence(lit(1), wlen(st)), lit(0L),
-            (a2, j) => a2 + j.cast("long") * try_element_at(col("tokens"), st + j)),
-          lit(0L))).as("ck_row"))
+    // Generate output) plus a sequence + zip_with allocation per
+    // window, and Spark HOFs are CodegenFallback so the ~264M
+    // multiply-adds ran interpreted either way. WindowStats reproduces
+    // the per-window arithmetic exactly — 1-based position weights,
+    // a null element nulls-then-zeroes exactly its own windows'
+    // checksums (the coalesce(aggregate(zip_with(...)), 0) semantics),
+    // per-row checksums sum in a LONG (window ck ≤ ~5e9, windows/row =
+    // n/96 — overflow-free for any row that fits in memory) — before
+    // the cross-row DECIMAL accumulation below. A null tokens row has
+    // no windows in both shapes (null struct ≡ zero contribution).
+    val ws = graft.functions.WindowStats.window_stats(col("tokens"), ChunkW, ChunkS)
+    val m = toks(s, dir).select(col("source"), ws.as("ws"))
     // checksum accumulates in DECIMAL(38,0) — per-window ck is up to
     // ~5e9, so a LONG accumulator wraps within the 10^12-row design
     // scale while DuckDB's sum(BIGINT) is already HUGEINT (the sumCents
     // rule, RelationalQueries). Emitted as the exact digit STRING so
     // both engines stringify identically reader-independently.
     m.groupBy(col("source")).agg(
-      sum(col("n_windows_row").cast("long")).as("n_windows"),
-      sum(col("n_full_row").cast("long")).as("n_full"),
-      sum(col("sum_len_row").cast("long")).as("sum_len"),
-      sum(col("ck_row").cast("decimal(38,0)")).cast("string").as("content_checksum"))
+      sum(col("ws.n_windows").cast("long")).as("n_windows"),
+      sum(col("ws.n_full").cast("long")).as("n_full"),
+      sum(col("ws.sum_len")).as("sum_len"),
+      sum(col("ws.ck").cast("decimal(38,0)")).cast("string").as("content_checksum"))
   }
 
   /** CONSTRAINT SUGGESTION (the profile->suite direction): derive a

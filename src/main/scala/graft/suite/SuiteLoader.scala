@@ -1075,6 +1075,11 @@ object SuiteLoader {
     // boolean schemas: PJS:_utils.py:190-191); evaluatedIndexInfo's own
     // isBoolean early-return implements that, so no shape raises here.
     Option(n.get("allOf")).foreach(_.asScala.foreach { b =>
+      // boolean branches are legal (tracker parity); any OTHER
+      // non-object node is malformed and must fail loudly HERE, not
+      // rely on the separate main allOf parse path (r5 ADVICE)
+      require(b.isObject || b.isBoolean,
+        s"allOf branch must be an object or boolean schema, got: $b")
       merge(evaluatedIndexInfo(b, defs, root, seen, draft))
     })
     // anyOf/oneOf: each branch contributes iff the row VALIDATES against
