@@ -204,10 +204,25 @@ object PipelineQueries {
     * cap² (one window count over the SAME (band, sig) shuffle key the
     * join uses — no extra scan of the shingle projection).
     */
-  def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsFrom(lshLong(s, dir), LshBucketCap)
+  def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(s, dir)
+    // the shingle-attach side built as a PLAIN projection of the docs:
+    // deriving it from the band-exploded long frame (the default
+    // overload below) computes the minhash band chain in branches that
+    // only ever read (doc_id, sh) — struct-field pruning cannot reach
+    // inside the exploded band struct (r6; visible in
+    // plans/r06/d_lsh_pairs_after.txt Projects 35/47 pre-fix)
+    val sh = d0.select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+    lshPairsFrom(lshLongFrom(d0), sh, cap = LshBucketCap)
+  }
 
-  private[graft] def lshPairsFrom(longAll: DataFrame, cap: Int): DataFrame = {
+  private[graft] def lshPairsFrom(longAll: DataFrame, cap: Int): DataFrame =
+    // one (doc_id, sh) row per doc: every doc emits band 0, and sh is
+    // identical across its band copies
+    lshPairsFrom(longAll,
+      longAll.filter(col("band") === 0).select(col("doc_id"), col("sh")), cap)
+
+  private[graft] def lshPairsFrom(longAll: DataFrame, sh: DataFrame, cap: Int): DataFrame = {
     // r6 shape (guide §8: decide with small rows, move big rows once).
     // The old plan carried every doc's shingle ARRAY (KBs per row, x4
     // band copies) through the bucket-cap window exchange AND the bucket
@@ -228,9 +243,6 @@ object PipelineQueries {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands
-    // one (doc_id, sh) row per doc: every doc emits band 0, and sh is
-    // identical across its band copies
-    val sh = longAll.filter(col("band") === 0).select(col("doc_id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
